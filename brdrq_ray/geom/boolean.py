@@ -1,0 +1,405 @@
+"""Polygon boolean operations (intersection / union / difference / symmetric
+difference) and dissolve, from scratch on numpy — the engine's replacement for
+the GEOS overlay the reference gets via shapely (brdr computes
+``result_diff`` = symmetric difference, ``result_diff_plus/min`` = one-sided
+differences; reference: plugin/brdrq/brdrq_utils.py:1146-1153 and
+docs/autocorrectborders.md:122-127).
+
+Algorithm ("overlay by subdivision"): snap inputs to the 1e-6 grid, split every
+edge of A at its intersections with edges of B (and vice versa, using the SAME
+computed intersection points so both sides agree bit-for-bit), classify each
+sub-edge as inside / outside / shared w.r.t. the other polygon by a
+winding-number test on its midpoint, select sub-edges per op, then stitch the
+selected directed edges into rings (interior-on-the-left convention: shells
+CCW, holes CW).  O((n+m)^2) per pair with bbox prefilter — parcel-scale
+polygons have tens of vertices, so this is fast and much more robust than a
+float sweep.  Degeneracies are contained by the fixed snap grid (SURVEY.md
+section 7.4.1).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .core import (
+    GEOM_POLYGON,
+    SNAP,
+    geom_bbox,
+    make_valid,
+    points_in_polygon,
+    ring_signed_area,
+    snap,
+)
+
+_QK = 1e6  # quantization for point keys (matches the snap grid)
+
+
+def _key(x: float, y: float) -> tuple[int, int]:
+    return (int(round(x * _QK)), int(round(y * _QK)))
+
+
+def _edges_of(parts):
+    """Directed edges [(ax, ay, bx, by), ...] of all rings, ring orientation
+    preserved (shells CCW, holes CW — interior on the left)."""
+    out = []
+    for rings in parts:
+        for r in rings:
+            nxt = np.roll(r, -1, axis=0)
+            for (ax, ay), (bx, by) in zip(r, nxt):
+                if (ax, ay) != (bx, by):
+                    out.append((ax, ay, bx, by))
+    return out
+
+
+def _seg_intersections(e1, e2):
+    """Intersection points of two segments, as params (t on e1, u on e2) lists.
+
+    Returns a list of (t, u, x, y). Handles proper crossings, T-junctions and
+    collinear overlaps (returns both overlap endpoints).
+    """
+    ax, ay, bx, by = e1
+    cx, cy, dx, dy = e2
+    rx, ry = bx - ax, by - ay
+    sx, sy = dx - cx, dy - cy
+    denom = rx * sy - ry * sx
+    qpx, qpy = cx - ax, cy - ay
+    if denom != 0.0:
+        t = (qpx * sy - qpy * sx) / denom
+        u = (qpx * ry - qpy * rx) / denom
+        eps = 1e-12
+        if -eps <= t <= 1 + eps and -eps <= u <= 1 + eps:
+            t = min(max(t, 0.0), 1.0)
+            u = min(max(u, 0.0), 1.0)
+            x = ax + t * rx
+            y = ay + t * ry
+            return [(t, u, x, y)]
+        return []
+    # parallel: collinear?
+    cross = qpx * ry - qpy * rx
+    rlen2 = rx * rx + ry * ry
+    if rlen2 == 0:
+        return []
+    # distance of c from line(a,b)
+    if abs(cross) / math.sqrt(rlen2) > SNAP:
+        return []
+    # collinear: project c and d on e1
+    t0 = (qpx * rx + qpy * ry) / rlen2
+    t1 = ((dx - ax) * rx + (dy - ay) * ry) / rlen2
+    lo, hi = min(t0, t1), max(t0, t1)
+    lo, hi = max(lo, 0.0), min(hi, 1.0)
+    if lo > hi:
+        return []
+    out = []
+    slen2 = sx * sx + sy * sy
+    for t in {lo, hi}:
+        x = ax + t * rx
+        y = ay + t * ry
+        u = ((x - cx) * sx + (y - cy) * sy) / slen2 if slen2 else 0.0
+        out.append((t, min(max(u, 0.0), 1.0), x, y))
+    return out
+
+
+def _split_edges(edges_a, edges_b):
+    """Split each edge list at mutual intersection points (shared float
+    computation -> identical coordinates on both sides). Also splits at the
+    other side's endpoints lying on an edge (T junctions are covered by
+    _seg_intersections)."""
+    if not edges_a or not edges_b:
+        return [list(e) + [[]] for e in edges_a], [list(e) + [[]] for e in edges_b]
+    A = np.array(edges_a, dtype=np.float64)
+    B = np.array(edges_b, dtype=np.float64)
+    # bbox prefilter
+    a_min_x = np.minimum(A[:, 0], A[:, 2]) - SNAP
+    a_max_x = np.maximum(A[:, 0], A[:, 2]) + SNAP
+    a_min_y = np.minimum(A[:, 1], A[:, 3]) - SNAP
+    a_max_y = np.maximum(A[:, 1], A[:, 3]) + SNAP
+    b_min_x = np.minimum(B[:, 0], B[:, 2]) - SNAP
+    b_max_x = np.maximum(B[:, 0], B[:, 2]) + SNAP
+    b_min_y = np.minimum(B[:, 1], B[:, 3]) - SNAP
+    b_max_y = np.maximum(B[:, 1], B[:, 3]) + SNAP
+    ov = ((a_min_x[:, None] <= b_max_x[None, :]) & (a_max_x[:, None] >= b_min_x[None, :])
+          & (a_min_y[:, None] <= b_max_y[None, :]) & (a_max_y[:, None] >= b_min_y[None, :]))
+    cuts_a = [[] for _ in edges_a]
+    cuts_b = [[] for _ in edges_b]
+    ii, jj = np.nonzero(ov)
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        for t, u, x, y in _seg_intersections(edges_a[i], edges_b[j]):
+            cuts_a[i].append((t, x, y))
+            cuts_b[j].append((u, x, y))
+    out_a = [list(e) + [c] for e, c in zip(edges_a, cuts_a)]
+    out_b = [list(e) + [c] for e, c in zip(edges_b, cuts_b)]
+    return out_a, out_b
+
+
+def _apply_cuts(edges_with_cuts):
+    """Expand edges into sub-edges at their cut params; dedupe by key."""
+    out = []
+    for ax, ay, bx, by, cuts in edges_with_cuts:
+        pts = [(0.0, ax, ay), (1.0, bx, by)]
+        pts.extend(cuts)
+        pts.sort(key=lambda p: p[0])
+        prev_key = None
+        chain = []
+        for t, x, y in pts:
+            k = _key(x, y)
+            if k != prev_key:
+                chain.append((k, x, y))
+                prev_key = k
+        for (k1, x1, y1), (k2, x2, y2) in zip(chain, chain[1:]):
+            out.append((k1, k2, x1, y1, x2, y2))
+    return out
+
+
+def _classify(sub_edges, other_parts, other_edge_keys):
+    """For each sub-edge return 'in', 'out', 'shared_same' or 'shared_opp'."""
+    n = len(sub_edges)
+    labels = [None] * n
+    mids = np.empty((n, 2), dtype=np.float64)
+    need = []
+    for idx, (k1, k2, x1, y1, x2, y2) in enumerate(sub_edges):
+        if (k1, k2) in other_edge_keys:
+            labels[idx] = "shared_same"
+        elif (k2, k1) in other_edge_keys:
+            labels[idx] = "shared_opp"
+        else:
+            mids[idx] = ((x1 + x2) * 0.5, (y1 + y2) * 0.5)
+            need.append(idx)
+    if need:
+        inside = points_in_polygon(mids[need], other_parts)
+        for pos, idx in enumerate(need):
+            labels[idx] = "in" if inside[pos] else "out"
+    return labels
+
+
+def _stitch(directed_edges):
+    """Stitch directed edges (interior-on-left) into rings, then build parts.
+
+    At a branching vertex the walker picks the outgoing edge that makes the
+    sharpest clockwise turn from the reverse of the incoming direction —
+    this traces minimal faces with the interior kept on the left.
+    """
+    # drop exact duplicate directed edges (can arise from shared selections)
+    seen = set()
+    edges = []
+    for e in directed_edges:
+        sig = (e[0], e[1])
+        if sig in seen:
+            continue
+        seen.add(sig)
+        edges.append(e)
+
+    by_start: dict = {}
+    for e in edges:
+        by_start.setdefault(e[0], []).append(e)
+    used = [False] * len(edges)
+    index = {id(e): i for i, e in enumerate(edges)}
+
+    def pick_next(cur):
+        k1, k2, x1, y1, x2, y2 = cur
+        cands = [e for e in by_start.get(k2, ()) if not used[index[id(e)]]]
+        if not cands:
+            return None
+        if len(cands) == 1:
+            return cands[0]
+        # incoming reversed direction
+        in_ang = math.atan2(y1 - y2, x1 - x2)
+        best, best_d = None, None
+        for e in cands:
+            if e[1] == k1 and len(cands) > 1:
+                # avoid immediate backtrack unless forced
+                continue
+            ang = math.atan2(e[5] - e[3], e[4] - e[2])
+            d = (in_ang - ang) % (2 * math.pi)  # clockwise distance from reversed-in
+            if d == 0:
+                d = 2 * math.pi
+            if best_d is None or d < best_d:
+                best, best_d = e, d
+        if best is None:
+            best = cands[0]
+        return best
+
+    rings = []
+    for i, e in enumerate(edges):
+        if used[i]:
+            continue
+        path = [e]
+        used[i] = True
+        start_key = e[0]
+        cur = e
+        ok = False
+        for _ in range(len(edges) + 1):
+            if cur[1] == start_key:
+                ok = True
+                break
+            nxt = pick_next(cur)
+            if nxt is None:
+                break
+            used[index[id(nxt)]] = True
+            path.append(nxt)
+            cur = nxt
+        if ok and len(path) >= 3:
+            ring = np.array([(p[2], p[3]) for p in path], dtype=np.float64)
+            rings.append(ring)
+    return _rings_to_parts(rings)
+
+
+def _rings_to_parts(rings):
+    """Classify stitched rings into shells (CCW) and holes (CW), assign holes
+    to the smallest enclosing shell."""
+    shells, holes = [], []
+    for r in rings:
+        a = ring_signed_area(r)
+        if abs(a) < SNAP * SNAP:
+            continue
+        (shells if a > 0 else holes).append((abs(a), r))
+    shells.sort(key=lambda t: t[0])  # smallest first
+    parts = [[s[1]] for s in shells]
+    for ha, h in holes:
+        # test point: first vertex nudged toward ring centroid
+        c = h.mean(axis=0)
+        p = h[0] * 0.999 + c * 0.001
+        placed = False
+        for i, (sa, s) in enumerate(shells):
+            if sa >= ha and points_in_polygon(p[None, :], [[s]])[0]:
+                parts[i].append(h)
+                placed = True
+                break
+        if not placed and shells:
+            parts[-1].append(h)
+    return [p for p in parts if p]
+
+
+def _bbox_disjoint(a_parts, b_parts) -> bool:
+    ax0, ay0, ax1, ay1 = geom_bbox(a_parts)
+    bx0, by0, bx1, by1 = geom_bbox(b_parts)
+    if not (np.isfinite(ax0) and np.isfinite(bx0)):
+        return True
+    return ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0
+
+
+def overlay(a_parts, b_parts, op: str):
+    """Boolean op between two multipolygons (parts as in geom.core).
+
+    op: 'intersection' | 'union' | 'difference' | 'symdiff'.
+    Returns multipolygon parts (shells CCW, holes CW).
+    """
+    _, a_parts = make_valid(GEOM_POLYGON, a_parts)
+    _, b_parts = make_valid(GEOM_POLYGON, b_parts)
+    if not a_parts or not b_parts:
+        if op == "intersection":
+            return []
+        if op == "difference":
+            return a_parts
+        return a_parts + b_parts  # union / symdiff with an empty side
+    if _bbox_disjoint(a_parts, b_parts):
+        if op == "intersection":
+            return []
+        if op == "difference":
+            return a_parts
+        return a_parts + b_parts
+
+    if op == "symdiff":
+        d1 = overlay(a_parts, b_parts, "difference")
+        d2 = overlay(b_parts, a_parts, "difference")
+        return dissolve(d1 + d2)
+
+    ea = _edges_of(a_parts)
+    eb = _edges_of(b_parts)
+    ea_c, eb_c = _split_edges(ea, eb)
+    sub_a = _apply_cuts(ea_c)
+    sub_b = _apply_cuts(eb_c)
+    keys_a = {(e[0], e[1]) for e in sub_a}
+    keys_b = {(e[0], e[1]) for e in sub_b}
+    lab_a = _classify(sub_a, b_parts, keys_b)
+    lab_b = _classify(sub_b, a_parts, keys_a)
+
+    sel = []
+    if op == "intersection":
+        sel += [e for e, l in zip(sub_a, lab_a) if l in ("in", "shared_same")]
+        sel += [e for e, l in zip(sub_b, lab_b) if l == "in"]
+    elif op == "union":
+        sel += [e for e, l in zip(sub_a, lab_a) if l in ("out", "shared_same")]
+        sel += [e for e, l in zip(sub_b, lab_b) if l == "out"]
+    elif op == "difference":
+        sel += [e for e, l in zip(sub_a, lab_a) if l in ("out", "shared_opp")]
+        # B edges inside A, reversed
+        sel += [(e[1], e[0], e[4], e[5], e[2], e[3]) for e, l in zip(sub_b, lab_b) if l == "in"]
+    else:
+        raise ValueError(f"unknown op {op!r}")
+    return _stitch(sel)
+
+
+def dissolve(parts_list_or_parts):
+    """Union of polygons with DISJOINT interiors that may share boundary edges
+    (a tessellation — e.g. adjacent cadastral parcels): cancel opposite
+    directed edges, stitch the survivors. Exact and fast; this is how the
+    engine unions 'included reference parcels' (SURVEY.md section 7, D1).
+
+    Accepts either multipolygon `parts` or a list of them (concatenated).
+    Edges are first split at other polygons' vertices lying on them so
+    T-junctions cancel correctly.
+    """
+    parts = list(parts_list_or_parts)
+    if parts and parts[0] and not isinstance(parts[0][0], np.ndarray):
+        # list of parts objects -> concatenate
+        flat = []
+        for p in parts:
+            flat.extend(p)
+        parts = flat
+    if len(parts) <= 1:
+        return parts
+    edges = _edges_of(parts)
+    # split at all vertices lying on other edges (T junctions)
+    verts = np.array(sorted({(e[0], e[1]) for e in edges} | {(e[2], e[3]) for e in edges}))
+    E = np.array(edges, dtype=np.float64)
+    ax, ay, bx, by = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
+    cuts = [[] for _ in edges]
+    rx, ry = bx - ax, by - ay
+    len2 = rx * rx + ry * ry
+    len2[len2 == 0] = 1e-300
+    chunk = max(1, int(4e6 / max(len(edges), 1)))
+    for s in range(0, len(verts), chunk):
+        V = verts[s:s + chunk]
+        apx = V[:, None, 0] - ax[None, :]
+        apy = V[:, None, 1] - ay[None, :]
+        t = (apx * rx[None, :] + apy * ry[None, :]) / len2[None, :]
+        px = ax[None, :] + t * rx[None, :]
+        py = ay[None, :] + t * ry[None, :]
+        d = np.hypot(V[:, None, 0] - px, V[:, None, 1] - py)
+        hit = (d <= SNAP * 4) & (t > 1e-9) & (t < 1 - 1e-9)
+        vi, ei = np.nonzero(hit)
+        for v, e in zip(vi.tolist(), ei.tolist()):
+            cuts[e].append((float(t[v, e]), float(verts[s + v, 0]), float(verts[s + v, 1])))
+    sub = _apply_cuts([list(e) + [c] for e, c in zip(edges, cuts)])
+    # cancel opposite directed pairs: for key (u,v), net survivors =
+    # count[(u,v)] - count[(v,u)] copies (if positive)
+    from collections import Counter
+    count = Counter((e[0], e[1]) for e in sub)
+    first_of = {}
+    for e in sub:
+        first_of.setdefault((e[0], e[1]), e)
+    survivors = []
+    for key, n in count.items():
+        net = n - count.get((key[1], key[0]), 0)
+        if net > 0:
+            survivors.extend([first_of[key]] * 1)  # one copy per key (simple rings)
+    return _stitch(survivors)
+
+
+def union_many(parts_list):
+    """Union of arbitrarily overlapping multipolygons: divide & conquer over
+    pairwise overlay unions. Used by buffer(); the alignment hot path uses
+    dissolve() instead (disjoint interiors)."""
+    items = [p for p in parts_list if p]
+    if not items:
+        return []
+    while len(items) > 1:
+        nxt = []
+        for i in range(0, len(items) - 1, 2):
+            nxt.append(overlay(items[i], items[i + 1], "union"))
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0]

@@ -1,0 +1,440 @@
+"""Core geometry representation and scalar kernels (pure numpy, no GEOS).
+
+The reference engine (brdrQ) delegates all geometry to shapely/GEOS; geometries
+cross its QGIS<->shapely boundary as WKT strings with ``make_valid`` applied on
+both directions (reference: plugin/brdrq/brdrq_utils.py:448-479).  This sandbox
+has no shapely, so we define our own representation and kernels:
+
+* **Interchange**: WKT strings at the edges (ingest / egress only), matching the
+  reference's convention (reference: plugin/brdrq/brdrq_utils.py:471-479).
+* **Internal**: a packed little-endian binary layout stored in Arrow ``binary``
+  columns (``geom`` in our tables), parsed into plain Python structures of
+  numpy arrays for the kernels:
+
+      geometry  = (kind, parts)
+      kind      = GEOM_POLYGON | GEOM_LINESTRING | GEOM_POINT  (always "multi")
+      parts     = [part, ...]
+      part      = [ring, ...]          # polygons: ring 0 = shell (CCW),
+                                       #           rings 1.. = holes (CW)
+                  for lines/points a part has exactly one "ring" (the coords)
+      ring      = float64 ndarray of shape (n, 2), NOT closed (last != first)
+
+Coordinates are snapped to a 1e-6 grid (micrometer at meter units) at ingest so
+that equality/stitching decisions are stable (SURVEY.md section 7.0.1:
+"fixed-precision coordinates").  Z/M dimensions are dropped at parse time,
+mirroring the reference's ``dropmzvalues`` step (reference:
+plugin/brdrq/brdrq_utils.py:1556-1568).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import struct
+
+import numpy as np
+
+GEOM_POLYGON = 1
+GEOM_LINESTRING = 2
+GEOM_POINT = 3
+
+KIND_NAMES = {GEOM_POLYGON: "MultiPolygon", GEOM_LINESTRING: "MultiLineString", GEOM_POINT: "MultiPoint"}
+
+#: snap grid for coordinates (1 micrometer with meter units)
+SNAP = 1e-6
+_INV_SNAP = 1e6
+
+
+def snap(a: np.ndarray) -> np.ndarray:
+    """Snap coordinates to the fixed 1e-6 grid (round-half-even via np.round)."""
+    return np.round(np.asarray(a, dtype=np.float64) * _INV_SNAP) / _INV_SNAP
+
+
+# ---------------------------------------------------------------------------
+# packed binary codec
+# ---------------------------------------------------------------------------
+
+def pack_geom(kind: int, parts) -> bytes:
+    """Pack (kind, parts) into the engine's binary layout.
+
+    Layout: u8 kind, u32 n_parts, then per part u32 n_rings, then per ring
+    u32 n_points followed by n_points * 2 float64 (x, y interleaved).
+    """
+    out = [struct.pack("<BI", kind, len(parts))]
+    for part in parts:
+        out.append(struct.pack("<I", len(part)))
+        for ring in part:
+            ring = np.ascontiguousarray(ring, dtype=np.float64)
+            out.append(struct.pack("<I", ring.shape[0]))
+            out.append(ring.tobytes())
+    return b"".join(out)
+
+
+def unpack_geom(buf: bytes):
+    """Inverse of :func:`pack_geom`. Returns (kind, parts)."""
+    kind = buf[0]
+    n_parts = struct.unpack_from("<I", buf, 1)[0]
+    off = 5
+    parts = []
+    for _ in range(n_parts):
+        n_rings = struct.unpack_from("<I", buf, off)[0]
+        off += 4
+        rings = []
+        for _ in range(n_rings):
+            n_pts = struct.unpack_from("<I", buf, off)[0]
+            off += 4
+            ring = np.frombuffer(buf, dtype=np.float64, count=n_pts * 2, offset=off).reshape(n_pts, 2)
+            off += n_pts * 16
+            rings.append(ring)
+        parts.append(rings)
+    return kind, parts
+
+
+EMPTY_POLYGON = pack_geom(GEOM_POLYGON, [])
+
+
+# ---------------------------------------------------------------------------
+# WKT codec
+# ---------------------------------------------------------------------------
+
+_NUM = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
+
+
+def _parse_coord_seq(text: str) -> np.ndarray:
+    """Parse 'x y[ z[ m]], x y, ...' into an (n, 2) array, dropping Z/M."""
+    pts = []
+    for tok in text.split(","):
+        nums = _NUM.findall(tok)
+        if len(nums) < 2:
+            raise ValueError(f"bad coordinate tuple: {tok!r}")
+        pts.append((float(nums[0]), float(nums[1])))
+    return snap(np.array(pts, dtype=np.float64).reshape(-1, 2))
+
+
+def _split_groups(body: str):
+    """Split a parenthesized body into top-level '(...)' groups."""
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(body):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(body[start:i])
+    return groups
+
+
+def _dedupe_ring(ring: np.ndarray) -> np.ndarray:
+    """Drop the closing point and consecutive duplicates."""
+    if len(ring) >= 2 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    if len(ring) == 0:
+        return ring
+    keep = np.ones(len(ring), dtype=bool)
+    keep[1:] = np.any(ring[1:] != ring[:-1], axis=1)
+    ring = ring[keep]
+    # also drop a trailing point equal to the first after dedupe
+    if len(ring) >= 2 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    return ring
+
+
+def parse_wkt(wkt: str):
+    """Parse WKT into (kind, parts). Promotes single to Multi (reference:
+    featurecollection_to_multi, plugin/brdrq/brdrq_utils.py:935-961).
+    Z/M suffixes in the tag are accepted and the extra ordinates dropped.
+    Returns an empty-polygon geometry for EMPTY / unparseable-empty inputs.
+    """
+    s = wkt.strip()
+    m = re.match(r"^\s*([A-Za-z]+)\s*(Z|M|ZM)?\s*(EMPTY|\(.*\))\s*$", s, re.S)
+    if not m:
+        raise ValueError(f"unparseable WKT: {s[:80]!r}")
+    tag = m.group(1).upper()
+    body = m.group(3)
+    if body == "EMPTY":
+        kind = {"POINT": GEOM_POINT, "MULTIPOINT": GEOM_POINT,
+                "LINESTRING": GEOM_LINESTRING, "MULTILINESTRING": GEOM_LINESTRING}.get(tag, GEOM_POLYGON)
+        return kind, []
+    inner = body[1:-1]
+    if tag == "POINT":
+        return GEOM_POINT, [[_parse_coord_seq(inner)]]
+    if tag == "MULTIPOINT":
+        groups = _split_groups(inner)
+        if groups:  # MULTIPOINT ((1 2), (3 4))
+            return GEOM_POINT, [[_parse_coord_seq(g)] for g in groups]
+        return GEOM_POINT, [[_parse_coord_seq(tok)] for tok in inner.split(",")]
+    if tag == "LINESTRING":
+        return GEOM_LINESTRING, [[_parse_coord_seq(inner)]]
+    if tag == "MULTILINESTRING":
+        return GEOM_LINESTRING, [[_parse_coord_seq(g)] for g in _split_groups(inner)]
+    if tag == "POLYGON":
+        rings = [_dedupe_ring(_parse_coord_seq(g)) for g in _split_groups(inner)]
+        return GEOM_POLYGON, [[r for r in rings if len(r) >= 3]]
+    if tag == "MULTIPOLYGON":
+        parts = []
+        for poly in _split_groups(inner):
+            rings = [_dedupe_ring(_parse_coord_seq(g)) for g in _split_groups(poly)]
+            rings = [r for r in rings if len(r) >= 3]
+            if rings:
+                parts.append(rings)
+        return GEOM_POLYGON, parts
+    raise ValueError(f"unsupported WKT tag: {tag}")
+
+
+def _fmt(v: float) -> str:
+    # shortest stable decimal on the 1e-6 grid
+    s = f"{v:.6f}".rstrip("0").rstrip(".")
+    return s if s not in ("-0", "") else "0"
+
+
+def to_wkt(kind: int, parts) -> str:
+    """Emit canonical Multi* WKT (rings closed, 6-decimal grid)."""
+    if not parts:
+        return f"{KIND_NAMES[kind].upper()} EMPTY"
+    if kind == GEOM_POINT:
+        body = ", ".join(f"({_fmt(p[0][0, 0])} {_fmt(p[0][0, 1])})" for p in parts)
+        return f"MULTIPOINT ({body})"
+    if kind == GEOM_LINESTRING:
+        body = ", ".join(
+            "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in p[0]) + ")" for p in parts)
+        return f"MULTILINESTRING ({body})"
+    polys = []
+    for rings in parts:
+        ring_txt = []
+        for r in rings:
+            closed = np.vstack([r, r[:1]])
+            ring_txt.append("(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in closed) + ")")
+        polys.append("(" + ", ".join(ring_txt) + ")")
+    return f"MULTIPOLYGON ({', '.join(polys)})"
+
+
+# ---------------------------------------------------------------------------
+# scalar metrics
+# ---------------------------------------------------------------------------
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    """Shoelace signed area; CCW positive. Ring is open (not closed)."""
+    if len(ring) < 3:
+        return 0.0
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def ring_length(ring: np.ndarray, closed: bool = True) -> float:
+    if len(ring) < 2:
+        return 0.0
+    pts = np.vstack([ring, ring[:1]]) if closed else ring
+    d = np.diff(pts, axis=0)
+    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+def geom_area(kind: int, parts) -> float:
+    if kind != GEOM_POLYGON:
+        return 0.0
+    total = 0.0
+    for rings in parts:
+        for i, r in enumerate(rings):
+            a = ring_signed_area(r)
+            total += abs(a) if i == 0 else -abs(a)
+    return max(total, 0.0)
+
+
+def geom_perimeter(kind: int, parts) -> float:
+    """Perimeter for polygons, length for lines, 0 for points (used by the
+    empty-diff filter, reference: plugin/brdrq/brdrq_utils.py:1513-1527)."""
+    if kind == GEOM_POINT:
+        return 0.0
+    closed = kind == GEOM_POLYGON
+    return sum(ring_length(r, closed=closed) for rings in parts for r in rings)
+
+
+def shape_index(area: float, perimeter: float) -> float:
+    """brdr_shape_index = perimeter / area (docs/autocorrectborders.md:206:
+    'gives an idea of the completixity'). 0 for degenerate geometries."""
+    if area <= 0:
+        return 0.0
+    return perimeter / area
+
+
+def geom_bbox(parts) -> tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax); (nan,)*4 for empty."""
+    if not parts:
+        return (math.nan,) * 4
+    allpts = np.vstack([r for rings in parts for r in rings])
+    mn = allpts.min(axis=0)
+    mx = allpts.max(axis=0)
+    return float(mn[0]), float(mn[1]), float(mx[0]), float(mx[1])
+
+
+def geom_centroid(kind: int, parts) -> tuple[float, float]:
+    """Area-weighted centroid for polygons; vertex mean otherwise/degenerate."""
+    if kind == GEOM_POLYGON and parts:
+        A, cx, cy = 0.0, 0.0, 0.0
+        for rings in parts:
+            for i, r in enumerate(rings):
+                a = ring_signed_area(r)
+                sgn = 1.0 if i == 0 else -1.0
+                a = abs(a) * sgn
+                if len(r) >= 3 and a != 0:
+                    x, y = r[:, 0], r[:, 1]
+                    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+                    cross = x * y1 - x1 * y
+                    # orient contribution to match |a| sign
+                    ra = ring_signed_area(r)
+                    f = sgn * (1.0 if ra >= 0 else -1.0)
+                    cx += f * float(((x + x1) * cross).sum()) / 6.0
+                    cy += f * float(((y + y1) * cross).sum()) / 6.0
+                    A += a
+        if A > 0:
+            return cx / A, cy / A
+    pts = np.vstack([r for rings in parts for r in rings]) if parts else np.zeros((1, 2))
+    m = pts.mean(axis=0)
+    return float(m[0]), float(m[1])
+
+
+# ---------------------------------------------------------------------------
+# validity / normalization (the make_valid analog)
+# ---------------------------------------------------------------------------
+
+def make_valid(kind: int, parts):
+    """Normalize a geometry (our analog of the reference's fixgeometries /
+    make_valid, reference: plugin/brdrq/brdrq_utils.py:1536-1547):
+
+    * drop rings with < 3 points or ~zero area (polygons)
+    * orient shells CCW, holes CW
+    * snap coordinates to the 1e-6 grid
+
+    Self-intersecting rings are NOT repaired here (the boolean kernel's
+    stitcher resolves them when they flow through an overlay).
+    """
+    if kind != GEOM_POLYGON:
+        out = []
+        for part in parts:
+            rings = [snap(r) for r in part if len(r) >= (1 if kind == GEOM_POINT else 2)]
+            if rings:
+                out.append(rings)
+        return kind, out
+    out = []
+    for rings in parts:
+        fixed = []
+        for i, r in enumerate(rings):
+            r = snap(_dedupe_ring(np.asarray(r, dtype=np.float64)))
+            if len(r) < 3:
+                continue
+            a = ring_signed_area(r)
+            if abs(a) < SNAP * SNAP:
+                continue
+            want_ccw = i == 0
+            if (a > 0) != want_ccw:
+                r = r[::-1].copy()
+            fixed.append(r)
+        if fixed:
+            out.append(fixed)
+    return kind, out
+
+
+# ---------------------------------------------------------------------------
+# point in polygon (winding), vectorized over points
+# ---------------------------------------------------------------------------
+
+def points_in_rings(pts: np.ndarray, rings) -> np.ndarray:
+    """Winding number of each point w.r.t. the union of rings (shells CCW,
+    holes CW): result != 0 means inside. Boundary points are implementation-
+    defined (callers offset test points off the boundary). pts: (k, 2)."""
+    wn = np.zeros(len(pts), dtype=np.int64)
+    px, py = pts[:, 0], pts[:, 1]
+    for r in rings:
+        x1, y1 = r[:, 0], r[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        for i in range(len(r)):
+            a_y, b_y = y1[i], y2[i]
+            a_x, b_x = x1[i], x2[i]
+            cross = (b_x - a_x) * (py - a_y) - (px - a_x) * (b_y - a_y)
+            up = (a_y <= py) & (b_y > py) & (cross > 0)
+            dn = (a_y > py) & (b_y <= py) & (cross < 0)
+            wn += up.astype(np.int64) - dn.astype(np.int64)
+    return wn
+
+
+def points_in_polygon(pts: np.ndarray, parts) -> np.ndarray:
+    """Vectorized winding-number point-in-(multi)polygon. True = inside."""
+    if not parts or len(pts) == 0:
+        return np.zeros(len(pts), dtype=bool)
+    inside = np.zeros(len(pts), dtype=bool)
+    for rings in parts:
+        inside |= points_in_rings(np.asarray(pts, dtype=np.float64), rings) != 0
+    return inside
+
+
+def _poly_edges(parts) -> tuple[np.ndarray, np.ndarray]:
+    """All boundary segments of a multipolygon as (starts (m,2), ends (m,2))."""
+    a, b = [], []
+    for rings in parts:
+        for r in rings:
+            a.append(r)
+            b.append(np.roll(r, -1, axis=0))
+    if not a:
+        return np.zeros((0, 2)), np.zeros((0, 2))
+    return np.vstack(a), np.vstack(b)
+
+
+def points_to_boundary_distance(pts: np.ndarray, parts) -> np.ndarray:
+    """Min distance from each point to the multipolygon boundary (vectorized
+    point->segment). Used by the erosion-survival (inradius) relevance test and
+    by snapping/kNN (reference J2 analog)."""
+    a, b = _poly_edges(parts)
+    if len(a) == 0:
+        return np.full(len(pts), np.inf)
+    return points_to_segments_distance(np.asarray(pts, dtype=np.float64), a, b)
+
+
+def points_to_segments_distance(pts: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Min distance from each of k points to any of m segments. O(k*m) with
+    chunking to bound memory."""
+    k = len(pts)
+    out = np.full(k, np.inf)
+    if len(a) == 0 or k == 0:
+        return out
+    ab = b - a
+    ab2 = (ab * ab).sum(axis=1)
+    ab2[ab2 == 0] = 1e-300
+    chunk = max(1, int(4e6 / max(len(a), 1)))
+    for s in range(0, k, chunk):
+        p = pts[s:s + chunk]
+        ap = p[:, None, :] - a[None, :, :]
+        t = np.clip((ap * ab[None, :, :]).sum(axis=2) / ab2[None, :], 0.0, 1.0)
+        proj = a[None, :, :] + t[:, :, None] * ab[None, :, :]
+        d = np.hypot(p[:, None, 0] - proj[:, :, 0], p[:, None, 1] - proj[:, :, 1])
+        out[s:s + chunk] = d.min(axis=1)
+    return out
+
+
+def inradius_approx(parts, resolution: float, bbox=None) -> float:
+    """Approximate inradius (depth of the deepest interior point) of a
+    multipolygon by grid sampling: max over grid points inside of distance to
+    boundary. Deterministic for a fixed resolution. Our substitute for the
+    reference's buffer-opening relevance test (brdr's relevant-distance method,
+    reference README.md:19-27): a region 'survives opening with radius r' iff
+    its inradius >= r."""
+    if not parts:
+        return 0.0
+    if bbox is None:
+        bbox = geom_bbox(parts)
+    xmin, ymin, xmax, ymax = bbox
+    if not np.isfinite(xmin):
+        return 0.0
+    res = max(resolution, 1e-3)
+    nx = min(int((xmax - xmin) / res) + 2, 200)
+    ny = min(int((ymax - ymin) / res) + 2, 200)
+    xs = np.linspace(xmin, xmax, nx)
+    ys = np.linspace(ymin, ymax, ny)
+    gx, gy = np.meshgrid(xs, ys)
+    pts = np.column_stack([gx.ravel(), gy.ravel()])
+    inside = points_in_polygon(pts, parts)
+    if not inside.any():
+        # thin sliver: all grid points outside; inradius ~ 0
+        return 0.0
+    d = points_to_boundary_distance(pts[inside], parts)
+    return float(d.max())

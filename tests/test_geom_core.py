@@ -1,0 +1,111 @@
+import numpy as np
+import pytest
+
+from brdrq_ray.geom import core as g
+
+
+def sq(x0, y0, x1, y1):
+    """CCW open rectangle ring."""
+    return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1)], dtype=float)
+
+
+def test_wkt_roundtrip_polygon():
+    wkt = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    kind, parts = g.parse_wkt(wkt)
+    assert kind == g.GEOM_POLYGON
+    assert len(parts) == 1 and len(parts[0]) == 1
+    assert parts[0][0].shape == (4, 2)  # closing point dropped
+    out = g.to_wkt(kind, parts)
+    assert out.startswith("MULTIPOLYGON")
+    kind2, parts2 = g.parse_wkt(out)
+    assert g.geom_area(kind2, parts2) == pytest.approx(100.0)
+
+
+def test_wkt_multipolygon_with_hole():
+    wkt = "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2)))"
+    kind, parts = g.parse_wkt(wkt)
+    kind, parts = g.make_valid(kind, parts)
+    assert g.geom_area(kind, parts) == pytest.approx(100 - 4)
+    # shell CCW, hole CW after make_valid
+    assert g.ring_signed_area(parts[0][0]) > 0
+    assert g.ring_signed_area(parts[0][1]) < 0
+
+
+def test_wkt_z_dropped():
+    kind, parts = g.parse_wkt("POLYGON Z ((0 0 5, 4 0 5, 4 4 5, 0 4 5, 0 0 5))")
+    assert g.geom_area(kind, parts) == pytest.approx(16.0)
+
+
+def test_wkt_point_line():
+    k, p = g.parse_wkt("POINT (3 4)")
+    assert k == g.GEOM_POINT and p[0][0][0, 0] == 3
+    k, p = g.parse_wkt("MULTIPOINT ((1 2), (3 4))")
+    assert len(p) == 2
+    k, p = g.parse_wkt("LINESTRING (0 0, 3 4)")
+    assert g.geom_perimeter(k, p) == pytest.approx(5.0)
+    k, p = g.parse_wkt("MULTILINESTRING ((0 0, 1 0), (0 0, 0 2))")
+    assert g.geom_perimeter(k, p) == pytest.approx(3.0)
+
+
+def test_empty_wkt():
+    k, p = g.parse_wkt("MULTIPOLYGON EMPTY")
+    assert p == []
+    assert g.to_wkt(k, p) == "MULTIPOLYGON EMPTY"
+
+
+def test_pack_roundtrip():
+    kind, parts = g.parse_wkt(
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2)), ((20 20, 30 20, 25 30, 20 20)))")
+    buf = g.pack_geom(kind, parts)
+    kind2, parts2 = g.unpack_geom(buf)
+    assert kind2 == kind
+    assert len(parts2) == 2
+    for p1, p2 in zip(parts, parts2):
+        for r1, r2 in zip(p1, p2):
+            np.testing.assert_array_equal(r1, r2)
+
+
+def test_area_perimeter_shape_index():
+    parts = [[sq(0, 0, 4, 3)]]
+    assert g.geom_area(g.GEOM_POLYGON, parts) == pytest.approx(12.0)
+    assert g.geom_perimeter(g.GEOM_POLYGON, parts) == pytest.approx(14.0)
+    assert g.shape_index(12.0, 14.0) == pytest.approx(14.0 / 12.0)
+
+
+def test_bbox_centroid():
+    parts = [[sq(1, 2, 5, 6)]]
+    assert g.geom_bbox(parts) == (1, 2, 5, 6)
+    cx, cy = g.geom_centroid(g.GEOM_POLYGON, parts)
+    assert (cx, cy) == (pytest.approx(3.0), pytest.approx(4.0))
+
+
+def test_centroid_with_hole():
+    parts = [[sq(0, 0, 10, 10), sq(0, 0, 5, 10)[::-1].copy()]]  # right half remains
+    cx, cy = g.geom_centroid(g.GEOM_POLYGON, parts)
+    assert cx == pytest.approx(7.5)
+    assert cy == pytest.approx(5.0)
+
+
+def test_point_in_polygon():
+    parts = [[sq(0, 0, 10, 10), sq(2, 2, 4, 4)[::-1].copy()]]  # square with hole
+    pts = np.array([(1, 1), (3, 3), (11, 5), (5, 5)], dtype=float)
+    inside = g.points_in_polygon(pts, parts)
+    assert list(inside) == [True, False, False, True]
+
+
+def test_boundary_distance_and_inradius():
+    parts = [[sq(0, 0, 10, 10)]]
+    d = g.points_to_boundary_distance(np.array([(5.0, 5.0), (1.0, 5.0)]), parts)
+    assert d[0] == pytest.approx(5.0)
+    assert d[1] == pytest.approx(1.0)
+    r = g.inradius_approx(parts, resolution=0.5)
+    assert r == pytest.approx(5.0, abs=0.5)
+    sliver = [[sq(0, 0, 100, 0.2)]]
+    assert g.inradius_approx(sliver, resolution=0.5) <= 0.2
+
+
+def test_make_valid_drops_degenerate():
+    parts = [[np.array([(0, 0), (1, 0)])], [sq(0, 0, 2, 2)[::-1].copy()]]
+    kind, fixed = g.make_valid(g.GEOM_POLYGON, parts)
+    assert len(fixed) == 1
+    assert g.ring_signed_area(fixed[0][0]) > 0  # reoriented CCW
