@@ -1,0 +1,297 @@
+"""The border-alignment kernel: brdrQ's relevant-distance method rebuilt.
+
+brdr (the library the reference plugin wraps) is not available in this sandbox;
+its semantics are reconstructed from the reference's docs and call contracts
+(SURVEY.md section 2.3) and frozen here as THE engine semantic (self-golden
+fixtures, SURVEY.md section 5d):
+
+For a thematic geometry T, candidate reference parcels {R_i} and a relevant
+distance rd (rounded to 0.1 m — distances are identity keys, reference:
+plugin/brdrq/brdrq_settings.py:87):
+
+* I_i = T ∩ R_i. An intersection is **relevant** when it is "deep" — it
+  survives an opening with radius rd/2, tested as inradius(I_i) >= rd/2 — or,
+  as the documented fallback, when raw overlap area(I_i)/area(R_i) >= the
+  threshold_overlap_percentage (reference: docs/autocorrectborders.md:80-84,
+  param at plugin/brdrq/brdrq_algorithm_autocorrectborders.py:405-414).
+* A relevant parcel contributes its FULL geometry when T covers it up to a
+  border band thinner than rd (inradius(R_i \\ T) < rd/2) — the "snap the
+  border to the parcel border" case; otherwise only the recoverable part
+  dilate(erode(I_i, rd/2), 3*rd/2) ∩ R_i — the "thematic border cuts through
+  the parcel interior far from any reference border" case.
+* result = dissolve(contributions), plus the open-domain remainder
+  T \\ union(all reference) handled per OpenDomainStrategy (reference enum at
+  plugin/brdrq/brdrq_utils.py:177-179, semantics docs/autocorrectborders.md:
+  69-72: EXCLUDE drops it, AS_IS keeps it unchanged; the SNAP_* variants are
+  approximated as AS_IS with a remark — documented deviation).
+* The six ProcessResult slots mirror the reference exactly
+  (plugin/brdrq/brdrq_utils.py:1146-1153): result, result_diff (symmetric
+  difference), result_diff_plus (result - original), result_diff_min
+  (original - result), result_relevant_intersection, result_relevant_diff.
+* rd == 0 is the identity alignment (the reference's grids start at 0).
+
+Prediction / evaluation (aligner.evaluate, reference call sites
+plugin/brdrq/brdrq_algorithm_autocorrectborders.py:635-640): run the kernel
+over the distance grid, fingerprint each result by its contribution set;
+maximal runs of equal fingerprints are stability plateaus; one prediction per
+plateau (at its smallest rd), scored 100 * plateau_len / grid_len, adjusted by
+FullReferenceStrategy (docs/featurealigner.md:59-63), labelled with the
+Evaluation enum consumed at plugin/brdrq/brdrq_utils.py:1260-1271, and cut to
+max_predictions (top score, ties to smaller rd).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .geom import core as g
+from .geom.boolean import dissolve, overlay
+from .geom.buffer import closing, dilate, erode
+
+# --- enums (string values follow the reference's observable vocabulary) -----
+
+OD_EXCLUDE = "EXCLUDE"
+OD_AS_IS = "AS_IS"
+OD_SNAP_INNER_SIDE = "SNAP_INNER_SIDE"
+OD_SNAP_ALL_SIDE = "SNAP_ALL_SIDE"
+
+FRS_ONLY_FULL = "ONLY_FULL_REFERENCE"
+FRS_PREFER_FULL = "PREFER_FULL_REFERENCE"
+FRS_NO_FULL = "NO_FULL_REFERENCE"
+
+EV_PREDICTION_UNIQUE = "prediction_unique"
+EV_TO_CHECK_MULTI = "to_check_prediction_multi"
+EV_NO_CHANGE = "no_change"
+EV_EQUALITY_BY_ID = "equality_by_id"
+EV_EQUALITY_FULL_REF = "equality_by_full_reference"
+EV_NOT_EVALUATED = "not_evaluated"
+
+#: distances are identity keys rounded to 1 decimal (0.1 m) — one rounding
+#: rule applied once, everywhere (reference: brdrq_settings.py DECIMAL=1)
+RD_DECIMALS = 1
+
+
+def round_rd(rd: float) -> float:
+    return round(float(rd), RD_DECIMALS)
+
+
+def distance_grid(max_rd: float, step_cm: int = 10) -> list[float]:
+    """The reference's grid: np.arange(0, rd*100, step)/100 (bulk form,
+    plugin/brdrq/brdrq_algorithm_autocorrectborders.py:627-629), inclusive of
+    the endpoint like the interactive form."""
+    cm = np.arange(0, int(round(max_rd * 100)) + step_cm, step_cm)
+    return [round_rd(c / 100.0) for c in cm]
+
+
+def escalated_step_cm(feature_area: float, max_rd: float) -> int:
+    """Step escalation (reference: plugin/brdrq/brdrq_dockwidget_aligner.py:
+    63-68 and featurealigner.py:1272-1299): 10 cm default, 20 cm when the
+    feature area exceeds 1e5 m2 or max_rd > 7.5 m, 50 cm when area > 1e6 m2."""
+    if feature_area > 1_000_000:
+        return 50
+    if feature_area > 100_000 or max_rd > 7.5:
+        return 20
+    return 10
+
+
+@dataclass
+class AlignConfig:
+    relevant_distance: float = 2.0
+    od_strategy: str = OD_AS_IS
+    threshold_overlap_percentage: float = 50.0
+    correction_distance: float = 0.01
+    apply_correction: bool = False      # closing() cleanup is opt-in (cost)
+    full_reference_strategy: str = FRS_NO_FULL
+    max_predictions: int = -1           # -1 = all
+    multi_to_best_prediction: bool = True
+    step_cm: int = 10
+    no_change_sym_index: float = 0.01   # reference: brdrq_utils.py:1288-1291
+
+
+@dataclass
+class ProcessResult:
+    """One alignment outcome for (theme, rd). Geometry slots are `parts`."""
+    rd: float
+    result: list = field(default_factory=list)
+    result_diff: list = field(default_factory=list)
+    result_diff_plus: list = field(default_factory=list)
+    result_diff_min: list = field(default_factory=list)
+    relevant_intersection: list = field(default_factory=list)
+    relevant_diff: list = field(default_factory=list)
+    fingerprint: tuple = ()
+    full_actual: bool = False
+    remark: str = ""
+    used_refs: list = field(default_factory=list)  # [(ref_id, contribution)]
+
+
+def _inradius(parts, rd: float) -> float:
+    return g.inradius_approx(parts, resolution=max(rd / 4.0, 0.25))
+
+
+def align_one(theme_parts, candidates, rd: float, cfg: AlignConfig) -> ProcessResult:
+    """Align one thematic multipolygon against candidate reference parcels.
+
+    candidates: list of (ref_id, parts). Returns a ProcessResult.
+    """
+    rd = round_rd(rd)
+    pr = ProcessResult(rd=rd)
+    if rd <= 0.0:
+        pr.result = theme_parts
+        pr.fingerprint = ("identity",)
+        return pr
+
+    contributions = []   # (ref_id, kind, parts) kind: 'full' | 'partial'
+    rel_int_pieces = []
+    rel_diff_pieces = []
+    remarks = []
+    all_ref_parts = []
+
+    for ref_id, ref_parts in candidates:
+        inter = overlay(theme_parts, ref_parts, "intersection")
+        all_ref_parts.append(ref_parts)
+        ia = g.geom_area(g.GEOM_POLYGON, inter)
+        if ia <= 0:
+            continue
+        ra = g.geom_area(g.GEOM_POLYGON, ref_parts)
+        overlap_pct = 100.0 * ia / ra if ra > 0 else 0.0
+        deep = _inradius(inter, rd) >= rd / 2.0
+        relevant = deep or overlap_pct >= cfg.threshold_overlap_percentage
+        if not relevant:
+            rel_diff_pieces.extend(inter)
+            continue
+        rel_int_pieces.extend(inter)
+        uncovered = overlay(ref_parts, theme_parts, "difference")
+        if not uncovered or _inradius(uncovered, rd) < rd / 2.0:
+            contributions.append((ref_id, "full", ref_parts))
+        else:
+            part = overlay(dilate(erode(inter, rd / 2.0), 1.5 * rd), ref_parts, "intersection")
+            contributions.append((ref_id, "partial", part))
+            remarks.append(f"partial:{ref_id}")
+
+    pieces = [c[2] for c in contributions]
+    # open-domain remainder: thematic area not covered by ANY reference
+    od_parts = []
+    if all_ref_parts:
+        ref_union = dissolve(all_ref_parts)
+        od_parts = overlay(theme_parts, ref_union, "difference")
+    else:
+        od_parts = theme_parts
+    od_used = False
+    if od_parts and g.geom_area(g.GEOM_POLYGON, od_parts) > 1e-6:
+        if cfg.od_strategy == OD_EXCLUDE:
+            remarks.append("od_excluded")
+        else:
+            if cfg.od_strategy in (OD_SNAP_INNER_SIDE, OD_SNAP_ALL_SIDE):
+                remarks.append("od_snap_approximated_as_is")
+            pieces.append(od_parts)
+            od_used = True
+
+    result = dissolve(pieces) if pieces else []
+    if cfg.apply_correction and result:
+        result = closing(result, cfg.correction_distance)
+
+    pr.result = result
+    pr.result_diff = overlay(theme_parts, result, "symdiff")
+    pr.result_diff_plus = overlay(result, theme_parts, "difference")
+    pr.result_diff_min = overlay(theme_parts, result, "difference")
+    pr.relevant_intersection = dissolve(rel_int_pieces) if rel_int_pieces else []
+    pr.relevant_diff = dissolve(rel_diff_pieces) if rel_diff_pieces else []
+    pr.full_actual = bool(contributions) and all(c[1] == "full" for c in contributions) and not od_used
+    pr.remark = ";".join(remarks)
+    pr.used_refs = [(c[0], c[1]) for c in contributions]
+    pr.fingerprint = (tuple(sorted((c[0], c[1]) for c in contributions)), od_used,
+                      round(g.geom_area(g.GEOM_POLYGON, result), 2) if any(c[1] == "partial" for c in contributions) else 0.0)
+    return pr
+
+
+@dataclass
+class Prediction:
+    rd: float
+    pr: ProcessResult
+    score: float
+    stability: bool
+    evaluation: str = EV_NOT_EVALUATED
+    prediction_count: int = 0
+
+
+def evaluate_series(theme_id, theme_parts, candidates, distances, cfg: AlignConfig):
+    """aligner.evaluate analog: align at every grid distance, detect stability
+    plateaus, score, label and keep top max_predictions. Returns
+    (all_results: list[ProcessResult], predictions: list[Prediction])."""
+    results = [align_one(theme_parts, candidates, rd, cfg) for rd in distances]
+    n = len(results)
+    if n == 0:
+        return [], []
+
+    # plateaus of equal fingerprints
+    plateaus = []  # (start_idx, end_idx inclusive)
+    s = 0
+    for i in range(1, n + 1):
+        if i == n or results[i].fingerprint != results[s].fingerprint:
+            plateaus.append((s, i - 1))
+            s = i
+    theme_area = g.geom_area(g.GEOM_POLYGON, theme_parts)
+
+    preds: list[Prediction] = []
+    for (a, b) in plateaus:
+        plen = b - a + 1
+        if plen < 2 and n > 1:
+            continue  # single-point fingerprints are unstable, not predictions
+        rep = results[a]
+        score = 100.0 * plen / n
+        is_full = rep.full_actual
+        if cfg.full_reference_strategy == FRS_ONLY_FULL and not is_full and rep.fingerprint != ("identity",):
+            continue
+        if cfg.full_reference_strategy == FRS_PREFER_FULL and is_full:
+            score = min(100.0, score + 10.0)
+        preds.append(Prediction(rd=rep.rd, pr=rep, score=round(score, 2), stability=plen >= 2))
+
+    # evaluation labels
+    for p in preds:
+        sym = g.geom_area(g.GEOM_POLYGON, p.pr.result_diff)
+        sym_idx = sym / theme_area if theme_area > 0 else 0.0
+        if sym_idx < cfg.no_change_sym_index:
+            p.evaluation = EV_NO_CHANGE
+        elif p.pr.used_refs and len(p.pr.used_refs) == 1 and p.pr.used_refs[0][1] == "full" \
+                and str(p.pr.used_refs[0][0]) == str(theme_id):
+            p.evaluation = EV_EQUALITY_BY_ID
+        elif p.pr.full_actual:
+            p.evaluation = EV_EQUALITY_FULL_REF
+        else:
+            p.evaluation = EV_PREDICTION_UNIQUE  # refined below by count
+
+    preds.sort(key=lambda p: (-p.score, p.rd))
+    k = cfg.max_predictions
+    if cfg.multi_to_best_prediction and len(preds) > 1 and k == 1:
+        preds = preds[:1]
+    elif k is not None and k >= 0:
+        preds = preds[:k] if k > 0 else preds
+    count = len(preds)
+    for p in preds:
+        p.prediction_count = count
+        if p.evaluation == EV_PREDICTION_UNIQUE and count > 1:
+            p.evaluation = EV_TO_CHECK_MULTI
+    return results, preds
+
+
+def build_metadata(theme_id, used_refs, ref_versions: dict | None) -> str:
+    """SOSA/SSN-style lineage JSON matching the reference's brdr_metadata
+    shape (fixture plugin/brdrq/test/themelayer_metadata.geojson;
+    docs/autocorrectborders.md:217)."""
+    refs = []
+    for i, (rid, kind) in enumerate(used_refs):
+        entry = {
+            "id": f"rg-{theme_id}-{i}",
+            "type": "ReferenceGeometry",
+            "contribution": kind,
+            "derived_from": {"id": str(rid), "type": "Parcel", "source": "reference"},
+        }
+        if ref_versions and rid in ref_versions:
+            entry["version_date"] = str(ref_versions[rid])
+        refs.append(entry)
+    return json.dumps(
+        {"actuation": {"id": f"act-{theme_id}", "type": "Actuation",
+                       "reference_geometries": refs}}, sort_keys=True)
