@@ -127,8 +127,74 @@ class ProcessResult:
     used_refs: list = field(default_factory=list)  # [(ref_id, contribution)]
 
 
-def _inradius(parts, rd: float) -> float:
-    return g.inradius_approx(parts, resolution=max(rd / 4.0, 0.25))
+#: fixed sampling resolution for the inradius (erosion-survival) test so the
+#: measure is independent of rd — one value, applied everywhere, deterministic
+INRADIUS_RES = 0.25
+
+
+def _inradius(parts, rd: float = 0.0) -> float:
+    return g.inradius_approx(parts, resolution=INRADIUS_RES)
+
+
+def prepare_candidates(theme_parts, candidates):
+    """Precompute everything that does NOT depend on the relevant distance —
+    the distance grid multiplies alignments per feature by ~31 (10 cm steps to
+    3 m, SURVEY.md section 6), so intersections / areas / inradii are computed
+    once per (theme, candidate) pair and reused across the whole grid.
+
+    Returns (prepared, od_parts): prepared is a list of dicts per candidate
+    with a nonempty intersection; od_parts is the open-domain remainder
+    T \\ union(all candidates)."""
+    prepared = []
+    all_ref_parts = []
+    for ref_id, ref_parts in candidates:
+        all_ref_parts.append(ref_parts)
+        inter = overlay(theme_parts, ref_parts, "intersection")
+        ia = g.geom_area(g.GEOM_POLYGON, inter)
+        if ia <= 0:
+            continue
+        ra = g.geom_area(g.GEOM_POLYGON, ref_parts)
+        uncovered = overlay(ref_parts, theme_parts, "difference")
+        prepared.append({
+            "ref_id": ref_id,
+            "ref_parts": ref_parts,
+            "inter": inter,
+            "ia": ia,
+            "overlap_pct": 100.0 * ia / ra if ra > 0 else 0.0,
+            "inr_inter": _inradius(inter),
+            "inr_uncov": _inradius(uncovered) if uncovered else 0.0,
+        })
+    if all_ref_parts:
+        od_parts = overlay(theme_parts, dissolve(all_ref_parts), "difference")
+    else:
+        od_parts = theme_parts
+    if od_parts and g.geom_area(g.GEOM_POLYGON, od_parts) <= 1e-6:
+        od_parts = []
+    return prepared, od_parts
+
+
+def classify_at(prepared, rd: float, cfg: AlignConfig):
+    """The rd-dependent relevance decisions, O(candidates) with no geometry
+    work: returns (decisions, fingerprint) where decisions is a list of
+    (cand, kind) with kind in {'full', 'partial', 'excluded'}."""
+    decisions = []
+    for c in prepared:
+        deep = c["inr_inter"] >= rd / 2.0
+        relevant = deep or c["overlap_pct"] >= cfg.threshold_overlap_percentage
+        if not relevant:
+            decisions.append((c, "excluded"))
+        elif c["inr_uncov"] < rd / 2.0:
+            decisions.append((c, "full"))
+        else:
+            decisions.append((c, "partial"))
+    return decisions
+
+
+def _fingerprint(decisions, od_used: bool, rd: float):
+    key = tuple(sorted((str(c["ref_id"]), kind) for c, kind in decisions if kind != "excluded"))
+    has_partial = any(kind == "partial" for _, kind in decisions)
+    # partial contributions vary with rd -> rd participates in the fingerprint
+    return (key, od_used, round_rd(rd) if has_partial else 0.0)
 
 
 def align_one(theme_parts, candidates, rd: float, cfg: AlignConfig) -> ProcessResult:
@@ -136,6 +202,11 @@ def align_one(theme_parts, candidates, rd: float, cfg: AlignConfig) -> ProcessRe
 
     candidates: list of (ref_id, parts). Returns a ProcessResult.
     """
+    prepared, od_parts = prepare_candidates(theme_parts, candidates)
+    return align_prepared(theme_parts, prepared, od_parts, rd, cfg)
+
+
+def align_prepared(theme_parts, prepared, od_parts, rd: float, cfg: AlignConfig) -> ProcessResult:
     rd = round_rd(rd)
     pr = ProcessResult(rd=rd)
     if rd <= 0.0:
@@ -143,44 +214,26 @@ def align_one(theme_parts, candidates, rd: float, cfg: AlignConfig) -> ProcessRe
         pr.fingerprint = ("identity",)
         return pr
 
-    contributions = []   # (ref_id, kind, parts) kind: 'full' | 'partial'
+    contributions = []   # (ref_id, kind, parts)
     rel_int_pieces = []
     rel_diff_pieces = []
     remarks = []
-    all_ref_parts = []
-
-    for ref_id, ref_parts in candidates:
-        inter = overlay(theme_parts, ref_parts, "intersection")
-        all_ref_parts.append(ref_parts)
-        ia = g.geom_area(g.GEOM_POLYGON, inter)
-        if ia <= 0:
+    for c, kind in classify_at(prepared, rd, cfg):
+        if kind == "excluded":
+            rel_diff_pieces.extend(c["inter"])
             continue
-        ra = g.geom_area(g.GEOM_POLYGON, ref_parts)
-        overlap_pct = 100.0 * ia / ra if ra > 0 else 0.0
-        deep = _inradius(inter, rd) >= rd / 2.0
-        relevant = deep or overlap_pct >= cfg.threshold_overlap_percentage
-        if not relevant:
-            rel_diff_pieces.extend(inter)
-            continue
-        rel_int_pieces.extend(inter)
-        uncovered = overlay(ref_parts, theme_parts, "difference")
-        if not uncovered or _inradius(uncovered, rd) < rd / 2.0:
-            contributions.append((ref_id, "full", ref_parts))
+        rel_int_pieces.extend(c["inter"])
+        if kind == "full":
+            contributions.append((c["ref_id"], "full", c["ref_parts"]))
         else:
-            part = overlay(dilate(erode(inter, rd / 2.0), 1.5 * rd), ref_parts, "intersection")
-            contributions.append((ref_id, "partial", part))
-            remarks.append(f"partial:{ref_id}")
+            part = overlay(dilate(erode(c["inter"], rd / 2.0), 1.5 * rd),
+                           c["ref_parts"], "intersection")
+            contributions.append((c["ref_id"], "partial", part))
+            remarks.append(f"partial:{c['ref_id']}")
 
     pieces = [c[2] for c in contributions]
-    # open-domain remainder: thematic area not covered by ANY reference
-    od_parts = []
-    if all_ref_parts:
-        ref_union = dissolve(all_ref_parts)
-        od_parts = overlay(theme_parts, ref_union, "difference")
-    else:
-        od_parts = theme_parts
     od_used = False
-    if od_parts and g.geom_area(g.GEOM_POLYGON, od_parts) > 1e-6:
+    if od_parts:
         if cfg.od_strategy == OD_EXCLUDE:
             remarks.append("od_excluded")
         else:
@@ -202,9 +255,20 @@ def align_one(theme_parts, candidates, rd: float, cfg: AlignConfig) -> ProcessRe
     pr.full_actual = bool(contributions) and all(c[1] == "full" for c in contributions) and not od_used
     pr.remark = ";".join(remarks)
     pr.used_refs = [(c[0], c[1]) for c in contributions]
-    pr.fingerprint = (tuple(sorted((c[0], c[1]) for c in contributions)), od_used,
-                      round(g.geom_area(g.GEOM_POLYGON, result), 2) if any(c[1] == "partial" for c in contributions) else 0.0)
+    pr.fingerprint = (tuple(sorted((str(c[0]), c[1]) for c in contributions)), od_used,
+                      rd if any(c[1] == "partial" for c in contributions) else 0.0)
     return pr
+
+
+def fingerprint_at(prepared, od_parts, rd: float, cfg: AlignConfig):
+    """Cheap (no-geometry) fingerprint of the alignment outcome at rd —
+    bit-identical to align_prepared(...).fingerprint. Used to find stability
+    plateaus over the whole grid before materializing any geometry."""
+    rd = round_rd(rd)
+    if rd <= 0.0:
+        return ("identity",)
+    od_used = bool(od_parts) and cfg.od_strategy != OD_EXCLUDE
+    return _fingerprint(classify_at(prepared, rd, cfg), od_used, rd)
 
 
 @dataclass
@@ -217,30 +281,51 @@ class Prediction:
     prediction_count: int = 0
 
 
-def evaluate_series(theme_id, theme_parts, candidates, distances, cfg: AlignConfig):
+def evaluate_series(theme_id, theme_parts, candidates, distances, cfg: AlignConfig,
+                    materialize_all: bool = False):
     """aligner.evaluate analog: align at every grid distance, detect stability
     plateaus, score, label and keep top max_predictions. Returns
-    (all_results: list[ProcessResult], predictions: list[Prediction])."""
-    results = [align_one(theme_parts, candidates, rd, cfg) for rd in distances]
-    n = len(results)
+    (all_results: list[ProcessResult], predictions: list[Prediction]).
+
+    Geometry work is O(candidates + plateaus), not O(grid): rd-independent
+    state is prepared once, the grid is scanned with cheap fingerprints, and
+    full geometry is materialized only for plateau representatives (or for
+    every grid point when ``materialize_all`` — the reference's PROCESSRESULTS
+    output)."""
+    n = len(distances)
     if n == 0:
         return [], []
+    prepared, od_parts = prepare_candidates(theme_parts, candidates)
+    fps = [fingerprint_at(prepared, od_parts, rd, cfg) for rd in distances]
 
     # plateaus of equal fingerprints
     plateaus = []  # (start_idx, end_idx inclusive)
     s = 0
     for i in range(1, n + 1):
-        if i == n or results[i].fingerprint != results[s].fingerprint:
+        if i == n or fps[i] != fps[s]:
             plateaus.append((s, i - 1))
             s = i
     theme_area = g.geom_area(g.GEOM_POLYGON, theme_parts)
+
+    rep_cache: dict = {}
+
+    def _materialize(idx):
+        if idx not in rep_cache:
+            rep_cache[idx] = align_prepared(theme_parts, prepared, od_parts,
+                                            distances[idx], cfg)
+        return rep_cache[idx]
+
+    if materialize_all:
+        results = [_materialize(i) for i in range(n)]
+    else:
+        results = [_materialize(a) for a, _ in plateaus]
 
     preds: list[Prediction] = []
     for (a, b) in plateaus:
         plen = b - a + 1
         if plen < 2 and n > 1:
             continue  # single-point fingerprints are unstable, not predictions
-        rep = results[a]
+        rep = _materialize(a)
         score = 100.0 * plen / n
         is_full = rep.full_actual
         if cfg.full_reference_strategy == FRS_ONLY_FULL and not is_full and rep.fingerprint != ("identity",):

@@ -1,0 +1,218 @@
+"""The flagship pipeline: AutocorrectBorders rebuilt Ray-Data-first.
+
+Reference entry point: ``brdrqprovider:brdrqautocorrectborders``
+(plugin/brdrq/brdrq_algorithm_autocorrectborders.py:463-772, traced in
+SURVEY.md section 3.1). The reference materializes both layers as Python dicts
+in driver memory and runs a single-threaded Aligner; this engine expresses the
+same computation as one streaming Dataset DAG:
+
+    read -> map_batches(parse+valid+metrics)              [stateless, Arrow]
+         -> owner-cell / cover-cell tagging               [stateless, numpy]
+         -> union(theme, ref) -> groupby(part_key)        [the ONE shuffle]
+         -> map_groups(AlignGroupFn)                      [per-tile alignment]
+         -> result table -> per-result-type projections / sinks
+
+Scale notes (the 100 TB design): the only all-to-all exchange is the
+groupby on ``part_key`` (= cell | salt<<45). Reference rows are replicated to
+at most their cover + one ring (bounded by parcel size / cell size); theme
+rows move exactly once. Hot cells are salted (bounded group size). The
+pre-pass that picks the cell level and finds hot cells is one cheap
+aggregate over parsed bboxes (a histogram at a fine probe level), NOT a
+materialization of the data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .. import tiles
+from ..alignment import AlignConfig
+from ..stages.align_stage import AlignGroupFn, RESULT_SCHEMA
+from ..stages.ingest import parse_geometries
+from ..stages.tiling import assign_owner_cell, explode_cover, salt_reference, salt_theme
+
+PROBE_LEVEL = 16  # histogram probe level for the planning pre-pass (64 m cells)
+
+
+@dataclass
+class TilePlan:
+    level: int
+    salts: dict[int, int]          # owner cell -> salt factor (hot cells only)
+    max_extent: float
+    n_features: int
+
+
+def _plan_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial for the planning pre-pass: feature extent max and a
+    bbox-center histogram at PROBE_LEVEL."""
+    xmin = batch.column("xmin").to_numpy(zero_copy_only=False)
+    xmax = batch.column("xmax").to_numpy(zero_copy_only=False)
+    ymin = batch.column("ymin").to_numpy(zero_copy_only=False)
+    ymax = batch.column("ymax").to_numpy(zero_copy_only=False)
+    ok = np.isfinite(xmin)
+    ext = np.maximum(xmax - xmin, ymax - ymin)[ok]
+    cx = ((xmin + xmax) * 0.5)[ok]
+    cy = ((ymin + ymax) * 0.5)[ok]
+    cells = tiles.encode_cells(cx, cy, PROBE_LEVEL)
+    uniq, counts = np.unique(cells, return_counts=True)
+    return pa.table({
+        "probe_cell": pa.array(uniq, pa.int64()),
+        "n": pa.array(counts, pa.int64()),
+        "max_extent": pa.array(np.full(len(uniq), ext.max() if len(ext) else 0.0)),
+    })
+
+
+def plan_tiles(parsed_thematic: ray.data.Dataset, max_rd: float,
+               cell_level: int | None = None, hot_threshold: int = 512) -> TilePlan:
+    """One aggregate pass over parsed thematic bboxes -> (level, hot-cell
+    salts). ``cell_level`` overrides the derived level (production jobs that
+    know their data pass it and skip nothing — the histogram is still needed
+    for salting)."""
+    partials = parsed_thematic.map_batches(_plan_stats_batch, batch_format="pyarrow")
+    agg = partials.groupby("probe_cell").sum("n")
+    hist = agg.to_pandas()
+    max_extent = float(partials.max("max_extent") or 0.0)
+    n_features = int(hist["sum(n)"].sum()) if len(hist) else 0
+    level = cell_level if cell_level is not None else tiles.pick_level(max_extent, max_rd)
+    level = min(level, PROBE_LEVEL)
+    # aggregate probe histogram up to the chosen level: parent cell of a
+    # probe cell = same morton prefix
+    salts: dict[int, int] = {}
+    if len(hist):
+        shift = np.uint64(2 * (PROBE_LEVEL - level))
+        probe = hist["probe_cell"].to_numpy().astype(np.uint64)
+        morton = probe & np.uint64((1 << 58) - 1)
+        parent = ((np.uint64(level) << np.uint64(58)) | (morton >> shift)).astype(np.int64)
+        import pandas as pd
+        parent_counts = pd.Series(hist["sum(n)"].to_numpy(), index=parent).groupby(level=0).sum()
+        salts = tiles.salt_hot_cells(parent_counts.to_dict(), hot_threshold)
+    return TilePlan(level=level, salts=salts, max_extent=max_extent, n_features=n_features)
+
+
+_UNIFIED_COLS = ["side", "theme_id", "ref_id", "geom", "xmin", "ymin", "xmax",
+                 "ymax", "props", "version_date", "cell", "salt"]
+
+
+def _unify(batch: pa.Table, side: str) -> pa.Table:
+    n = batch.num_rows
+    cols = {}
+    cols["side"] = pa.array([side] * n, pa.string())
+    cols["theme_id"] = (batch.column("theme_id").cast(pa.string()) if "theme_id" in batch.column_names
+                        else pa.nulls(n, pa.string()))
+    cols["ref_id"] = (batch.column("ref_id").cast(pa.string()) if "ref_id" in batch.column_names
+                      else pa.nulls(n, pa.string()))
+    cols["geom"] = batch.column("geom")
+    for c in ("xmin", "ymin", "xmax", "ymax"):
+        cols[c] = batch.column(c)
+    cols["props"] = (batch.column("props").cast(pa.string()) if "props" in batch.column_names
+                     else pa.nulls(n, pa.string()))
+    if "version_date" in batch.column_names:
+        cols["version_date"] = batch.column("version_date").cast(pa.string())
+    else:
+        cols["version_date"] = pa.nulls(n, pa.string())
+    cols["cell"] = batch.column("cell")
+    cols["salt"] = batch.column("salt") if "salt" in batch.column_names else pa.array([0] * n, pa.int32())
+    return pa.table(cols)
+
+
+def _part_key(batch: pa.Table) -> pa.Table:
+    """part_key = cell | salt << 45 (morton bits < 2^44, level bits at 58+ —
+    bit 45..50 are free for the salt)."""
+    cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+    salt = batch.column("salt").to_numpy(zero_copy_only=False).astype(np.int64)
+    return batch.append_column("part_key", pa.array(cell | (salt << 45), pa.int64()))
+
+
+def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Dataset,
+                           max_rd: float, cell_level: int | None = None,
+                           hot_threshold: int = 512):
+    """Parse both sides, pick the tile plan, tag cells/salts, return the
+    unified keyed dataset + plan."""
+    parsed_theme = thematic.map_batches(parse_geometries, batch_format="pyarrow")
+    parsed_ref = reference.map_batches(parse_geometries, batch_format="pyarrow")
+
+    plan = plan_tiles(parsed_theme, max_rd, cell_level=cell_level,
+                      hot_threshold=hot_threshold)
+    level = plan.level
+    cs = tiles.cell_size(level)
+    salts = plan.salts
+
+    theme_keyed = (parsed_theme
+                   .map_batches(lambda b: assign_owner_cell(b, level), batch_format="pyarrow")
+                   .map_batches(lambda b: salt_theme(b, salts), batch_format="pyarrow")
+                   .map_batches(lambda b: _unify(b, "theme"), batch_format="pyarrow"))
+    # reference: cover + one ring (see stages.tiling docstring for the proof)
+    ref_keyed = (parsed_ref
+                 .map_batches(lambda b: explode_cover(b, level, expand=cs), batch_format="pyarrow")
+                 .map_batches(lambda b: salt_reference(b, salts), batch_format="pyarrow")
+                 .map_batches(lambda b: _unify(b, "ref"), batch_format="pyarrow"))
+    unified = theme_keyed.union(ref_keyed).map_batches(_part_key, batch_format="pyarrow")
+    return unified, plan
+
+
+def run_alignment(thematic: ray.data.Dataset, reference: ray.data.Dataset,
+                  cfg: AlignConfig | None = None, mode: str = "predict",
+                  max_rd: float | None = None, cell_level: int | None = None,
+                  hot_threshold: int = 512, add_metadata: bool = True) -> ray.data.Dataset:
+    """AutocorrectBorders core: returns the flat result table (one row per
+    (theme_id, relevant_distance) in 'predict' mode, one per prediction in
+    'evaluate' mode) with the brdr_* schema of SURVEY.md section 1.3."""
+    cfg = cfg or AlignConfig()
+    max_rd = max_rd if max_rd is not None else cfg.relevant_distance
+    unified, plan = prepare_aligned_inputs(thematic, reference, max_rd,
+                                           cell_level=cell_level,
+                                           hot_threshold=hot_threshold)
+    fn = AlignGroupFn(cfg, mode=mode, max_rd=max_rd, add_metadata=add_metadata)
+
+    def align_group(group: pa.Table) -> pa.Table:
+        return fn(group)
+
+    return unified.groupby("part_key").map_groups(align_group, batch_format="pyarrow")
+
+
+# --- result materialization (A5 analog) ------------------------------------
+
+RESULT_TYPES = {
+    "result": "result_geom",
+    "result_diff": "result_diff_geom",
+    "result_diff_plus": "result_diff_plus_geom",
+    "result_diff_min": "result_diff_min_geom",
+    "result_relevant_intersection": "result_relevant_intersection_geom",
+    "result_relevant_diff": "result_relevant_diff_geom",
+}
+
+_GEOM_SLOT_COLS = list(RESULT_TYPES.values())
+
+
+def select_result_type(results: ray.data.Dataset, result_type: str,
+                       drop_empty_diffs: bool = True) -> ray.data.Dataset:
+    """Project the flat result table to one result type (the reference emits
+    one FeatureCollection per slot, get_results_as_geojson at
+    plugin/brdrq/brdrq_algorithm_autocorrectborders.py:620-646), re-emitting
+    WKT. Diff layers drop empty geometries (brdr_perimeter == 0 filter,
+    reference: remove_empty_features_from_diff_layers,
+    plugin/brdrq/brdrq_utils.py:1513-1527)."""
+    geom_col = RESULT_TYPES[result_type]
+    is_diff = result_type != "result"
+
+    def project(batch: pa.Table) -> pa.Table:
+        from ..geom import core as g
+        keep_cols = [c for c in batch.column_names if c not in _GEOM_SLOT_COLS]
+        out = batch.select(keep_cols)
+        wkts, perims = [], []
+        for buf in batch.column(geom_col).to_pylist():
+            kind, parts = g.unpack_geom(buf)
+            wkts.append(g.to_wkt(kind, parts))
+            perims.append(g.geom_perimeter(kind, parts))
+        out = out.append_column("geometry_wkt", pa.array(wkts, pa.string()))
+        if is_diff and drop_empty_diffs:
+            mask = pa.array(np.array(perims) != 0.0)
+            out = out.filter(mask)
+        return out
+
+    return results.map_batches(project, batch_format="pyarrow")

@@ -1,0 +1,173 @@
+"""The per-tile alignment stage: one Arrow group (all theme + reference rows
+of one (cell, salt) partition) in, flat ProcessResult rows out.
+
+This is the engine's analog of the reference's stateful ``Aligner`` object
+(constructed per run at plugin/brdrq/brdrq_algorithm_common.py:105-120, holding
+thematic dict + reference dict + spatial index in driver memory, SURVEY.md
+section 3 state note) — except the state lives for exactly one shuffle group:
+the group IS the per-tile feature dictionary, and the candidate index is a
+numpy bbox table over the group's reference rows.
+
+Output schema is fixed (RESULT_SCHEMA) so empty groups still produce typed
+blocks and ``union``/``write_parquet`` never see schema drift.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .. import alignment as al
+from ..geom import core as g
+
+RESULT_SCHEMA = pa.schema([
+    ("theme_id", pa.string()),
+    ("brdr_id", pa.int64()),
+    ("brdr_relevant_distance", pa.float64()),
+    ("result_geom", pa.binary()),
+    ("result_diff_geom", pa.binary()),
+    ("result_diff_plus_geom", pa.binary()),
+    ("result_diff_min_geom", pa.binary()),
+    ("result_relevant_intersection_geom", pa.binary()),
+    ("result_relevant_diff_geom", pa.binary()),
+    ("brdr_area", pa.float64()),
+    ("brdr_perimeter", pa.float64()),
+    ("brdr_shape_index", pa.float64()),
+    ("brdr_stability", pa.bool_()),
+    ("brdr_prediction_score", pa.float64()),
+    ("brdr_prediction_count", pa.int32()),
+    ("brdr_evaluation", pa.string()),
+    ("brdr_sym_diff_area_index", pa.float64()),
+    ("brdr_sym_diff_area_index_perc", pa.float64()),
+    ("brdr_diff_area_index", pa.float64()),
+    ("brdr_diff_length_index", pa.float64()),
+    ("brdr_full_actual", pa.bool_()),
+    ("brdr_remark", pa.string()),
+    ("brdr_metadata", pa.string()),
+    ("cell", pa.int64()),
+    ("props", pa.string()),
+])
+
+
+def _brdr_id(theme_id: str) -> int:
+    """Deterministic internal id (the reference's brdr_id is a sequential int,
+    docs/autocorrectborders.md:202; ours must be reproducible across shuffles
+    so it is a CRC of the user key)."""
+    return zlib.crc32(str(theme_id).encode())
+
+
+def _empty_result_table() -> pa.Table:
+    return RESULT_SCHEMA.empty_table()
+
+
+def _pack(parts) -> bytes:
+    return g.pack_geom(g.GEOM_POLYGON, parts)
+
+
+def _emit_row(out: dict, theme_id, cell, props, pr: al.ProcessResult,
+              theme_area: float, theme_perim: float,
+              stability: bool, score: float, count: int, evaluation: str,
+              metadata: str):
+    res_area = g.geom_area(g.GEOM_POLYGON, pr.result)
+    res_perim = g.geom_perimeter(g.GEOM_POLYGON, pr.result)
+    sym = g.geom_area(g.GEOM_POLYGON, pr.result_diff)
+    out["theme_id"].append(str(theme_id))
+    out["brdr_id"].append(_brdr_id(theme_id))
+    out["brdr_relevant_distance"].append(pr.rd)
+    out["result_geom"].append(_pack(pr.result))
+    out["result_diff_geom"].append(_pack(pr.result_diff))
+    out["result_diff_plus_geom"].append(_pack(pr.result_diff_plus))
+    out["result_diff_min_geom"].append(_pack(pr.result_diff_min))
+    out["result_relevant_intersection_geom"].append(_pack(pr.relevant_intersection))
+    out["result_relevant_diff_geom"].append(_pack(pr.relevant_diff))
+    out["brdr_area"].append(res_area)
+    out["brdr_perimeter"].append(res_perim)
+    out["brdr_shape_index"].append(g.shape_index(res_area, res_perim))
+    out["brdr_stability"].append(bool(stability))
+    out["brdr_prediction_score"].append(float(score))
+    out["brdr_prediction_count"].append(int(count))
+    out["brdr_evaluation"].append(evaluation)
+    out["brdr_sym_diff_area_index"].append(sym)
+    out["brdr_sym_diff_area_index_perc"].append(100.0 * sym / theme_area if theme_area > 0 else 0.0)
+    out["brdr_diff_area_index"].append(res_area - theme_area)
+    out["brdr_diff_length_index"].append(res_perim - theme_perim)
+    out["brdr_full_actual"].append(bool(pr.full_actual))
+    out["brdr_remark"].append(pr.remark)
+    out["brdr_metadata"].append(metadata)
+    out["cell"].append(int(cell))
+    out["props"].append(props if props is not None else "")
+
+
+class AlignGroupFn:
+    """Callable for ``groupby(part_key).map_groups`` — constructed once per
+    actor/task with the job config; ``__call__`` processes one tile group."""
+
+    def __init__(self, cfg: al.AlignConfig, mode: str = "predict",
+                 max_rd: float | None = None, add_metadata: bool = True):
+        self.cfg = cfg
+        self.mode = mode
+        self.max_rd = max_rd if max_rd is not None else cfg.relevant_distance
+        self.add_metadata = add_metadata
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("side").to_pylist())
+        is_ref = side == "ref"
+        is_theme = side == "theme"
+        if not is_theme.any():
+            return _empty_result_table()
+
+        ref_idx = np.nonzero(is_ref)[0]
+        ref_ids = group.column("ref_id").take(pa.array(ref_idx)).to_pylist()
+        ref_geoms = group.column("geom").take(pa.array(ref_idx)).to_pylist()
+        ref_vers = group.column("version_date").take(pa.array(ref_idx)).to_pylist()
+        rxmin = group.column("xmin").to_numpy(zero_copy_only=False)[ref_idx]
+        rxmax = group.column("xmax").to_numpy(zero_copy_only=False)[ref_idx]
+        rymin = group.column("ymin").to_numpy(zero_copy_only=False)[ref_idx]
+        rymax = group.column("ymax").to_numpy(zero_copy_only=False)[ref_idx]
+        ref_parts_cache: dict[int, list] = {}
+        versions = {rid: v for rid, v in zip(ref_ids, ref_vers) if v}
+
+        t_idx = np.nonzero(is_theme)[0]
+        t_ids = group.column("theme_id").take(pa.array(t_idx)).to_pylist()
+        t_geoms = group.column("geom").take(pa.array(t_idx)).to_pylist()
+        t_props = group.column("props").take(pa.array(t_idx)).to_pylist()
+        t_cell = group.column("cell").to_numpy(zero_copy_only=False)[t_idx]
+        txmin = group.column("xmin").to_numpy(zero_copy_only=False)[t_idx]
+        txmax = group.column("xmax").to_numpy(zero_copy_only=False)[t_idx]
+        tymin = group.column("ymin").to_numpy(zero_copy_only=False)[t_idx]
+        tymax = group.column("ymax").to_numpy(zero_copy_only=False)[t_idx]
+
+        reach = 1.01 * self.max_rd  # the reference's 1.01*rd search buffer
+        out: dict[str, list] = {name: [] for name in RESULT_SCHEMA.names}
+
+        for i in range(len(t_idx)):
+            cand = np.nonzero((rxmin <= txmax[i] + reach) & (rxmax >= txmin[i] - reach)
+                              & (rymin <= tymax[i] + reach) & (rymax >= tymin[i] - reach))[0]
+            candidates = []
+            for j in cand.tolist():
+                if j not in ref_parts_cache:
+                    ref_parts_cache[j] = g.unpack_geom(ref_geoms[j])[1]
+                candidates.append((ref_ids[j], ref_parts_cache[j]))
+            _, theme_parts = g.unpack_geom(t_geoms[i])
+            theme_area = g.geom_area(g.GEOM_POLYGON, theme_parts)
+            theme_perim = g.geom_perimeter(g.GEOM_POLYGON, theme_parts)
+
+            if self.mode == "predict":
+                pr = al.align_one(theme_parts, candidates, self.cfg.relevant_distance, self.cfg)
+                meta = al.build_metadata(t_ids[i], pr.used_refs, versions) if self.add_metadata else ""
+                _emit_row(out, t_ids[i], t_cell[i], t_props[i], pr, theme_area,
+                          theme_perim, True, 100.0, 1, al.EV_NOT_EVALUATED, meta)
+            else:  # evaluate over the (possibly escalated, M14) distance grid
+                step = max(self.cfg.step_cm, al.escalated_step_cm(theme_area, self.max_rd))
+                grid = al.distance_grid(self.max_rd, step_cm=step)
+                _, preds = al.evaluate_series(t_ids[i], theme_parts, candidates, grid, self.cfg)
+                for p in preds:
+                    meta = al.build_metadata(t_ids[i], p.pr.used_refs, versions) if self.add_metadata else ""
+                    _emit_row(out, t_ids[i], t_cell[i], t_props[i], p.pr, theme_area,
+                              theme_perim, p.stability, p.score, p.prediction_count,
+                              p.evaluation, meta)
+        if not out["theme_id"]:
+            return _empty_result_table()
+        return pa.table(out, schema=RESULT_SCHEMA)

@@ -100,7 +100,8 @@ def test_evaluate_series_stable_prediction():
     theme = [[sq(0.4, -0.4, 9.7, 10.3)]]
     grid = al.distance_grid(3.0)
     cfg = al.AlignConfig(od_strategy=al.OD_EXCLUDE, max_predictions=4)
-    results, preds = al.evaluate_series("T1", theme, CANDS, grid, cfg)
+    results, preds = al.evaluate_series("T1", theme, CANDS, grid, cfg,
+                                        materialize_all=True)
     assert len(results) == len(grid)
     assert preds, "expected at least one stable prediction"
     best = preds[0]

@@ -1,0 +1,83 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import brdrq_ray.alignment as al
+from brdrq_ray.geom import core as g
+from brdrq_ray.sources import fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def synth_tables():
+    ref = fx.make_reference_table(nx=12, ny=12, seed=42)
+    theme = fx.make_thematic_table(nx=12, ny=12, seed=42, n_features=25)
+    return theme, ref
+
+
+def test_fixture_determinism(synth_tables):
+    theme, ref = synth_tables
+    theme2 = fx.make_thematic_table(nx=12, ny=12, seed=42, n_features=25)
+    assert theme.equals(theme2)
+    assert ref.num_rows > 100
+    assert theme.num_rows == 25
+
+
+def test_alignment_pipeline_predict(ray_session, synth_tables):
+    import ray.data
+    from brdrq_ray.pipelines.autocorrect import run_alignment, select_result_type
+
+    theme, ref = synth_tables
+    cfg = al.AlignConfig(relevant_distance=2.0, od_strategy=al.OD_EXCLUDE)
+    results = run_alignment(ray.data.from_arrow(theme), ray.data.from_arrow(ref),
+                            cfg, mode="predict")
+    tbl = pa.Table.from_pandas(results.to_pandas())
+    # one row per thematic feature (owner-cell rule -> no duplicates)
+    assert tbl.num_rows == theme.num_rows
+    assert sorted(tbl.column("theme_id").to_pylist()) == sorted(theme.column("theme_id").to_pylist())
+    # jittered unions of parcels must be recovered as full parcels
+    full = tbl.column("brdr_full_actual").to_pylist()
+    assert sum(full) >= theme.num_rows * 0.8
+    # brute-force oracle: same result per feature with ALL parcels as candidates
+    parcels, _ = fx.make_reference_parts(nx=12, ny=12, seed=42)
+    cands = sorted(parcels.items())
+    by_id = {}
+    for i in range(theme.num_rows):
+        tid = theme.column("theme_id")[i].as_py()
+        _, parts = g.parse_wkt(theme.column("geometry_wkt")[i].as_py())
+        _, parts = g.make_valid(g.GEOM_POLYGON, parts)
+        pr = al.align_one(parts, cands, 2.0, cfg)
+        by_id[tid] = g.geom_area(g.GEOM_POLYGON, pr.result)
+    for i in range(tbl.num_rows):
+        tid = tbl.column("theme_id")[i].as_py()
+        got = tbl.column("brdr_area")[i].as_py()
+        assert got == pytest.approx(by_id[tid], rel=1e-6, abs=1e-4), tid
+    # result projection emits WKT and keeps all rows
+    res_layer = select_result_type(
+        run_alignment(ray.data.from_arrow(theme), ray.data.from_arrow(ref), cfg), "result")
+    pdf = res_layer.to_pandas()
+    assert "geometry_wkt" in pdf.columns
+    assert len(pdf) == theme.num_rows
+
+
+def test_alignment_pipeline_evaluate(ray_session, synth_tables):
+    import ray.data
+    from brdrq_ray.pipelines.autocorrect import run_alignment
+
+    theme, ref = synth_tables
+    cfg = al.AlignConfig(od_strategy=al.OD_EXCLUDE, max_predictions=4)
+    results = run_alignment(ray.data.from_arrow(theme), ray.data.from_arrow(ref),
+                            cfg, mode="evaluate", max_rd=3.0)
+    pdf = results.to_pandas()
+    # every feature got at least one prediction
+    assert set(pdf["theme_id"]) == set(theme.column("theme_id").to_pylist())
+    assert (pdf["brdr_prediction_score"] > 0).all()
+    assert pdf["brdr_evaluation"].isin([
+        al.EV_PREDICTION_UNIQUE, al.EV_TO_CHECK_MULTI, al.EV_NO_CHANGE,
+        al.EV_EQUALITY_BY_ID, al.EV_EQUALITY_FULL_REF]).all()
+    # distances are 0.1-rounded keys
+    assert (np.round(pdf["brdr_relevant_distance"] * 10) ==
+            pdf["brdr_relevant_distance"] * 10).all()
+    # per-feature prediction_count consistent with rows
+    counts = pdf.groupby("theme_id").size()
+    reported = pdf.groupby("theme_id")["brdr_prediction_count"].first()
+    assert (counts == reported).all()
