@@ -1,0 +1,155 @@
+"""Interleaved-document pipeline (the north-rule flagship).
+
+Input: a table of interleaved text + media documents —
+``doc_id: string, spans: list<struct<kind, text, media_ref, offset>>``
+(BASELINE.json input_hint; geometry spans carry WKT in ``text``).
+
+    documents --flat_map--> geometry spans (doc_id, span_idx, wkt)
+              --[alignment DAG from pipelines.autocorrect]--> aligned spans
+    documents --groupby(doc_id) stitch--> documents with aligned geometry
+
+The per-row invariant (BASELINE.json): after explode -> align -> stitch, every
+document's span sequence is EQUAL on (kind, text, media_ref, order) — text and
+media spans byte-identical and in the original order; geometry spans in place,
+their text replaced by the aligned WKT (``stitch_replace_text=True``) or kept
+identical (verification mode). The stitch key is (doc_id, span_idx) — span_idx
+is the position in the original list, which together with ``offset`` restores
+exact order without any global sort (SURVEY.md section 4 'Ordering').
+
+Scale: explode and stitch are per-doc-local (map_batches / one groupby on
+doc_id); the alignment in the middle reuses the one-shuffle tile DAG.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..alignment import AlignConfig
+from ..pipelines.autocorrect import run_alignment
+from ..stages.ingest import emit_wkt
+
+
+SPAN_TYPE = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                       ("media_ref", pa.string()), ("offset", pa.int32())])
+
+
+def explode_geometry_spans(batch: pa.Table) -> pa.Table:
+    """documents -> one row per geometry span: (doc_id, span_idx, geometry_wkt).
+    Pure Arrow/numpy offsets work — no Python per span of non-geometry kinds."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()  # struct array of all spans
+    offsets = spans.offsets.to_numpy(zero_copy_only=False)
+    n_per_doc = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(batch.num_rows), n_per_doc)
+    span_idx = np.arange(len(flat)) - np.repeat(offsets[:-1], n_per_doc)
+    kinds = flat.field("kind")
+    is_geom = pa.compute.equal(kinds, "geometry").to_numpy(zero_copy_only=False)
+    sel = np.nonzero(is_geom)[0]
+    doc_ids = batch.column("doc_id").take(pa.array(doc_idx[sel]))
+    return pa.table({
+        "theme_id": pa.compute.binary_join_element_wise(
+            doc_ids.cast(pa.string()), pa.array(span_idx[sel].astype(str), pa.string()), "#"),
+        "doc_id": doc_ids,
+        "span_idx": pa.array(span_idx[sel], pa.int32()),
+        "geometry_wkt": flat.field("text").take(pa.array(sel)),
+    })
+
+
+def _stitch_group(group, replace_text: bool):
+    """One document: original spans + aligned geometry for its span indexes."""
+    import pandas as pd  # noqa: F401  (map_groups pandas batch)
+    orig = group[group["side"] == "doc"].iloc[0]
+    aligned = group[group["side"] == "aligned"]
+    repl = dict(zip(aligned["span_idx"].astype(int), aligned["aligned_wkt"]))
+    spans = []
+    for idx, s in enumerate(orig["spans"]):
+        s = dict(s)
+        if replace_text and s["kind"] == "geometry" and idx in repl:
+            s["text"] = repl[idx]
+        spans.append(s)
+    # typed Arrow out so the span struct (incl. offset:int32) round-trips
+    # byte-identically through the stitch
+    return pa.table({"doc_id": pa.array([orig["doc_id"]], pa.string()),
+                     "spans": pa.array([spans], pa.list_(SPAN_TYPE))})
+
+
+def align_documents(documents: ray.data.Dataset, reference: ray.data.Dataset,
+                    cfg: AlignConfig | None = None, cell_level: int | None = None,
+                    replace_text: bool = True) -> ray.data.Dataset:
+    """Explode geometry spans, align them against the reference, stitch the
+    documents back preserving span order. Returns (doc_id, spans) with the
+    same schema as the input."""
+    cfg = cfg or AlignConfig()
+    geo = documents.map_batches(explode_geometry_spans, batch_format="pyarrow")
+    results = run_alignment(geo, reference, cfg, mode="predict", cell_level=cell_level)
+    aligned = results.map_batches(
+        lambda b: emit_wkt(b.select(["theme_id", "result_geom"]), geom_col="result_geom",
+                           out_col="aligned_wkt", drop_geom=True),
+        batch_format="pyarrow")
+
+    def split_key(batch: pa.Table) -> pa.Table:
+        tid = batch.column("theme_id").to_pylist()
+        doc_ids, span_idx = [], []
+        for t in tid:
+            d, i = t.rsplit("#", 1)
+            doc_ids.append(d)
+            span_idx.append(int(i))
+        return pa.table({
+            "side": pa.array(["aligned"] * len(tid)),
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "span_idx": pa.array(span_idx, pa.int32()),
+            "aligned_wkt": batch.column("aligned_wkt"),
+            "spans": pa.nulls(len(tid), pa.list_(SPAN_TYPE)),
+        })
+
+    aligned_keyed = aligned.map_batches(split_key, batch_format="pyarrow")
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "side": pa.array(["doc"] * n),
+            "doc_id": batch.column("doc_id").cast(pa.string()),
+            "span_idx": pa.nulls(n, pa.int32()),
+            "aligned_wkt": pa.nulls(n, pa.string()),
+            "spans": batch.column("spans").cast(pa.list_(SPAN_TYPE)),
+        })
+
+    doc_keyed = documents.map_batches(doc_side, batch_format="pyarrow")
+
+    def stitch(group):
+        return _stitch_group(group, replace_text)
+
+    return doc_keyed.union(aligned_keyed).groupby("doc_id").map_groups(
+        stitch, batch_format="pandas")
+
+
+def span_sequence_table(documents: ray.data.Dataset, with_text: bool = True) -> ray.data.Dataset:
+    """Flatten (doc_id, span order, kind, text, media_ref, offset) for the
+    span-sequence-equality check — comparing this table before/after the
+    pipeline proves the per-row invariant."""
+    def flatten(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        offsets = spans.offsets.to_numpy(zero_copy_only=False)
+        n_per_doc = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(batch.num_rows), n_per_doc)
+        span_idx = np.arange(len(flat)) - np.repeat(offsets[:-1], n_per_doc)
+        cols = {
+            "doc_id": batch.column("doc_id").take(pa.array(doc_idx)),
+            "span_idx": pa.array(span_idx, pa.int32()),
+            "kind": flat.field("kind"),
+            "media_ref": flat.field("media_ref"),
+            "offset": flat.field("offset"),
+        }
+        if with_text:
+            cols["text"] = flat.field("text")
+        return pa.table(cols)
+
+    return documents.map_batches(flatten, batch_format="pyarrow")

@@ -1,0 +1,69 @@
+import pyarrow as pa
+import pytest
+
+from brdrq_ray import alignment as al
+from brdrq_ray.sources import fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def doc_tables():
+    docs = fx.make_documents_table(n_docs=40, nx=12, ny=12, seed=42)
+    ref = fx.make_reference_table(nx=12, ny=12, seed=42)
+    return docs, ref
+
+
+def test_explode_geometry_spans(doc_tables):
+    from brdrq_ray.pipelines.documents import explode_geometry_spans
+
+    docs, _ = doc_tables
+    out = explode_geometry_spans(docs)
+    spans = docs.column("spans").combine_chunks()
+    n_geo = sum(1 for doc in spans.to_pylist() for s in doc if s["kind"] == "geometry")
+    assert out.num_rows == n_geo
+    assert out.column("geometry_wkt")[0].as_py().startswith("MULTIPOLYGON")
+    # theme_id embeds doc and span index
+    assert "#" in out.column("theme_id")[0].as_py()
+
+
+def test_align_documents_span_invariant(ray_session, doc_tables):
+    import ray.data
+    from brdrq_ray.pipelines.documents import align_documents, span_sequence_table
+
+    docs, ref = doc_tables
+    cfg = al.AlignConfig(relevant_distance=2.0, od_strategy=al.OD_EXCLUDE)
+    out = align_documents(ray.data.from_arrow(docs), ray.data.from_arrow(ref), cfg)
+    out_tbl = pa.Table.from_pandas(out.to_pandas())
+    assert out_tbl.num_rows == docs.num_rows
+
+    # invariant: span sequence equal on (kind, media_ref, offset, order);
+    # text equal for non-geometry spans
+    before = span_sequence_table(ray.data.from_arrow(docs)).to_pandas()
+    after = span_sequence_table(ray.data.from_arrow(out_tbl)).to_pandas()
+    key = ["doc_id", "span_idx"]
+    b = before.sort_values(key).reset_index(drop=True)
+    a = after.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in ("doc_id", "span_idx", "kind", "media_ref", "offset"):
+        assert (a[col] == b[col]).all(), col
+    non_geo = b["kind"] != "geometry"
+    assert (a.loc[non_geo, "text"] == b.loc[non_geo, "text"]).all()
+    # geometry spans were actually aligned (text changed for most)
+    geo = b["kind"] == "geometry"
+    changed = (a.loc[geo, "text"] != b.loc[geo, "text"]).mean()
+    assert changed > 0.5
+
+
+def test_align_documents_verification_mode(ray_session, doc_tables):
+    import ray.data
+    from brdrq_ray.pipelines.documents import align_documents, span_sequence_table
+
+    docs, ref = doc_tables
+    out = align_documents(ray.data.from_arrow(docs), ray.data.from_arrow(ref),
+                          al.AlignConfig(relevant_distance=2.0), replace_text=False)
+    after = span_sequence_table(out).to_pandas()
+    before = span_sequence_table(ray.data.from_arrow(docs)).to_pandas()
+    key = ["doc_id", "span_idx"]
+    a = after.sort_values(key).reset_index(drop=True)
+    b = before.sort_values(key).reset_index(drop=True)
+    # full byte-equality incl. geometry text in verification mode
+    assert a.equals(b)
