@@ -1,0 +1,260 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference's only dedup-shaped ops are duplicate-key detection and
+prediction uniqueness (SURVEY.md D3/D4); these operators are the engine's
+first-class additions for training-data pipelines at 100 TB.
+
+Scale pattern (see ray_guide): per-batch vectorized sketching (map_batches) ->
+explode to (bucket, doc) rows -> ONE groupby(bucket) shuffle of the small
+sketch table (never the payloads) -> verify candidates inside the group.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def _content_hash(texts) -> list[str]:
+    return [hashlib.sha1((t or "").encode()).hexdigest() for t in texts]
+
+
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: hash-partition on content hash, keep the row with the
+    minimal id per group (deterministic winner). Returns the surviving rows.
+    Oracle: row_number() over (partition by col order by id)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_h", pa.array(_content_hash(batch.column(col).to_pylist())))
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+              .groupby("_h").map_groups(first_per_group, batch_format="pandas")
+              .drop_columns(["_h"]))
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+def _word_shingles(text: str, k: int = 3) -> set[int]:
+    words = (text or "").lower().split()
+    if len(words) < k:
+        return {hash(" ".join(words)) & 0x7FFFFFFFFFFFFFFF} if words else set()
+    out = set()
+    for i in range(len(words) - k + 1):
+        h = hashlib.blake2b(" ".join(words[i:i + k]).encode(), digest_size=8).digest()
+        out.add(int.from_bytes(h, "little") & 0x7FFFFFFFFFFFFFFF)
+    return out
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHasher:
+    """num_perm universal-hash minhash signatures; coefficient table built
+    once (actor state when used via map_batches(Cls))."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, shingles: set[int]) -> np.ndarray:
+        if not shingles:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        x = np.fromiter(shingles, dtype=np.uint64)
+        # (a*x + b) mod p for all perms at once: (n_sh, n_perm)
+        vals = (x[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        return vals.min(axis=0)
+
+
+class MinHashBandStage:
+    """map_batches actor stage: text -> (band_id, band_hash, id) rows."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                 col: str = "text", id_col: str = "doc_id"):
+        assert num_perm % bands == 0
+        self.mh = MinHasher(num_perm)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.col).to_pylist()
+        out_ids, out_band, out_hash = [], [], []
+        for i, t in zip(ids, texts):
+            sig = self.mh.signature(_word_shingles(t, self.shingle_k))
+            for b in range(self.bands):
+                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                out_ids.append(i)
+                out_band.append(b)
+                out_hash.append(int.from_bytes(h, "little") & 0x7FFFFFFFFFFFFFFF)
+        return pa.table({
+            self.id_col: pa.array(out_ids),
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+        })
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = _word_shingles(a, k), _word_shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                      jaccard_threshold: float = 0.7, text_lookup=None):
+    """MinHash-LSH near-dup candidate pairs, verified by true n-gram Jaccard.
+
+    Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b. The verify
+    step needs the texts: ``text_lookup`` is a broadcast {id: text} dict ref
+    (ray.put) — the candidate set is tiny relative to the corpus, which is why
+    verification reads from the broadcast side rather than re-shuffling
+    payloads."""
+    import ray
+
+    def make_stage():
+        return MinHashBandStage(num_perm, bands, shingle_k, col, id_col)
+
+    banded = ds.map_batches(MinHashBandStage,
+                            fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
+                                                       shingle_k=shingle_k, col=col,
+                                                       id_col=id_col),
+                            batch_format="pyarrow", concurrency=(1, 8))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return pd.DataFrame({"id_a": [p[0] for p in pairs], "id_b": [p[1] for p in pairs]})
+
+    cand = banded.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(text_lookup) if text_lookup is not None else None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or self.texts is None:
+                return pa.table({"id_a": pa.array([], pa.int64()),
+                                 "id_b": pa.array([], pa.int64()),
+                                 "jaccard": pa.array([], pa.float64())})
+            df = batch.to_pandas().drop_duplicates(["id_a", "id_b"])
+            jac = [ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""), shingle_k)
+                   for a, b in zip(df["id_a"], df["id_b"])]
+            df["jaccard"] = jac
+            df = df[df["jaccard"] >= jaccard_threshold]
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (classic Charikar construction)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for w in (text or "").lower().split():
+        h = np.uint64(int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
+        bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= (1 << i)
+    return out
+
+
+def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    sh = [simhash64(t) for t in batch.column(col).to_pylist()]
+    # store as int64 (wrap the top bit)
+    sh64 = [s - (1 << 64) if s >= (1 << 63) else s for s in sh]
+    return batch.append_column("simhash", pa.array(sh64, pa.int64()))
+
+
+def simhash_dedup_groups(ds, col: str = "text", id_col: str = "doc_id"):
+    """Docs sharing an identical 64-bit simhash = near-dup groups; returns
+    (simhash, n, ids) for groups with n > 1."""
+    def groups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"simhash": [], "n": [], "ids": []})
+        return pd.DataFrame({"simhash": [g["simhash"].iloc[0]], "n": [len(g)],
+                             "ids": [",".join(map(str, sorted(g[id_col])))]})
+
+    return (ds.map_batches(lambda b: simhash_batch(b, col), batch_format="pyarrow")
+              .groupby("simhash").map_groups(groups, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+class CosineBucketStage:
+    """Random-hyperplane LSH over an embedding column: bucket = sign bits of
+    n_planes projections (planes drawn once per actor, fixed seed)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 11,
+                 vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float64)
+        signs = (vecs @ self.planes) > 0
+        bucket = np.zeros(len(vecs), dtype=np.int64)
+        for i in range(signs.shape[1]):
+            bucket |= signs[:, i].astype(np.int64) << i
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+
+def embedding_neardup_pairs(ds, dim: int, threshold: float = 0.95,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            n_planes: int = 12):
+    """Near-duplicate embedding pairs: LSH-bucket (one shuffle on the bucket
+    id) then exact cosine within buckets. Pairs above threshold, id_a < id_b.
+    n_planes trades recall for bucket size (hot-bucket analog of tile salting)."""
+
+    def bucket_cosine(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = g[id_col].to_numpy()
+        V = np.asarray(g[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        Vn = V / norms
+        sim = Vn @ Vn.T
+        ia, ib = np.triu_indices(len(g), k=1)
+        keep = sim[ia, ib] >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sim[ia, ib][keep]})
+
+    return (ds.map_batches(CosineBucketStage,
+                           fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
+                                                      vec_col=vec_col),
+                           batch_format="pyarrow", concurrency=(1, 8))
+              .groupby("bucket").map_groups(bucket_cosine, batch_format="pandas"))

@@ -1,0 +1,147 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul against a
+BROADCAST query matrix (ray.put once, read in every task), per-batch partial
+top-k, tiny driver-side merge. The scale path is IVF: vectors are
+hash-partitioned by nearest centroid (one shuffle of (vector, centroid_id)),
+queries probe only the closest n_probe centroid partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+class BruteForceTopK:
+    """Actor stage: holds the normalized query matrix (fetched from the
+    object store once per actor); emits per-batch partial top-k rows."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.Q = _normalize(np.asarray(q, dtype=np.float64))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        V = _normalize(np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float64))
+        sim = self.Q @ V.T                      # (n_q, n_batch)
+        k = min(self.k, sim.shape[1])
+        # partial top-k per query within this batch
+        idx = np.argpartition(-sim, kth=k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(np.arange(sim.shape[0]), k)
+        rows_v = idx.ravel()
+        return pa.table({
+            "query_id": pa.array(rows_q, pa.int64()),
+            self.id_col: pa.array(ids[rows_v]),
+            "cosine": pa.array(sim[rows_q, rows_v], pa.float64()),
+        })
+
+
+def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
+    """Exact cosine top-k of each query against the whole dataset. Partial
+    top-k per batch (distributed) + driver merge of n_batches*k tiny rows.
+    Returns (query_id, vec_id, cosine, rank) — rank ties broken by id for
+    determinism."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partial = ds.map_batches(BruteForceTopK,
+                             fn_constructor_kwargs=dict(queries_ref=qref, k=k,
+                                                        vec_col=vec_col, id_col=id_col),
+                             batch_format="pyarrow", concurrency=(1, 8))
+    df = partial.to_pandas()
+    df["cosine"] = df["cosine"].round(9)  # kill float-order noise in ranking
+    df = df.sort_values(["query_id", "cosine", id_col],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", group_keys=False).head(k)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df.reset_index(drop=True)
+
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10,
+               seed: int = 5) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means on a driver-side sample (the IVF
+    codebook — trained on a sample, never the full data)."""
+    rng = np.random.default_rng(seed)
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(iters):
+        sim = X @ C.T
+        assign = sim.argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_knn(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+            n_probe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
+            train_sample: int = 2048) -> pd.DataFrame:
+    """IVF ANN: assign each vector to its nearest centroid (broadcast codebook),
+    search only the n_probe closest partitions per query. Same output schema
+    as knn_brute_force; recall < 1 by design (tested against the brute-force
+    oracle in tests)."""
+    sample = np.asarray(ds.limit(train_sample).to_pandas()[vec_col].tolist())
+    C = kmeans_fit(sample, n_clusters)
+    cref = ray.put(C)
+
+    class AssignStage:
+        def __init__(self):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            V = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+            assign = (V @ self.C.T).argmax(axis=1)
+            return batch.append_column("ivf_cell", pa.array(assign, pa.int32()))
+
+    assigned = ds.map_batches(AssignStage, batch_format="pyarrow", concurrency=(1, 8))
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]      # (n_q, n_probe)
+    probe_sets = [set(row) for row in probe.tolist()]
+    qref = ray.put(Q)
+
+    class ProbeTopK:
+        def __init__(self):
+            self.Q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cells = batch.column("ivf_cell").to_numpy(zero_copy_only=False)
+            ids = np.asarray(batch.column(id_col).to_pylist())
+            V = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(self.Q)):
+                mask = np.isin(cells, list(probe_sets[qi]))
+                if not mask.any():
+                    continue
+                sim = V[mask] @ self.Q[qi]
+                kk = min(k, len(sim))
+                top = np.argpartition(-sim, kth=kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(ids[mask][top].tolist())
+                out_s.extend(sim[top].tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             id_col: pa.array(out_id),
+                             "cosine": pa.array(out_s, pa.float64())})
+
+    df = assigned.map_batches(ProbeTopK, batch_format="pyarrow",
+                              concurrency=(1, 8)).to_pandas()
+    df["cosine"] = df["cosine"].round(9)
+    df = df.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
+    df = df.groupby("query_id", group_keys=False).head(k)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df.reset_index(drop=True)

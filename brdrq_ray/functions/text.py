@@ -1,0 +1,139 @@
+"""Text-analysis operators for large-scale training-data pipelines: token
+counting, quality scoring, language ID, document fingerprinting.
+
+Beyond the reference's own surface (its only text ops are the substring
+search M11 and name sanitization, SURVEY.md section 2.8) — these are the
+first-class data-pipeline operators the engine adds for the 100 TB use case.
+
+All stages are vectorized per batch; the language-ID stage is a callable
+class (actor pool) so its n-gram profiles are built once per actor, not per
+batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# a BPE-ish pre-tokenization regex (GPT-2 style pattern family, public):
+# words, numbers, punctuation runs
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+
+_STOPWORDS = {"the", "and", "of", "a", "to", "in", "is", "on", "for", "with",
+              "by", "at", "or", "from", "as", "an", "be", "this", "that", "it"}
+
+
+def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """whitespace token count + BPE-ish regex token count (vectorized via
+    pandas str ops)."""
+    s = batch.column(col).to_pandas().fillna("")
+    ws = s.str.split().str.len().fillna(0).astype("int64")
+    bpe = s.str.findall(_BPE_RE).str.len().fillna(0).astype("int64")
+    return (batch
+            .append_column("ws_tokens", pa.array(ws.to_numpy(), pa.int64()))
+            .append_column("bpe_tokens", pa.array(bpe.to_numpy(), pa.int64())))
+
+
+def quality_score_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Heuristic quality features + composite score in [0, 1]:
+    length, punctuation ratio, stopword ratio, mean word length. The score is
+    a fixed deterministic formula (documented here, not tuned)."""
+    s = batch.column(col).to_pandas().fillna("")
+    n_chars = s.str.len().astype("float64")
+    words = s.str.split()
+    n_words = words.str.len().fillna(0).astype("float64")
+    mean_wlen = (n_chars - (n_words - 1).clip(lower=0)) / n_words.replace(0, np.nan)
+    mean_wlen = mean_wlen.fillna(0.0)
+    punct = s.str.count(r"[^\w\s]").astype("float64")
+    punct_ratio = (punct / n_chars.replace(0, np.nan)).fillna(0.0)
+    stop_ratio = words.map(
+        lambda ws: sum(1 for w in ws if w.lower() in _STOPWORDS) / len(ws) if ws else 0.0)
+    length_term = np.clip(n_words / 50.0, 0, 1)
+    punct_term = 1.0 - np.clip(punct_ratio * 5.0, 0, 1)
+    stop_term = np.clip(stop_ratio * 3.0, 0, 1) * 0.5 + 0.5
+    wlen_term = 1.0 - np.clip(np.abs(mean_wlen - 5.0) / 5.0, 0, 1)
+    score = 0.35 * length_term + 0.2 * punct_term + 0.15 * stop_term + 0.3 * wlen_term
+    return (batch
+            .append_column("n_words", pa.array(n_words.astype("int64").to_numpy(), pa.int64()))
+            .append_column("punct_ratio", pa.array(punct_ratio.to_numpy(), pa.float64()))
+            .append_column("stopword_ratio", pa.array(np.asarray(stop_ratio, dtype=np.float64), pa.float64()))
+            .append_column("mean_word_len", pa.array(mean_wlen.to_numpy(), pa.float64()))
+            .append_column("quality_score", pa.array(np.asarray(score, dtype=np.float64), pa.float64())))
+
+
+def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Document fingerprint: md5 of the whitespace-normalized lowercased text
+    (SQL-oracle-able: md5(lower(trim(text))) after regexp_replace) plus a
+    64-bit rolling polynomial hash (rows-only)."""
+    s = batch.column(col).to_pandas().fillna("")
+    norm = s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    md5s = [hashlib.md5(t.encode()).hexdigest() for t in norm]
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def roll(t: str) -> int:
+        h = 0
+        for ch in t.encode():
+            h = (h * BASE + ch) % MOD
+        return h
+
+    rolls = [roll(t) for t in norm]
+    return (batch
+            .append_column("fingerprint_md5", pa.array(md5s, pa.string()))
+            .append_column("fingerprint_roll", pa.array(rolls, pa.int64())))
+
+
+class LangIdStage:
+    """Language ID by character-trigram profile similarity — a stateful actor
+    stage: profiles are built once in __init__ (the 'model load'), batches are
+    scored in __call__. Deterministic; the tiny built-in profiles are for the
+    pipeline shape, not linguistic accuracy."""
+
+    PROFILES = {
+        "en": "the and ing ion tio ent for ate ter est ers ble ight of to",
+        "nl": "de het een van en ij aan sch lijk heid ing oor teit",
+        "fr": "le la les des une est tion ment que pour avec dans",
+        "de": "der die das und ein ich sch ung den von mit ist",
+    }
+
+    def __init__(self):
+        self.profiles = {}
+        for lang, text in self.PROFILES.items():
+            grams = set()
+            for w in text.split():
+                padded = f" {w} "
+                grams |= {padded[i:i + 3] for i in range(len(padded) - 2)}
+            self.profiles[lang] = grams
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs, confs = [], []
+        for t in texts:
+            t = (t or "").lower()
+            grams = {t[i:i + 3] for i in range(max(len(t) - 2, 0))}
+            best, best_s = "und", 0.0
+            for lang, prof in self.profiles.items():
+                s = len(grams & prof) / max(len(prof), 1)
+                if s > best_s:
+                    best, best_s = lang, s
+            langs.append(best)
+            confs.append(round(best_s, 6))
+        return (batch
+                .append_column("lang_pred", pa.array(langs, pa.string()))
+                .append_column("lang_conf", pa.array(confs, pa.float64())))
+
+
+def analyze_documents(ds, col: str = "text"):
+    """documents Dataset -> + token counts, quality features, fingerprints,
+    language prediction. Stateless stages as tasks, language ID as an actor
+    pool."""
+    out = (ds.map_batches(lambda b: token_count_batch(b, col), batch_format="pyarrow")
+             .map_batches(lambda b: quality_score_batch(b, col), batch_format="pyarrow")
+             .map_batches(lambda b: fingerprint_batch(b, col), batch_format="pyarrow")
+             .map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4)))
+    return out

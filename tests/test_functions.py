@@ -1,0 +1,163 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_DIR
+
+DOCS = f"{SF_DIR}/documents.parquet"
+EMB = f"{SF_DIR}/embeddings.parquet"
+
+
+def test_token_count_batch():
+    from brdrq_ray.functions.text import token_count_batch
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["a b c", "", "x,y z"]})
+    out = token_count_batch(t)
+    assert out.column("ws_tokens").to_pylist() == [3, 0, 2]
+    assert out.column("bpe_tokens").to_pylist() == [3, 0, 4]  # x , y z
+
+
+def test_quality_and_fingerprint():
+    from brdrq_ray.functions.text import fingerprint_batch, quality_score_batch
+
+    t = pa.table({"doc_id": [1, 2], "text": ["the quick brown fox", "  THE  quick   brown fox "]})
+    q = quality_score_batch(t)
+    assert 0 <= q.column("quality_score")[0].as_py() <= 1
+    f = fingerprint_batch(t)
+    # normalization makes both rows identical fingerprints
+    assert f.column("fingerprint_md5")[0].as_py() == f.column("fingerprint_md5")[1].as_py()
+    assert f.column("fingerprint_roll")[0].as_py() == f.column("fingerprint_roll")[1].as_py()
+
+
+def test_langid_stage():
+    from brdrq_ray.functions.text import LangIdStage
+
+    stage = LangIdStage()
+    out = stage(pa.table({"text": ["the singer and the villain went to the mention"]}))
+    assert out.column("lang_pred")[0].as_py() in ("en", "nl", "fr", "de", "und")
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+    from brdrq_ray.functions.dedup import exact_dedup
+
+    t = pa.table({"doc_id": [3, 1, 2, 5], "text": ["x", "x", "y", "y"]})
+    out = exact_dedup(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2]
+
+
+def test_minhash_pairs_finds_near_dups(ray_session):
+    import ray
+    import ray.data
+    from brdrq_ray.functions.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = {1: base, 2: base + " tail", 3: "completely different words here entirely",
+             4: base.replace("quick", "slow"), 5: "another unrelated text about rivers"}
+    t = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+    lookup = ray.put(texts)
+    pairs = minhash_lsh_pairs(ray.data.from_arrow(t), text_lookup=lookup,
+                              jaccard_threshold=0.5).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (1, 2) in got
+    assert all(ngram_jaccard(texts[a], texts[b]) >= 0.5 for a, b in got)
+    assert not any(3 in p or 5 in p for p in got)
+
+
+def test_simhash_deterministic():
+    from brdrq_ray.functions.dedup import simhash64
+
+    a = simhash64("hello world foo bar")
+    assert a == simhash64("hello world foo bar")
+    assert a != simhash64("totally different content")
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data
+    from brdrq_ray.functions.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((50, 16))
+    V[10] = V[3] + 1e-4          # near-duplicate pair
+    t = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                  "embedding": pa.array(V.tolist(), pa.list_(pa.float64()))})
+    pairs = embedding_neardup_pairs(ray.data.from_arrow(t), dim=16,
+                                    threshold=0.999).to_pandas()
+    assert (3, 10) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_knn_brute_force_matches_numpy(ray_session):
+    import ray.data
+    from brdrq_ray.functions.similarity import knn_brute_force
+
+    emb = pq.read_table(EMB)
+    V = np.asarray(emb.column("embedding").to_pylist())
+    ids = np.asarray(emb.column("vec_id").to_pylist())
+    Q = V[:3]
+    got = knn_brute_force(ray.data.from_arrow(emb), Q, k=5)
+    # numpy oracle
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sim = np.round(Qn @ Vn.T, 9)
+    for qi in range(3):
+        order = sorted(zip(-sim[qi], ids), key=lambda x: (x[0], x[1]))[:5]
+        expect = [int(i) for _, i in order]
+        mine = got[got["query_id"] == qi]["vec_id"].tolist()
+        assert mine == expect
+        # self is its own nearest neighbour
+        assert mine[0] == int(ids[qi])
+
+
+def test_ivf_knn_recall(ray_session):
+    import ray.data
+    from brdrq_ray.functions.similarity import ivf_knn, knn_brute_force
+
+    emb = pq.read_table(EMB)
+    Q = np.asarray(emb.column("embedding").to_pylist())[:5]
+    exact = knn_brute_force(ray.data.from_arrow(emb), Q, k=10)
+    approx = ivf_knn(ray.data.from_arrow(emb), Q, k=10, n_clusters=8, n_probe=3)
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6
+
+
+def test_multimodal_stub(ray_session):
+    import ray.data
+    from brdrq_ray.functions.multimodal import (
+        FrameSampleStage, ImageDecodeStage, decode_images, synthesize_media_table)
+
+    refs = [f"media://img/{i}.jpg" for i in range(10)]
+    media = synthesize_media_table(refs)
+    assert media.num_rows == 10
+    # real decode path raises the documented stub error
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(fake=False)._decode_one(b"xx")
+    out = decode_images(ray.data.from_arrow(media), fake=True).to_pandas()
+    assert len(out) == 10
+    assert (out["width"] > 0).all()
+    assert out["features"].map(len).eq(16).all()
+    # determinism
+    out2 = decode_images(ray.data.from_arrow(synthesize_media_table(refs)),
+                         fake=True).to_pandas()
+    assert out.sort_values("media_ref")["features"].map(tuple).tolist() == \
+           out2.sort_values("media_ref")["features"].map(tuple).tolist()
+    frames = ray.data.from_arrow(media).map_batches(
+        FrameSampleStage, fn_constructor_kwargs=dict(fake=True),
+        batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
+    assert len(frames) == 40
+
+
+def test_analyze_documents_on_testdata(ray_session):
+    import ray.data
+    from brdrq_ray.functions.text import analyze_documents
+
+    ds = ray.data.read_parquet(DOCS)
+    out = analyze_documents(ds).to_pandas()
+    assert {"ws_tokens", "bpe_tokens", "quality_score", "fingerprint_md5",
+            "lang_pred"} <= set(out.columns)
+    assert len(out) == pq.read_metadata(DOCS).num_rows
