@@ -1,44 +1,427 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship interleaved-document alignment pipeline on
+sf0.001-scale synthetic fixtures; ``queries()`` exposes one callable per
+implemented operator from SURVEY.md section 2 (plus the training-data
+operator suite); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (geometry / sketch-based ops are rows-only checks).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing in
+here or in brdrq_ray calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+# --------------------------------------------------------------------------
+# geometry fixture management (deterministic, cached per scale under /tmp)
+# --------------------------------------------------------------------------
+
+_FIXTURE_PARAMS = {
+    # sf tag -> (grid nx=ny, thematic features, interleaved docs)
+    "sf0.001": (12, 25, 30),
+    "sf0.01": (20, 60, 100),
+    "sf0.1": (32, 150, 400),
+}
+
+
+def _fixture_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    if tag not in _FIXTURE_PARAMS:
+        tag = "sf0.01"
+    nx, n_feat, n_docs = _FIXTURE_PARAMS[tag]
+    out = f"/tmp/brdrq_fixtures/{tag}"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        from brdrq_ray.sources import fixtures as fx
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(fx.make_reference_table(nx, nx, seed=42), f"{out}/reference.parquet")
+        pq.write_table(fx.make_thematic_table(nx, nx, seed=42, n_features=n_feat),
+                       f"{out}/thematic.parquet")
+        pq.write_table(fx.make_metadata_table(nx, nx, seed=42, n_features=max(20, n_feat // 2)),
+                       f"{out}/metadata.parquet")
+        pq.write_table(fx.make_documents_table(n_docs=n_docs, nx=nx, ny=nx, seed=42),
+                       f"{out}/documents.parquet")
+        open(done, "w").close()
+    return out
+
+
+def _round_floats(ds, cols, decimals=6):
+    import pyarrow.compute as pc
+
+    def rnd(t: pa.Table) -> pa.Table:
+        for c in cols:
+            if c in t.column_names:
+                i = t.column_names.index(c)
+                t = t.set_column(i, c, pc.round(t.column(c), decimals))
+        return t
+
+    return ds.map_batches(rnd, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# driver API
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: interleaved documents -> explode geometry spans -> tiled
+    alignment -> stitch -> flat span table (stable schema, >= 0 rows)."""
+    import ray.data
+
+    from brdrq_ray.alignment import AlignConfig, OD_EXCLUDE
+    from brdrq_ray.pipelines.documents import align_documents, span_sequence_table
+
+    fdir = _fixture_dir("/root/testdata/sf0.001")
+    docs = ray.data.read_parquet(f"{fdir}/documents.parquet")
+    ref = ray.data.read_parquet(f"{fdir}/reference.parquet")
+    aligned = align_documents(docs, ref, AlignConfig(relevant_distance=2.0,
+                                                     od_strategy=OD_EXCLUDE))
+    return span_sequence_table(aligned)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from brdrq_ray.functions import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _geo(fn):
+        return fn
+
+    # ---- geometry pipelines (rows-only checks; deterministic fixtures) ----
+    def align_predict(sf_dir: str):
+        import ray.data
+        from brdrq_ray.alignment import AlignConfig, OD_EXCLUDE
+        from brdrq_ray.pipelines.autocorrect import run_alignment
+
+        fdir = _fixture_dir(sf_dir)
+        res = run_alignment(ray.data.read_parquet(f"{fdir}/thematic.parquet"),
+                            ray.data.read_parquet(f"{fdir}/reference.parquet"),
+                            AlignConfig(relevant_distance=2.0, od_strategy=OD_EXCLUDE))
+        res = res.select_columns(["theme_id", "brdr_relevant_distance", "brdr_area",
+                                  "brdr_perimeter", "brdr_full_actual",
+                                  "brdr_evaluation", "cell"])
+        return _round_floats(res, ["brdr_area", "brdr_perimeter"], 4)
+
+    def align_evaluate(sf_dir: str):
+        import ray.data
+        from brdrq_ray.alignment import AlignConfig, OD_EXCLUDE
+        from brdrq_ray.pipelines.autocorrect import run_alignment
+
+        fdir = _fixture_dir(sf_dir)
+        res = run_alignment(ray.data.read_parquet(f"{fdir}/thematic.parquet"),
+                            ray.data.read_parquet(f"{fdir}/reference.parquet"),
+                            AlignConfig(od_strategy=OD_EXCLUDE, max_predictions=4),
+                            mode="evaluate", max_rd=3.0)
+        res = res.select_columns(["theme_id", "brdr_relevant_distance",
+                                  "brdr_prediction_score", "brdr_prediction_count",
+                                  "brdr_evaluation", "brdr_stability", "cell"])
+        return _round_floats(res, ["brdr_prediction_score"], 4)
+
+    def documents_stitch(sf_dir: str):
+        import ray.data
+        from brdrq_ray.alignment import AlignConfig, OD_EXCLUDE
+        from brdrq_ray.pipelines.documents import align_documents, span_sequence_table
+
+        fdir = _fixture_dir(sf_dir)
+        aligned = align_documents(
+            ray.data.read_parquet(f"{fdir}/documents.parquet"),
+            ray.data.read_parquet(f"{fdir}/reference.parquet"),
+            AlignConfig(relevant_distance=2.0, od_strategy=OD_EXCLUDE))
+        return span_sequence_table(aligned, with_text=False)
+
+    def autoupdate(sf_dir: str):
+        import ray.data
+        from brdrq_ray.alignment import AlignConfig, OD_EXCLUDE
+        from brdrq_ray.pipelines.autoupdate import run_autoupdate
+
+        fdir = _fixture_dir(sf_dir)
+        res = run_autoupdate(ray.data.read_parquet(f"{fdir}/metadata.parquet"),
+                             ray.data.read_parquet(f"{fdir}/reference.parquet"),
+                             AlignConfig(od_strategy=OD_EXCLUDE),
+                             max_distance_for_actualisation=2.0)
+        return res.select_columns(["theme_id", "brdr_relevant_distance",
+                                   "brdr_evaluation", "brdr_stability"])
+
+    def correction(sf_dir: str):
+        import ray.data
+        from brdrq_ray.alignment import AlignConfig, OD_EXCLUDE
+        from brdrq_ray.pipelines.autocorrect import run_alignment
+        from brdrq_ray.pipelines.correction import build_correction_layer
+
+        fdir = _fixture_dir(sf_dir)
+        theme = ray.data.read_parquet(f"{fdir}/thematic.parquet")
+        res = run_alignment(ray.data.read_parquet(f"{fdir}/thematic.parquet"),
+                            ray.data.read_parquet(f"{fdir}/reference.parquet"),
+                            AlignConfig(relevant_distance=2.0, od_strategy=OD_EXCLUDE))
+        corr = build_correction_layer(theme, res, review_percentage=50.0)
+        return corr.select_columns(["theme_id", "brdrq_state", "brdr_evaluation"])
+
+    def buffer_op(sf_dir: str):
+        import ray.data
+        from brdrq_ray.stages.ingest import parse_geometries, emit_wkt
+        from brdrq_ray.geom import core as g
+        from brdrq_ray.geom.buffer import dilate
+
+        fdir = _fixture_dir(sf_dir)
+        ds = ray.data.read_parquet(f"{fdir}/thematic.parquet")
+
+        def buf(t: pa.Table) -> pa.Table:
+            t = parse_geometries(t)
+            areas = []
+            for b in t.column("geom").to_pylist():
+                kind, parts = g.unpack_geom(b)
+                areas.append(round(g.geom_area(kind, dilate(parts, 1.0)), 2))
+            return pa.table({"theme_id": t.column("theme_id"),
+                             "buffered_area": pa.array(areas, pa.float64())})
+
+        return ds.map_batches(buf, batch_format="pyarrow")
+
+    # ---- text / dedup / similarity ----------------------------------------
+    def exact_dedup_documents(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.dedup import exact_dedup
+        return exact_dedup(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+    def token_count(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.text import token_count_batch
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        return ds.map_batches(lambda b: token_count_batch(b).select(["doc_id", "ws_tokens"]),
+                              batch_format="pyarrow")
+
+    def fingerprint_md5(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.text import fingerprint_batch
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        return ds.map_batches(
+            lambda b: fingerprint_batch(b).select(["doc_id", "fingerprint_md5"]),
+            batch_format="pyarrow")
+
+    def text_quality(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.text import analyze_documents
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        out = analyze_documents(ds)
+        return _round_floats(
+            out.select_columns(["doc_id", "ws_tokens", "bpe_tokens", "n_words",
+                                "quality_score", "lang_pred"]),
+            ["quality_score"], 6)
+
+    def minhash_pairs(sf_dir: str):
+        import ray
+        import ray.data
+        from brdrq_ray.functions.dedup import minhash_lsh_pairs
+        docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        lookup = ray.put(dict(zip(docs.column("doc_id").to_pylist(),
+                                  docs.column("text").to_pylist())))
+        pairs = minhash_lsh_pairs(ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                                        columns=["doc_id", "text"]),
+                                  text_lookup=lookup, jaccard_threshold=0.5)
+        return _round_floats(pairs, ["jaccard"], 6)
+
+    def simhash_values(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.dedup import simhash_batch
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        return ds.map_batches(lambda b: simhash_batch(b).select(["doc_id", "simhash"]),
+                              batch_format="pyarrow")
+
+    def embedding_neardup(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.dedup import embedding_neardup_pairs
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(ds.take(1)[0]["embedding"])
+        return _round_floats(embedding_neardup_pairs(ds, dim=dim, threshold=0.9),
+                             ["cosine"], 6)
+
+    def knn_top5(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.similarity import knn_brute_force
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        qmask = [v < 3 for v in tbl.column("vec_id").to_pylist()]
+        q = tbl.filter(pa.array(qmask))
+        order = np.argsort(q.column("vec_id").to_pylist())
+        Q = np.asarray(q.column("embedding").to_pylist())[order]
+        qids = np.asarray(q.column("vec_id").to_pylist())[order]
+        df = knn_brute_force(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                             Q, k=5)
+        df["query_id"] = qids[df["query_id"].to_numpy()]
+        df["cosine"] = df["cosine"].round(5)
+        return df[["query_id", "vec_id", "cosine", "rank"]]
+
+    def ivf_knn_q(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.similarity import ivf_knn
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        Q = np.asarray(tbl.column("embedding").to_pylist()[:3])
+        df = ivf_knn(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), Q, k=5)
+        df["cosine"] = df["cosine"].round(5)
+        return df
+
+    def media_decode(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.multimodal import decode_images, synthesize_media_table
+        fdir = _fixture_dir(sf_dir)
+        docs = pq.read_table(f"{fdir}/documents.parquet")
+        refs = sorted({s["media_ref"] for doc in docs.column("spans").to_pylist()
+                       for s in doc if s["kind"] == "media"})
+        media = synthesize_media_table(refs)
+        out = decode_images(ray.data.from_arrow(media), fake=True)
+        return out.select_columns(["media_ref", "media_type", "byte_len",
+                                   "width", "height", "channels"])
+
+    return {
+        # relational / SQL-checkable (SURVEY section 2 operator ids in docstrings)
+        "metrics_agg": rel.lineitem_metrics_agg,
+        "filter_value_threshold": rel.filter_value_threshold,
+        "filter_rounded_equality": rel.filter_rounded_equality,
+        "filter_substring": rel.filter_substring,
+        "filter_state": rel.filter_state,
+        "grouped_topk": rel.grouped_topk_orders,
+        "grouped_argmax": rel.grouped_argmax_orders,
+        "hash_join_broadcast": rel.broadcast_hash_join,
+        "hash_join_partitioned": rel.partitioned_hash_join,
+        "dup_key_detection": rel.duplicate_key_detection,
+        "asof_join": rel.asof_join_events,
+        "case_when_bands": rel.case_when_classification,
+        "global_minmax": rel.global_minmax,
+        "global_revenue": rel.global_revenue,
+        # text / dedup / similarity
+        "exact_dedup_documents": exact_dedup_documents,
+        "token_count": token_count,
+        "fingerprint_md5": fingerprint_md5,
+        "text_quality": text_quality,
+        "minhash_pairs": minhash_pairs,
+        "simhash_values": simhash_values,
+        "embedding_neardup": embedding_neardup,
+        "knn_top5": knn_top5,
+        "ivf_knn": ivf_knn_q,
+        "media_decode": media_decode,
+        # geometry pipelines (rows-only)
+        "align_predict": align_predict,
+        "align_evaluate": align_evaluate,
+        "documents_stitch": documents_stitch,
+        "autoupdate": autoupdate,
+        "correction": correction,
+        "buffer_op": buffer_op,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "metrics_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   sum(l_quantity) / count(*) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_value_threshold": """
+            SELECT event_id, event_type, value FROM events WHERE value > 100.0
+        """,
+        "filter_rounded_equality": """
+            SELECT l_orderkey, l_linenumber, l_discount
+            FROM lineitem WHERE round(l_discount, 2) = 0.05
+        """,
+        "filter_substring": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE contains(lower(text), 'window')
+        """,
+        "filter_state": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_type = 'click'
+        """,
+        "grouped_topk": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                FROM orders) WHERE rk <= 3
+        """,
+        "grouped_argmax": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                FROM orders) WHERE rk = 1
+        """,
+        "hash_join_broadcast": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "hash_join_partitioned": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "dup_key_detection": """
+            SELECT o_custkey, count(*) AS n_orders FROM orders
+            GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "asof_join": """
+            SELECT e.event_id, e.user_id, e.ts, v.ts AS prev_view_ts
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') e
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+              ON e.user_id = v.user_id AND e.ts > v.ts
+        """,
+        "case_when_bands": """
+            SELECT band, count(*) AS n FROM (
+                SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                            WHEN o_totalprice < 150000 THEN 'mid'
+                            ELSE 'large' END AS band
+                FROM orders) GROUP BY band
+        """,
+        "global_minmax": """
+            SELECT min(value) AS min_value, max(value) AS max_value,
+                   min(user_id) AS min_user, max(user_id) AS max_user
+            FROM events
+        """,
+        "global_revenue": """
+            SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)) / 1000.0)
+                        AS BIGINT) AS total_revenue_k,
+                   count(*) AS n_rows
+            FROM lineitem
+        """,
+        "exact_dedup_documents": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
+            FROM documents
+        """,
+        "fingerprint_md5": """
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
+            FROM documents
+        """,
+        "knn_top5": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+            s AS (SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                      v.embedding::DOUBLE[]), 9) AS c9
+                  FROM q CROSS JOIN embeddings v)
+            SELECT query_id, vec_id, round(c9, 5) AS cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c9 DESC, vec_id) AS rank
+            FROM s QUALIFY rank <= 5
+        """,
+        # text_quality / minhash_pairs / simhash_values / embedding_neardup /
+        # ivf_knn / media_decode / geometry pipelines: intentionally omitted —
+        # non-SQL-expressible (sketches, seeded models, geometry kernels) ->
+        # rows-only checks.
+    }

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the interleaved-document alignment pipeline (explode geometry spans
+-> tiled alignment -> stitch) on a deterministic synthetic corpus, reported as
+seconds + docs/sec. Plus operator-level timings over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+    python bench.py              # one JSON line with the headline + queries
+    python bench.py --scaling    # run the headline in two fresh processes at
+                                 # num_cpus=8 and num_cpus=32, report both
+                                 # throughputs + scaling efficiency
+
+This script OWNS its Ray session (ray.init/shutdown); nothing else in the
+repo does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BRDRQ_BENCH_DOCS", "1500"))
+BENCH_GRID = int(os.environ.get("BRDRQ_BENCH_GRID", "48"))
+
+
+def _bench_fixture_dir() -> str:
+    """Deterministic interleaved corpus + reference tessellation for the
+    headline (cached; a pure function of the knobs)."""
+    out = f"/tmp/brdrq_bench/docs{BENCH_DOCS}_grid{BENCH_GRID}"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+        from brdrq_ray.sources import fixtures as fx
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(fx.make_reference_table(BENCH_GRID, BENCH_GRID, seed=42),
+                       f"{out}/reference.parquet")
+        pq.write_table(fx.make_documents_table(n_docs=BENCH_DOCS, nx=BENCH_GRID,
+                                               ny=BENCH_GRID, seed=42),
+                       f"{out}/documents.parquet")
+        open(done, "w").close()
+    return out
+
+
+def run_headline() -> dict:
+    import ray.data
+    from brdrq_ray.alignment import AlignConfig, OD_EXCLUDE
+    from brdrq_ray.pipelines.documents import align_documents
+
+    fdir = _bench_fixture_dir()
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    ray.data.read_parquet(f"{fdir}/documents.parquet").count()
+    ray.data.read_parquet(f"{fdir}/reference.parquet").count()
+
+    t0 = time.time()
+    out = align_documents(ray.data.read_parquet(f"{fdir}/documents.parquet"),
+                          ray.data.read_parquet(f"{fdir}/reference.parquet"),
+                          AlignConfig(relevant_distance=2.0, od_strategy=OD_EXCLUDE))
+    n_docs = out.count()
+    wall = time.time() - t0
+    return {"sec": round(wall, 3), "docs": n_docs,
+            "docs_per_sec": round(n_docs / wall, 2)}
+
+
+def run_queries() -> dict:
+    """Representative operator-level pipelines over the driver tables."""
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = ["metrics_agg", "grouped_topk", "hash_join_broadcast", "asof_join",
+             "exact_dedup_documents", "token_count", "knn_top5", "minhash_pairs"]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()  # consume the lazy Dataset
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_single():
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    try:
+        from ray.data import DataContext
+        ctx = DataContext.get_current()
+        ctx.enable_progress_bars = False
+        head = run_headline()
+        queries = run_queries()
+    finally:
+        ray.shutdown()
+    print(json.dumps({
+        "metric": "interleaved-doc alignment wall time (headline) + operator timings",
+        "value": head["sec"],
+        "unit": "sec",
+        "docs": head["docs"],
+        "docs_per_sec": head["docs_per_sec"],
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+
+
+def _run_child(ncpu: int, headline_only: bool = True) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               BRDRQ_BENCH_HEADLINE_ONLY="1" if headline_only else "0")
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                         capture_output=True, text=True, check=True,
+                         cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main_scaling():
+    lo, hi = 8, 32
+    r_lo = _run_child(lo)
+    r_hi = _run_child(hi)
+    tp_lo = r_lo["docs_per_sec"]
+    tp_hi = r_hi["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(json.dumps({
+        "metric": "headline scaling efficiency (docs/sec at 8 vs 32 cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "docs_per_sec_8": tp_lo, "docs_per_sec_32": tp_hi,
+        "docs": r_lo["docs"],
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif os.environ.get("BRDRQ_BENCH_HEADLINE_ONLY") == "1":
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        try:
+            from ray.data import DataContext
+            DataContext.get_current().enable_progress_bars = False
+            head = run_headline()
+        finally:
+            ray.shutdown()
+        print(json.dumps({"metric": "headline", "value": head["sec"], "unit": "sec",
+                          "docs": head["docs"], "docs_per_sec": head["docs_per_sec"],
+                          "num_cpus": NUM_CPUS, "sf": SF_DIR}))
+    else:
+        main_single()

@@ -151,6 +151,13 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
     cand = banded.groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
 
+    # the same pair surfaces from every band that collides -> one global
+    # dedup of the (tiny) candidate set before verification
+    def pair_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    cand = cand.groupby(["id_a", "id_b"]).map_groups(pair_first, batch_format="pandas")
+
     class Verify:
         def __init__(self):
             self.texts = ray.get(text_lookup) if text_lookup is not None else None

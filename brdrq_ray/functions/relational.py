@@ -1,0 +1,263 @@
+"""Relational operators from SURVEY.md section 2 re-expressed Ray-Data-first,
+exercised against the driver's parquet tables (TESTDATA.md) so each has a
+DuckDB-checkable oracle in __ray_entry__.oracle_sql().
+
+Mapping (see each function's docstring for the reference site):
+filters M7/M8/M11/M12, grouped top-k O1, grouped argmax G5, broadcast hash
+join J3, duplicate-key detection D3, as-of join J4, case-when classification
+G6, global aggregates G1/G2, partial-then-final aggregation (the combiner
+pattern the 100 TB shuffle budget requires).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    """Column-pruned parquet read (prune at the read — never load columns a
+    2-column transform doesn't need)."""
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- aggregation with partial combine (G1 + section 2.8 metrics) ------------
+
+def lineitem_metrics_agg(sf_dir: str):
+    """Pricing-summary aggregate over lineitem: per (returnflag, linestatus)
+    sums/avgs/count. Pre-aggregated inside map_batches (one partial row per
+    key per batch), then a tiny groupby — the combiner pattern that keeps the
+    all-to-all exchange proportional to keys, not rows."""
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                                   "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less_equal(batch.column("l_shipdate"),
+                                       pa.scalar(pd.Timestamp("1998-09-02"))))
+        df = t.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        gr = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"))
+        return pa.Table.from_pandas(gr, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "l_linestatus": [g["l_linestatus"].iloc[0]],
+            "sum_qty": [g["sum_qty"].sum()],
+            "sum_base_price": [g["sum_base_price"].sum()],
+            "sum_disc_price": [g["sum_disc_price"].sum()],
+            "avg_qty": [g["sum_qty"].sum() / g["count_order"].sum()],
+            "count_order": [int(g["count_order"].sum())],
+        })
+
+    return partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        combine, batch_format="pandas")
+
+
+# --- filters (M7 empty-diff / M8 distance slice / M11 substring / M12 state) -
+
+def filter_value_threshold(sf_dir: str):
+    """M7 analog: vectorized predicate inside map_batches (events.value >
+    100)."""
+    ds = read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return ds.map_batches(lambda t: t.filter(pc.greater(t.column("value"), 100.0)),
+                          batch_format="pyarrow")
+
+
+def filter_rounded_equality(sf_dir: str):
+    """M8 analog (the distance-slice filter): round-then-equality on a float
+    key — the reference's rd-rounded identity keys (brdrq_settings DECIMAL=1)."""
+    ds = read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_discount"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.round(t.column("l_discount"), 2), 0.05)),
+        batch_format="pyarrow")
+
+
+def filter_substring(sf_dir: str):
+    """M11 analog: case-insensitive substring match over a projected column
+    set (reference: _feature_matches_filter,
+    plugin/brdrq/brdrq_dockwidget_featurealigner.py:479-529)."""
+    ds = read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "text"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.match_substring(pc.utf8_lower(t.column("text")), "window"))
+                   .select(["doc_id", "lang", "n_chars"]),
+        batch_format="pyarrow")
+
+
+def filter_state(sf_dir: str):
+    """M12 analog: equality filter on a state/enum column."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return ds.map_batches(lambda t: t.filter(pc.equal(t.column("event_type"), "click")),
+                          batch_format="pyarrow")
+
+
+# --- grouped top-k (O1) and argmax (G5) -------------------------------------
+
+def grouped_topk_orders(sf_dir: str, k: int = 3):
+    """O1: per-customer top-k orders by (totalprice desc, orderkey asc) — a
+    grouped top-k, never a global sort."""
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+
+
+def grouped_argmax_orders(sf_dir: str):
+    """G5: best (argmax) row per group — the reference's best-prediction
+    selection (plugin/brdrq/brdrq_dockwidget_featurealigner.py:1362-1369)."""
+    return grouped_topk_orders(sf_dir, k=1).drop_columns(["rk"])
+
+
+# --- joins ------------------------------------------------------------------
+
+def broadcast_hash_join(sf_dir: str):
+    """J3: orders ⋈ customer on custkey with the SMALL side broadcast
+    (ray.put once, dict probe per batch) — no shuffle."""
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"],
+                                  zip(cust["c_name"], cust["c_mktsegment"]))))
+
+    class Probe:
+        def __init__(self):
+            self.lk = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_pylist()
+            hits = [self.lk.get(k) for k in keys]
+            mask = pa.array([h is not None for h in hits])
+            out = batch.filter(mask)
+            kept = [h for h in hits if h is not None]
+            return (out.append_column("c_name", pa.array([h[0] for h in kept], pa.string()))
+                       .append_column("c_mktsegment", pa.array([h[1] for h in kept], pa.string())))
+
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def partitioned_hash_join(sf_dir: str):
+    """J3 at scale (both sides large): tagged-union + groupby(key) +
+    per-group join — the explicit partitioned hash join."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def o_side(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t.column("o_custkey").cast(pa.int64()),
+                         "o_orderkey": t.column("o_orderkey"),
+                         "o_totalprice": t.column("o_totalprice"),
+                         "c_name": pa.nulls(t.num_rows, pa.string())})
+
+    def c_side(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t.column("c_custkey").cast(pa.int64()),
+                         "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+                         "o_totalprice": pa.nulls(t.num_rows, pa.float64()),
+                         "c_name": t.column("c_name")})
+
+    tagged = (orders.map_batches(o_side, batch_format="pyarrow")
+              .union(cust.map_batches(c_side, batch_format="pyarrow")))
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        names = g["c_name"].dropna()
+        o = g[g["o_orderkey"].notna()]
+        if names.empty or o.empty:
+            return pd.DataFrame({"o_orderkey": [], "o_custkey": [], "o_totalprice": [], "c_name": []})
+        return pd.DataFrame({"o_orderkey": o["o_orderkey"].astype("int64"),
+                             "o_custkey": o["k"].astype("int64"),
+                             "o_totalprice": o["o_totalprice"],
+                             "c_name": names.iloc[0]})
+
+    return tagged.groupby("k").map_groups(join_group, batch_format="pandas")
+
+
+def duplicate_key_detection(sf_dir: str):
+    """D3: keys with more than one row (the reference's multi-prediction ->
+    TO_REVIEW trigger, plugin/brdrq/brdrq_utils.py:1251-1254)."""
+    ds = read(sf_dir, "orders", ["o_custkey"])
+    counts = ds.groupby("o_custkey").count()
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("count()"), 1))
+                   .rename_columns(["o_custkey", "n_orders"]),
+        batch_format="pyarrow")
+
+
+def asof_join_events(sf_dir: str):
+    """J4: for each click, the latest strictly-earlier view of the same user
+    (as-of backward join) — partition by user, merge_asof within the group
+    (sorted by ts). The reference's changed-since/version join analog."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"][["event_id", "user_id", "ts"]].sort_values("ts")
+        views = g[g["event_type"] == "view"][["ts"]].sort_values("ts").rename(
+            columns={"ts": "prev_view_ts"})
+        if clicks.empty:
+            return pd.DataFrame({"event_id": [], "user_id": [], "ts": [], "prev_view_ts": []})
+        if views.empty:
+            clicks["prev_view_ts"] = pd.NaT
+            return clicks
+        out = pd.merge_asof(clicks, views, left_on="ts", right_on="prev_view_ts",
+                            allow_exact_matches=False)
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# --- classification (G6) and global aggregates (G1/G2) ----------------------
+
+def case_when_classification(sf_dir: str):
+    """G6: vectorized case-when banding + grouped count (the correction-state
+    thresholds, plugin/brdrq/brdrq_utils.py:1288-1291)."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def band(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        lab = np.where(p < 50_000, "small", np.where(p < 150_000, "mid", "large"))
+        return pa.table({"band": pa.array(lab, pa.string())})
+
+    return (ds.map_batches(band, batch_format="pyarrow")
+            .groupby("band").count()
+            .map_batches(lambda t: t.rename_columns(["band", "n"]), batch_format="pyarrow"))
+
+
+def global_minmax(sf_dir: str):
+    """G2 analog: global min/max aggregate (the combined-bbox pattern)."""
+    ds = read(sf_dir, "events", ["value", "user_id"])
+    from ray.data.aggregate import Max, Min
+    row = ds.aggregate(Min("value"), Max("value"), Min("user_id"), Max("user_id"))
+    return pa.table({
+        "min_value": pa.array([row["min(value)"]], pa.float64()),
+        "max_value": pa.array([row["max(value)"]], pa.float64()),
+        "min_user": pa.array([row["min(user_id)"]], pa.int64()),
+        "max_user": pa.array([row["max(user_id)"]], pa.int64()),
+    })
+
+
+def global_revenue(sf_dir: str):
+    """G1 analog: one global sum via per-batch partials (the union-area
+    admission guard computed as a distributed aggregate)."""
+    ds = read(sf_dir, "lineitem", ["l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(t.column("l_extendedprice"),
+                                 pc.subtract(pa.scalar(1.0), t.column("l_discount")))).as_py()
+        return pa.table({"rev": pa.array([rev or 0.0], pa.float64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # thousands granularity so float summation order can never flip the value
+    return pa.table({"total_revenue_k": pa.array([int(round(parts["rev"].sum() / 1000.0))], pa.int64()),
+                     "n_rows": pa.array([int(parts["n"].sum())], pa.int64())})

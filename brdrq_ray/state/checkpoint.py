@@ -1,0 +1,162 @@
+"""Per-tile checkpoint, lineage and resume.
+
+The reference has no checkpointing — any exception aborts the QGIS run
+(SURVEY.md section 4 'Retries/Checkpoint'). At 100 TB the north rule requires
+a killed run to replay ONLY unfinished tiles, so the engine writes its results
+as one parquet directory per owner cell:
+
+    out_dir/part=<part_key>/part.parquet     (written tmp -> atomic rename)
+    out_dir/_manifest.jsonl                  (one line per finished partition)
+
+The checkpoint unit is the shuffle partition key ``part_key`` (= cell | salt
+<<45): a salted hot cell is several partitions, each resumable on its own.
+Manifest lines carry lineage + metrics: part_key, owner cell, row count,
+params hash (the alignment config + grid), wall time. Resume = read the
+manifest, drop finished partitions from the keyed input BEFORE the shuffle
+(the groupby never sees them — skipped partitions cost zero compute), run the
+remainder, append to the manifest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def params_hash(cfg, mode: str, max_rd: float) -> str:
+    from dataclasses import asdict
+    doc = {"cfg": asdict(cfg), "mode": mode, "max_rd": max_rd}
+    return hashlib.sha1(json.dumps(doc, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest.jsonl")
+
+
+def read_manifest(out_dir: str, phash: str | None = None) -> dict[int, dict]:
+    """Finished partitions keyed by part_key (optionally only those produced
+    with the same params — a changed config invalidates old checkpoints)."""
+    path = manifest_path(out_dir)
+    done: dict[int, dict] = {}
+    if not os.path.exists(path):
+        return done
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            if phash is not None and rec.get("params_hash") != phash:
+                continue
+            # the data must actually still be there
+            if os.path.exists(os.path.join(rec["path"], "part.parquet")):
+                done[int(rec["part_key"])] = rec
+    return done
+
+
+def append_manifest(out_dir: str, records: list[dict]):
+    with open(manifest_path(out_dir), "a") as f:
+        for rec in records:
+            f.write(json.dumps(rec, sort_keys=True) + "\n")
+
+
+class CellWriter:
+    """map_groups callable: writes one cell's result rows atomically and
+    emits its manifest record as the group output (the write IS the task, so
+    a task retry rewrites the tmp file and re-renames — idempotent)."""
+
+    def __init__(self, out_dir: str, phash: str):
+        self.out_dir = out_dir
+        self.phash = phash
+
+    EMPTY = pa.schema([("part_key", pa.int64()), ("cell", pa.int64()),
+                       ("rows", pa.int64()), ("path", pa.string()),
+                       ("params_hash", pa.string()), ("wall_sec", pa.float64())])
+
+    def __call__(self, part_key: int, group: pa.Table) -> pa.Table:
+        t0 = time.time()
+        if group.num_rows == 0:
+            return self.EMPTY.empty_table()
+        cell = int(group.column("cell")[0].as_py())
+        part_dir = os.path.join(self.out_dir, f"part={part_key}")
+        os.makedirs(part_dir, exist_ok=True)
+        tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(group, tmp)
+        os.replace(tmp, os.path.join(part_dir, "part.parquet"))
+        return pa.table({"part_key": pa.array([int(part_key)], pa.int64()),
+                         "cell": pa.array([cell], pa.int64()),
+                         "rows": pa.array([group.num_rows], pa.int64()),
+                         "path": pa.array([part_dir], pa.string()),
+                         "params_hash": pa.array([self.phash], pa.string()),
+                         "wall_sec": pa.array([time.time() - t0], pa.float64())})
+
+
+def run_alignment_checkpointed(thematic, reference, out_dir: str, cfg=None,
+                               mode: str = "predict", max_rd: float | None = None,
+                               cell_level: int | None = None) -> dict:
+    """Checkpointed flagship run. Returns {'processed_cells': [...],
+    'skipped_cells': [...], 'rows': int}. Call again after a kill to resume."""
+    from ..alignment import AlignConfig
+    from ..pipelines.autocorrect import prepare_aligned_inputs
+    from ..stages.align_stage import AlignGroupFn
+
+    cfg = cfg or AlignConfig()
+    max_rd = max_rd if max_rd is not None else cfg.relevant_distance
+    phash = params_hash(cfg, mode, max_rd)
+    os.makedirs(out_dir, exist_ok=True)
+    done = read_manifest(out_dir, phash)
+    done_keys = set(done)
+
+    unified, plan = prepare_aligned_inputs(thematic, reference, max_rd,
+                                           cell_level=cell_level)
+    if done_keys:
+        import pyarrow.compute as pc
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(batch.column("part_key"),
+                                      value_set=pa.array(sorted(done_keys), pa.int64())))
+            return batch.filter(mask)
+
+        unified = unified.map_batches(drop_done, batch_format="pyarrow")
+
+    align = AlignGroupFn(cfg, mode=mode, max_rd=max_rd)
+    writer = CellWriter(out_dir, phash)
+
+    def align_and_write(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return CellWriter.EMPTY.empty_table()
+        part_key = int(group.column("part_key")[0].as_py())
+        return writer(part_key, align(group))
+
+    manifest_rows = (unified.groupby("part_key")
+                     .map_groups(align_and_write, batch_format="pyarrow")
+                     .to_pandas())
+    records = manifest_rows.to_dict("records")
+    for r in records:
+        r["cell"] = int(r["cell"])
+        r["part_key"] = int(r["part_key"])
+    append_manifest(out_dir, records)
+    return {
+        "processed_parts": sorted({r["part_key"] for r in records}),
+        "skipped_parts": sorted(done_keys),
+        "rows": int(manifest_rows["rows"].sum()) if len(manifest_rows) else 0,
+        "level": plan.level,
+    }
+
+
+def read_results(out_dir: str) -> ray.data.Dataset:
+    """Read all finished partitions back as one Dataset."""
+    paths = []
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name, "part.parquet")
+        if name.startswith("part=") and os.path.exists(p):
+            paths.append(p)
+    return ray.data.read_parquet(paths)

@@ -1,0 +1,89 @@
+"""Mimics the driver's correctness gate: run each queries() entry and its
+oracle_sql() side-by-side on the same parquet tables; compare row count,
+column names and values (order-insensitive)."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _to_pandas(res):
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype) in ("float32",):
+            df[c] = df[c].astype("float64")
+        if str(df[c].dtype).startswith("int") or str(df[c].dtype).startswith("uint"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+SQL_QUERIES = sorted(entrymod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_oracle(ray_session, con, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    mine = _canon(_to_pandas(q(SF_DIR)))
+    oracle = _canon(con.sql(sql).df())
+    assert list(mine.columns) == list(oracle.columns), \
+        f"columns {list(mine.columns)} != {list(oracle.columns)}"
+    assert len(mine) == len(oracle), f"rows {len(mine)} != {len(oracle)}"
+    for c in mine.columns:
+        a, b = mine[c], oracle[c]
+        if a.dtype == "float64":
+            ok = np.isclose(a.fillna(math.nan), b.fillna(math.nan),
+                            rtol=1e-9, atol=1e-9, equal_nan=True)
+            assert ok.all(), f"{name}.{c}: max diff {np.abs(a - b).max()}"
+        else:
+            assert (a.fillna("<na>").to_numpy() == b.fillna("<na>").to_numpy()).all(), \
+                f"{name}.{c} mismatch"
+
+
+def test_rows_only_queries_run(ray_session):
+    """Every non-SQL query must at least run and produce a stable schema."""
+    qs = entrymod.queries()
+    rows_only = sorted(set(qs) - set(entrymod.oracle_sql()))
+    for name in rows_only:
+        res = qs[name](SF_DIR)
+        df = _to_pandas(res)
+        assert df is not None, name
+        rerun = _to_pandas(qs[name](SF_DIR))
+        assert list(df.columns) == list(rerun.columns), name
+        assert len(df) == len(rerun), name
+
+
+def test_entry_smoke(ray_session):
+    res = entrymod.entry()
+    df = _to_pandas(res)
+    assert len(df) >= 0
+    assert "doc_id" in df.columns
