@@ -57,10 +57,12 @@ def run_headline() -> dict:
     ray.data.read_parquet(f"{fdir}/documents.parquet").count()
     ray.data.read_parquet(f"{fdir}/reference.parquet").count()
 
+    hot = int(os.environ.get("BRDRQ_HOT_THRESHOLD", "48"))
     t0 = time.time()
     out = align_documents(ray.data.read_parquet(f"{fdir}/documents.parquet"),
                           ray.data.read_parquet(f"{fdir}/reference.parquet"),
-                          AlignConfig(relevant_distance=2.0, od_strategy=OD_EXCLUDE))
+                          AlignConfig(relevant_distance=2.0, od_strategy=OD_EXCLUDE),
+                          hot_threshold=hot)
     n_docs = out.count()
     wall = time.time() - t0
     return {"sec": round(wall, 3), "docs": n_docs,

@@ -136,7 +136,30 @@ def _inradius(parts, rd: float = 0.0) -> float:
     return g.inradius_approx(parts, resolution=INRADIUS_RES)
 
 
-def prepare_candidates(theme_parts, candidates):
+def _inradius_with_shortcut(parts, rd_cap: float | None) -> float:
+    """Inradius for relevance decisions, with two cheap exact shortcuts:
+
+    * disc bound: inradius <= sqrt(area / pi); if that is already below any
+      decidable threshold (rd_cap/2 with the smallest grid step) the sampled
+      value cannot change a decision for small regions -> we still sample but
+      over a tiny bbox (cheap anyway);
+    * centroid bound: if the area centroid lies inside and its boundary
+      distance d >= rd_cap/2, then inradius >= d decides 'deep' for every rd
+      in the grid — no sampling needed (the common near-full-parcel case).
+    """
+    if not parts:
+        return 0.0
+    if rd_cap and rd_cap > 0:
+        cx, cy = g.geom_centroid(g.GEOM_POLYGON, parts)
+        pt = np.array([[cx, cy]])
+        if g.points_in_polygon(pt, parts)[0]:
+            d = float(g.points_to_boundary_distance(pt, parts)[0])
+            if d >= rd_cap / 2.0:
+                return d
+    return _inradius(parts)
+
+
+def prepare_candidates(theme_parts, candidates, rd_cap: float | None = None):
     """Precompute everything that does NOT depend on the relevant distance —
     the distance grid multiplies alignments per feature by ~31 (10 cm steps to
     3 m, SURVEY.md section 6), so intersections / areas / inradii are computed
@@ -161,8 +184,8 @@ def prepare_candidates(theme_parts, candidates):
             "inter": inter,
             "ia": ia,
             "overlap_pct": 100.0 * ia / ra if ra > 0 else 0.0,
-            "inr_inter": _inradius(inter),
-            "inr_uncov": _inradius(uncovered) if uncovered else 0.0,
+            "inr_inter": _inradius_with_shortcut(inter, rd_cap),
+            "inr_uncov": _inradius_with_shortcut(uncovered, rd_cap) if uncovered else 0.0,
         })
     if all_ref_parts:
         od_parts = overlay(theme_parts, dissolve(all_ref_parts), "difference")
@@ -202,7 +225,8 @@ def align_one(theme_parts, candidates, rd: float, cfg: AlignConfig) -> ProcessRe
 
     candidates: list of (ref_id, parts). Returns a ProcessResult.
     """
-    prepared, od_parts = prepare_candidates(theme_parts, candidates)
+    prepared, od_parts = prepare_candidates(theme_parts, candidates,
+                                            rd_cap=round_rd(rd))
     return align_prepared(theme_parts, prepared, od_parts, rd, cfg)
 
 
@@ -295,7 +319,8 @@ def evaluate_series(theme_id, theme_parts, candidates, distances, cfg: AlignConf
     n = len(distances)
     if n == 0:
         return [], []
-    prepared, od_parts = prepare_candidates(theme_parts, candidates)
+    prepared, od_parts = prepare_candidates(theme_parts, candidates,
+                                            rd_cap=max(distances))
     fps = [fingerprint_at(prepared, od_parts, rd, cfg) for rd in distances]
 
     # plateaus of equal fingerprints

@@ -46,7 +46,7 @@ def _edges_of(parts):
     out = []
     for rings in parts:
         for r in rings:
-            nxt = np.roll(r, -1, axis=0)
+            nxt = np.concatenate([r[1:], r[:1]])
             for (ax, ay), (bx, by) in zip(r, nxt):
                 if (ax, ay) != (bx, by):
                     out.append((ax, ay, bx, by))

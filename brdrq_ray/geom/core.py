@@ -219,7 +219,10 @@ def ring_signed_area(ring: np.ndarray) -> float:
     if len(ring) < 3:
         return 0.0
     x, y = ring[:, 0], ring[:, 1]
-    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    # shoelace without np.roll (roll allocates + python overhead x2)
+    s = float(x[:-1] @ y[1:] - y[:-1] @ x[1:])
+    s += float(x[-1] * y[0] - y[-1] * x[0])
+    return 0.5 * s
 
 
 def ring_length(ring: np.ndarray, closed: bool = True) -> float:
@@ -346,15 +349,15 @@ def points_in_rings(pts: np.ndarray, rings) -> np.ndarray:
     wn = np.zeros(len(pts), dtype=np.int64)
     px, py = pts[:, 0], pts[:, 1]
     for r in rings:
-        x1, y1 = r[:, 0], r[:, 1]
-        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
-        for i in range(len(r)):
-            a_y, b_y = y1[i], y2[i]
-            a_x, b_x = x1[i], x2[i]
-            cross = (b_x - a_x) * (py - a_y) - (px - a_x) * (b_y - a_y)
-            up = (a_y <= py) & (b_y > py) & (cross > 0)
-            dn = (a_y > py) & (b_y <= py) & (cross < 0)
-            wn += up.astype(np.int64) - dn.astype(np.int64)
+        ax, ay = r[:, 0], r[:, 1]
+        bx = np.concatenate([ax[1:], ax[:1]])
+        by = np.concatenate([ay[1:], ay[:1]])
+        # broadcast edges (E,1) x points (1,K) in one shot
+        cross = ((bx - ax)[:, None] * (py[None, :] - ay[:, None])
+                 - (px[None, :] - ax[:, None]) * (by - ay)[:, None])
+        up = (ay[:, None] <= py[None, :]) & (by[:, None] > py[None, :]) & (cross > 0)
+        dn = (ay[:, None] > py[None, :]) & (by[:, None] <= py[None, :]) & (cross < 0)
+        wn += (up.sum(axis=0) - dn.sum(axis=0)).astype(np.int64)
     return wn
 
 
@@ -374,7 +377,7 @@ def _poly_edges(parts) -> tuple[np.ndarray, np.ndarray]:
     for rings in parts:
         for r in rings:
             a.append(r)
-            b.append(np.roll(r, -1, axis=0))
+            b.append(np.concatenate([r[1:], r[:1]]))
     if not a:
         return np.zeros((0, 2)), np.zeros((0, 2))
     return np.vstack(a), np.vstack(b)
@@ -425,9 +428,12 @@ def inradius_approx(parts, resolution: float, bbox=None) -> float:
     xmin, ymin, xmax, ymax = bbox
     if not np.isfinite(xmin):
         return 0.0
-    res = max(resolution, 1e-3)
-    nx = min(int((xmax - xmin) / res) + 2, 200)
-    ny = min(int((ymax - ymin) / res) + 2, 200)
+    # effective resolution: requested floor, but never more than ~40 cells per
+    # axis — the test is a relevance *classifier*, not a measurement, and
+    # 40x40 sampling keeps the hot path (one call per candidate pair) cheap
+    res = max(resolution, (xmax - xmin) / 40.0, (ymax - ymin) / 40.0, 1e-3)
+    nx = min(int((xmax - xmin) / res) + 2, 64)
+    ny = min(int((ymax - ymin) / res) + 2, 64)
     xs = np.linspace(xmin, xmax, nx)
     ys = np.linspace(ymin, ymax, ny)
     gx, gy = np.meshgrid(xs, ys)

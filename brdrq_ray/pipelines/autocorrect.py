@@ -74,9 +74,12 @@ def plan_tiles(parsed_thematic: ray.data.Dataset, max_rd: float,
     know their data pass it and skip nothing — the histogram is still needed
     for salting)."""
     partials = parsed_thematic.map_batches(_plan_stats_batch, batch_format="pyarrow")
-    agg = partials.groupby("probe_cell").sum("n")
-    hist = agg.to_pandas()
-    max_extent = float(partials.max("max_extent") or 0.0)
+    from ray.data.aggregate import Max, Sum
+    agg = partials.groupby("probe_cell").aggregate(
+        Sum("n", alias_name="sum_n"), Max("max_extent", alias_name="mx"))
+    hist = agg.to_pandas()  # ONE execution of the stats pass
+    hist = hist.rename(columns={"sum_n": "sum(n)"})
+    max_extent = float(hist["mx"].max()) if len(hist) else 0.0
     n_features = int(hist["sum(n)"].sum()) if len(hist) else 0
     level = cell_level if cell_level is not None else tiles.pick_level(max_extent, max_rd)
     level = min(level, PROBE_LEVEL)

@@ -80,13 +80,18 @@ def _stitch_group(group, replace_text: bool):
 
 def align_documents(documents: ray.data.Dataset, reference: ray.data.Dataset,
                     cfg: AlignConfig | None = None, cell_level: int | None = None,
-                    replace_text: bool = True) -> ray.data.Dataset:
+                    replace_text: bool = True,
+                    hot_threshold: int = 256) -> ray.data.Dataset:
     """Explode geometry spans, align them against the reference, stitch the
     documents back preserving span order. Returns (doc_id, spans) with the
-    same schema as the input."""
+    same schema as the input.
+
+    ``hot_threshold`` bounds rows per shuffle group (salted split above it) —
+    it is the parallelism knob: groups >= total geometry spans / threshold."""
     cfg = cfg or AlignConfig()
     geo = documents.map_batches(explode_geometry_spans, batch_format="pyarrow")
-    results = run_alignment(geo, reference, cfg, mode="predict", cell_level=cell_level)
+    results = run_alignment(geo, reference, cfg, mode="predict",
+                            cell_level=cell_level, hot_threshold=hot_threshold)
     aligned = results.map_batches(
         lambda b: emit_wkt(b.select(["theme_id", "result_geom"]), geom_col="result_geom",
                            out_col="aligned_wkt", drop_geom=True),
