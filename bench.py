@@ -53,9 +53,14 @@ def run_headline() -> dict:
     from brdrq_ray.pipelines.documents import align_documents
 
     fdir = _bench_fixture_dir()
-    # warm the page cache so we measure compute + shuffle, not first disk read
+    # warm the page cache AND the Ray worker pool (worker-process spawn is a
+    # per-session fixed cost that must not be charged to the measured run)
     ray.data.read_parquet(f"{fdir}/documents.parquet").count()
     ray.data.read_parquet(f"{fdir}/reference.parquet").count()
+    import numpy as _np
+    (ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4)
+     .map_batches(lambda b: {"x": _np.asarray(b["id"]) * 2}, batch_format="numpy")
+     .count())
 
     hot = int(os.environ.get("BRDRQ_HOT_THRESHOLD", "48"))
     t0 = time.time()

@@ -271,9 +271,12 @@ def align_prepared(theme_parts, prepared, od_parts, rd: float, cfg: AlignConfig)
         result = closing(result, cfg.correction_distance)
 
     pr.result = result
-    pr.result_diff = overlay(theme_parts, result, "symdiff")
+    # symdiff = dissolve of the two one-sided differences (disjoint interiors)
+    # — computes each difference once instead of twice
     pr.result_diff_plus = overlay(result, theme_parts, "difference")
     pr.result_diff_min = overlay(theme_parts, result, "difference")
+    pr.result_diff = dissolve(pr.result_diff_plus + pr.result_diff_min) \
+        if (pr.result_diff_plus or pr.result_diff_min) else []
     pr.relevant_intersection = dissolve(rel_int_pieces) if rel_int_pieces else []
     pr.relevant_diff = dissolve(rel_diff_pieces) if rel_diff_pieces else []
     pr.full_actual = bool(contributions) and all(c[1] == "full" for c in contributions) and not od_used
@@ -343,7 +346,10 @@ def evaluate_series(theme_id, theme_parts, candidates, distances, cfg: AlignConf
     if materialize_all:
         results = [_materialize(i) for i in range(n)]
     else:
-        results = [_materialize(a) for a, _ in plateaus]
+        # materialize only stable plateaus (the prediction candidates) — the
+        # unstable single-rd fingerprints (partial contributions sweeping
+        # with rd) would each cost buffer work for nothing
+        results = [_materialize(a) for a, b in plateaus if (b - a + 1) >= 2 or n == 1]
 
     preds: list[Prediction] = []
     for (a, b) in plateaus:

@@ -60,28 +60,36 @@ def explode_geometry_spans(batch: pa.Table) -> pa.Table:
     })
 
 
-def _stitch_group(group, replace_text: bool):
-    """One document: original spans + aligned geometry for its span indexes."""
-    import pandas as pd  # noqa: F401  (map_groups pandas batch)
-    orig = group[group["side"] == "doc"].iloc[0]
+def _stitch_bucket(group, replace_text: bool):
+    """One hash bucket of documents: merge each doc's aligned geometry spans
+    back into its span list. Bucketing (instead of one group per doc) keeps
+    the shuffle key space small and amortizes per-group call overhead."""
+    docs = group[group["side"] == "doc"]
     aligned = group[group["side"] == "aligned"]
-    repl = dict(zip(aligned["span_idx"].astype(int), aligned["aligned_wkt"]))
-    spans = []
-    for idx, s in enumerate(orig["spans"]):
-        s = dict(s)
-        if replace_text and s["kind"] == "geometry" and idx in repl:
-            s["text"] = repl[idx]
-        spans.append(s)
+    repl = {(d, int(i)): w for d, i, w in zip(aligned["doc_id"],
+                                              aligned["span_idx"],
+                                              aligned["aligned_wkt"])}
+    doc_ids, spans_col = [], []
+    for doc_id, spans in zip(docs["doc_id"], docs["spans"]):
+        out = []
+        for idx, s in enumerate(spans):
+            s = dict(s)
+            if replace_text and s["kind"] == "geometry" and (doc_id, idx) in repl:
+                s["text"] = repl[(doc_id, idx)]
+            out.append(s)
+        doc_ids.append(doc_id)
+        spans_col.append(out)
     # typed Arrow out so the span struct (incl. offset:int32) round-trips
     # byte-identically through the stitch
-    return pa.table({"doc_id": pa.array([orig["doc_id"]], pa.string()),
-                     "spans": pa.array([spans], pa.list_(SPAN_TYPE))})
+    return pa.table({"doc_id": pa.array(doc_ids, pa.string()),
+                     "spans": pa.array(spans_col, pa.list_(SPAN_TYPE))})
 
 
 def align_documents(documents: ray.data.Dataset, reference: ray.data.Dataset,
                     cfg: AlignConfig | None = None, cell_level: int | None = None,
                     replace_text: bool = True,
-                    hot_threshold: int = 256) -> ray.data.Dataset:
+                    hot_threshold: int = 256,
+                    stitch_buckets: int = 64) -> ray.data.Dataset:
     """Explode geometry spans, align them against the reference, stitch the
     documents back preserving span order. Returns (doc_id, spans) with the
     same schema as the input.
@@ -97,6 +105,10 @@ def align_documents(documents: ray.data.Dataset, reference: ray.data.Dataset,
                            out_col="aligned_wkt", drop_geom=True),
         batch_format="pyarrow")
 
+    def _bucket_of(doc_ids):
+        import zlib
+        return [zlib.crc32(d.encode()) % stitch_buckets for d in doc_ids]
+
     def split_key(batch: pa.Table) -> pa.Table:
         tid = batch.column("theme_id").to_pylist()
         doc_ids, span_idx = [], []
@@ -106,6 +118,7 @@ def align_documents(documents: ray.data.Dataset, reference: ray.data.Dataset,
             span_idx.append(int(i))
         return pa.table({
             "side": pa.array(["aligned"] * len(tid)),
+            "bucket": pa.array(_bucket_of(doc_ids), pa.int32()),
             "doc_id": pa.array(doc_ids, pa.string()),
             "span_idx": pa.array(span_idx, pa.int32()),
             "aligned_wkt": batch.column("aligned_wkt"),
@@ -116,9 +129,11 @@ def align_documents(documents: ray.data.Dataset, reference: ray.data.Dataset,
 
     def doc_side(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        ids = batch.column("doc_id").cast(pa.string())
         return pa.table({
             "side": pa.array(["doc"] * n),
-            "doc_id": batch.column("doc_id").cast(pa.string()),
+            "bucket": pa.array(_bucket_of(ids.to_pylist()), pa.int32()),
+            "doc_id": ids,
             "span_idx": pa.nulls(n, pa.int32()),
             "aligned_wkt": pa.nulls(n, pa.string()),
             "spans": batch.column("spans").cast(pa.list_(SPAN_TYPE)),
@@ -127,9 +142,9 @@ def align_documents(documents: ray.data.Dataset, reference: ray.data.Dataset,
     doc_keyed = documents.map_batches(doc_side, batch_format="pyarrow")
 
     def stitch(group):
-        return _stitch_group(group, replace_text)
+        return _stitch_bucket(group, replace_text)
 
-    return doc_keyed.union(aligned_keyed).groupby("doc_id").map_groups(
+    return doc_keyed.union(aligned_keyed).groupby("bucket").map_groups(
         stitch, batch_format="pandas")
 
 
