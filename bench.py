@@ -62,7 +62,11 @@ def run_headline() -> dict:
      .map_batches(lambda b: {"x": _np.asarray(b["id"]) * 2}, batch_format="numpy")
      .count())
 
-    hot = int(os.environ.get("BRDRQ_HOT_THRESHOLD", "48"))
+    # group-size knob: target ~5 shuffle groups per core — enough parallelism
+    # without drowning the driver in tiny group tasks (geometry spans are
+    # roughly 2.2x docs in the synthetic corpus)
+    hot = int(os.environ.get("BRDRQ_HOT_THRESHOLD", "0")) or \
+        max(24, int(BENCH_DOCS * 2.2) // (NUM_CPUS * 5))
     t0 = time.time()
     out = align_documents(ray.data.read_parquet(f"{fdir}/documents.parquet"),
                           ray.data.read_parquet(f"{fdir}/reference.parquet"),

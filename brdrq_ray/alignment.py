@@ -109,6 +109,11 @@ class AlignConfig:
     multi_to_best_prediction: bool = True
     step_cm: int = 10
     no_change_sym_index: float = 0.01   # reference: brdrq_utils.py:1288-1291
+    # processor selection (A9) + line/point snapping (A11); snap fields mirror
+    # plugin/brdrq/brdrq_dockwidget_featurealigner.py:1513-1522
+    processor_id: str = "2024:aligner2024a"
+    snap_strategy: str = "NO_PREFERENCE"
+    snap_max_segment_length: float = 2.0
 
 
 @dataclass

@@ -1,0 +1,104 @@
+"""Geometry-processor registry — the user-extension surface (SURVEY.md
+section 2.10).
+
+The reference selects a strategy object by string id (get_processor_by_id,
+plugin/brdrq/brdrq_utils.py:212-230; enum :102-110): the polygon
+overlap-relevance processor ('2024:aligner2024a'), the vertex-snapping
+processor for lines/points ('2024:snap2024a'), the network processor
+('2024:network2024a', a faster line/point variant), plus two processors the
+reference ships disabled ('2024:dieussaert2024a', '2024:topology2024a').
+
+The engine mirrors that: a registry of kernel callables keyed by the same
+ids; AlignGroupFn instantiates by id. Registering a new processor = one
+``register()`` call with a callable of the common signature."""
+
+from __future__ import annotations
+
+from .geom import core as g
+from .geom.snap import (
+    SNAP_NO_PREFERENCE,
+    SNAP_PREFER_ENDS_AND_ANGLES,
+    snap_geometry,
+)
+
+PROCESSOR_ALIGNER = "2024:aligner2024a"
+PROCESSOR_SNAP = "2024:snap2024a"
+PROCESSOR_NETWORK = "2024:network2024a"
+PROCESSOR_DIEUSSAERT = "2024:dieussaert2024a"
+PROCESSOR_TOPOLOGY = "2024:topology2024a"
+
+_REGISTRY: dict[str, object] = {}
+
+
+def register(processor_id: str, factory):
+    _REGISTRY[processor_id] = factory
+
+
+def get_processor_by_id(processor_id: str):
+    """Mirror of the reference factory: unknown/disabled ids raise with the
+    same intent as the reference's None return + guard."""
+    if processor_id not in _REGISTRY:
+        raise KeyError(f"unknown processor id: {processor_id!r}; "
+                       f"registered: {sorted(_REGISTRY)}")
+    fac = _REGISTRY[processor_id]
+    if fac is None:
+        raise NotImplementedError(
+            f"processor {processor_id!r} is registered but not implemented "
+            "(disabled in the reference UI as well)")
+    return fac
+
+
+class OverlapProcessor:
+    """Polygon relevant-distance processor (the default; semantics in
+    brdrq_ray.alignment)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def align(self, theme_id, kind, theme_parts, candidates, rd):
+        from . import alignment as al
+        if kind != g.GEOM_POLYGON:
+            raise TypeError("OverlapProcessor only handles polygons; "
+                            "use the snap/network processor for lines/points")
+        return al.align_one(theme_parts, candidates, rd, self.cfg)
+
+
+class SnapProcessor:
+    """Line/point vertex-snapping processor (strategy + densification from
+    the config)."""
+
+    strategy_default = SNAP_NO_PREFERENCE
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def align(self, theme_id, kind, theme_parts, candidates, rd):
+        from . import alignment as al
+        ref_parts = [p for _, p in candidates]
+        strategy = getattr(self.cfg, "snap_strategy", None) or self.strategy_default
+        max_seg = getattr(self.cfg, "snap_max_segment_length", 2.0)
+        k2, snapped, n_moved = snap_geometry(kind, theme_parts, ref_parts, rd,
+                                             strategy=strategy,
+                                             max_segment_length=max_seg)
+        pr = al.ProcessResult(rd=al.round_rd(rd))
+        pr.result = snapped
+        pr.remark = f"snapped:{n_moved}"
+        pr.fingerprint = ("snap", n_moved)
+        pr.used_refs = [(rid, "snap") for rid, _ in candidates] if n_moved else []
+        return pr
+
+
+class NetworkProcessor(SnapProcessor):
+    """The reference's network processor is a faster line/point variant
+    (CHANGES.md:134). Engine approximation: snapping with the
+    ends-and-angles preference (reference corners are the network nodes).
+    Documented deviation — frozen as the engine semantic."""
+
+    strategy_default = SNAP_PREFER_ENDS_AND_ANGLES
+
+
+register(PROCESSOR_ALIGNER, OverlapProcessor)
+register(PROCESSOR_SNAP, SnapProcessor)
+register(PROCESSOR_NETWORK, NetworkProcessor)
+register(PROCESSOR_DIEUSSAERT, None)
+register(PROCESSOR_TOPOLOGY, None)

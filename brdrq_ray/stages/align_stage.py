@@ -62,17 +62,16 @@ def _empty_result_table() -> pa.Table:
     return RESULT_SCHEMA.empty_table()
 
 
-def _pack(parts) -> bytes:
-    return g.pack_geom(g.GEOM_POLYGON, parts)
-
-
 def _emit_row(out: dict, theme_id, cell, props, pr: al.ProcessResult,
               theme_area: float, theme_perim: float,
               stability: bool, score: float, count: int, evaluation: str,
-              metadata: str):
-    res_area = g.geom_area(g.GEOM_POLYGON, pr.result)
-    res_perim = g.geom_perimeter(g.GEOM_POLYGON, pr.result)
-    sym = g.geom_area(g.GEOM_POLYGON, pr.result_diff)
+              metadata: str, kind: int = g.GEOM_POLYGON):
+    def _pack(parts) -> bytes:
+        return g.pack_geom(kind, parts)
+
+    res_area = g.geom_area(kind, pr.result)
+    res_perim = g.geom_perimeter(kind, pr.result)
+    sym = g.geom_area(kind, pr.result_diff)
     out["theme_id"].append(str(theme_id))
     out["brdr_id"].append(_brdr_id(theme_id))
     out["brdr_relevant_distance"].append(pr.rd)
@@ -150,11 +149,25 @@ class AlignGroupFn:
                 if j not in ref_parts_cache:
                     ref_parts_cache[j] = g.unpack_geom(ref_geoms[j])[1]
                 candidates.append((ref_ids[j], ref_parts_cache[j]))
-            _, theme_parts = g.unpack_geom(t_geoms[i])
-            theme_area = g.geom_area(g.GEOM_POLYGON, theme_parts)
-            theme_perim = g.geom_perimeter(g.GEOM_POLYGON, theme_parts)
+            t_kind, theme_parts = g.unpack_geom(t_geoms[i])
+            theme_area = g.geom_area(t_kind, theme_parts)
+            theme_perim = g.geom_perimeter(t_kind, theme_parts)
 
-            if self.mode == "predict":
+            if t_kind != g.GEOM_POLYGON:
+                # line/point themes -> snap processor (A9/A11); one row per
+                # feature at the working distance
+                from ..processors import PROCESSOR_SNAP, get_processor_by_id
+                pid = self.cfg.processor_id
+                if pid == "2024:aligner2024a":
+                    pid = PROCESSOR_SNAP  # polygons' default doesn't apply
+                proc = get_processor_by_id(pid)(self.cfg)
+                pr = proc.align(t_ids[i], t_kind, theme_parts, candidates,
+                                self.cfg.relevant_distance)
+                meta = al.build_metadata(t_ids[i], pr.used_refs, versions) if self.add_metadata else ""
+                _emit_row(out, t_ids[i], t_cell[i], t_props[i], pr, theme_area,
+                          theme_perim, True, 100.0, 1, al.EV_NOT_EVALUATED, meta,
+                          kind=t_kind)
+            elif self.mode == "predict":
                 pr = al.align_one(theme_parts, candidates, self.cfg.relevant_distance, self.cfg)
                 meta = al.build_metadata(t_ids[i], pr.used_refs, versions) if self.add_metadata else ""
                 _emit_row(out, t_ids[i], t_cell[i], t_props[i], pr, theme_area,

@@ -1,0 +1,97 @@
+import numpy as np
+import pytest
+
+from brdrq_ray import processors as procs
+from brdrq_ray.alignment import AlignConfig
+from brdrq_ray.geom import core as g
+from brdrq_ray.geom import snap as sn
+
+
+def sq(x0, y0, x1, y1):
+    return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1)], dtype=float)
+
+
+REF = [("P1", [[sq(0, 0, 10, 10)]])]
+
+
+def test_densify():
+    line = np.array([(0.0, 0.0), (10.0, 0.0)])
+    out = sn.densify_line(line, 2.0)
+    assert len(out) == 6
+    assert np.allclose(np.diff(out[:, 0]), 2.0)
+
+
+def test_snap_no_preference_projects_to_boundary():
+    pts = np.array([(5.0, 0.4), (5.0, 5.0)])  # near bottom edge; deep inside
+    kind, parts, moved = sn.snap_geometry(
+        g.GEOM_POINT, [[pts[:1]], [pts[1:]]], [REF[0][1]], rd=1.0,
+        strategy=sn.SNAP_NO_PREFERENCE)
+    assert moved == 1
+    assert np.allclose(parts[0][0][0], (5.0, 0.0))   # projected to edge
+    assert np.allclose(parts[1][0][0], (5.0, 5.0))   # too far -> unchanged
+
+
+def test_snap_prefer_vertices():
+    pts = np.array([(0.5, 0.6)])  # near corner (0,0) and edges
+    kind, parts, moved = sn.snap_geometry(
+        g.GEOM_POINT, [[pts]], [REF[0][1]], rd=1.0,
+        strategy=sn.SNAP_PREFER_VERTICES)
+    assert np.allclose(parts[0][0][0], (0.0, 0.0))   # vertex wins
+
+
+def test_snap_only_vertices_no_target():
+    pts = np.array([(5.0, 0.4)])  # near an edge but no vertex within rd
+    kind, parts, moved = sn.snap_geometry(
+        g.GEOM_POINT, [[pts]], [REF[0][1]], rd=1.0,
+        strategy=sn.SNAP_ONLY_VERTICES)
+    assert moved == 0
+    assert np.allclose(parts[0][0][0], (5.0, 0.4))
+
+
+def test_snap_line_follows_border():
+    # a line roughly along the bottom border, jittered by ~0.3
+    line = np.array([(1.0, 0.3), (4.0, -0.25), (8.0, 0.2), (9.0, -0.3)])
+    kind, parts, moved = sn.snap_geometry(
+        g.GEOM_LINESTRING, [[line]], [REF[0][1]], rd=1.0,
+        strategy=sn.SNAP_NO_PREFERENCE, max_segment_length=2.0)
+    snapped = parts[0][0]
+    assert moved >= 4
+    assert np.abs(snapped[:, 1]).max() < 1e-9  # all on y=0 edge
+
+
+def test_processor_registry():
+    cfg = AlignConfig()
+    assert isinstance(procs.get_processor_by_id("2024:aligner2024a")(cfg),
+                      procs.OverlapProcessor)
+    assert isinstance(procs.get_processor_by_id("2024:network2024a")(cfg),
+                      procs.NetworkProcessor)
+    with pytest.raises(KeyError):
+        procs.get_processor_by_id("nope")
+    with pytest.raises(NotImplementedError):
+        procs.get_processor_by_id("2024:topology2024a")
+
+
+def test_snap_processor_via_align_stage(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.pipelines.autocorrect import run_alignment
+    from brdrq_ray.sources import fixtures as fx
+
+    ref = fx.make_reference_table(nx=8, ny=8, seed=42)
+    # build line themes from jittered reference parcel bottom edges
+    parcels, _ = fx.make_reference_parts(nx=8, ny=8, seed=42)
+    rng = np.random.default_rng(1)
+    ids, wkts = [], []
+    for k, (rid, parts) in enumerate(sorted(parcels.items())[:10]):
+        ring = parts[0][0]
+        line = ring[:3] + rng.uniform(-0.3, 0.3, size=(3, 2))
+        ids.append(f"L{k}")
+        wkts.append(g.to_wkt(g.GEOM_LINESTRING, [[g.snap(line)]]))
+    theme = pa.table({"theme_id": ids, "geometry_wkt": wkts})
+    cfg = AlignConfig(relevant_distance=1.0, snap_strategy="PREFER_VERTICES")
+    res = run_alignment(ray.data.from_arrow(theme), ray.data.from_arrow(ref), cfg)
+    pdf = res.to_pandas()
+    assert len(pdf) == 10
+    assert pdf["brdr_remark"].str.startswith("snapped:").all()
+    assert (pdf["brdr_perimeter"] > 0).all()
+    assert (pdf["brdr_area"] == 0).all()  # lines have no area
