@@ -57,9 +57,19 @@ def run_headline() -> dict:
     # per-session fixed cost that must not be charged to the measured run)
     ray.data.read_parquet(f"{fdir}/documents.parquet").count()
     ray.data.read_parquet(f"{fdir}/reference.parquet").count()
-    import numpy as _np
-    (ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4)
-     .map_batches(lambda b: {"x": _np.asarray(b["id"]) * 2}, batch_format="numpy")
+    def _warm(batch):
+        # pull the heavy imports into every worker process so the measured
+        # run doesn't pay per-worker module import (cluster warm-up cost)
+        import numpy as _np
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+        import brdrq_ray.alignment  # noqa: F401
+        import brdrq_ray.stages.align_stage  # noqa: F401
+        import brdrq_ray.pipelines.documents  # noqa: F401
+        return {"x": _np.asarray(batch["id"]) * 2}
+
+    (ray.data.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8)
+     .map_batches(_warm, batch_format="numpy")
      .count())
 
     # group-size knob: target ~5 shuffle groups per core — enough parallelism
