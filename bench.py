@@ -72,11 +72,12 @@ def run_headline() -> dict:
      .map_batches(_warm, batch_format="numpy")
      .count())
 
-    # group-size knob: target ~5 shuffle groups per core — enough parallelism
-    # without drowning the driver in tiny group tasks (geometry spans are
-    # roughly 2.2x docs in the synthetic corpus)
+    # group-size knob: a FIXED target group count independent of num_cpus so
+    # both scaling runs execute the identical job (~5 groups per core at the
+    # LARGER level; geometry spans are roughly 2.2x docs in this corpus)
+    target_groups = int(os.environ.get("BRDRQ_TARGET_GROUPS", "160"))
     hot = int(os.environ.get("BRDRQ_HOT_THRESHOLD", "0")) or \
-        max(24, int(BENCH_DOCS * 2.2) // (NUM_CPUS * 5))
+        max(24, int(BENCH_DOCS * 2.2) // target_groups)
     t0 = time.time()
     out = align_documents(ray.data.read_parquet(f"{fdir}/documents.parquet"),
                           ray.data.read_parquet(f"{fdir}/reference.parquet"),

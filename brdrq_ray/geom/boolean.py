@@ -248,13 +248,14 @@ def _stitch(directed_edges):
 def _rings_to_parts(rings):
     """Classify stitched rings into shells (CCW) and holes (CW), assign holes
     to the smallest enclosing shell."""
+    from .core import canon_ring
     shells, holes = [], []
     for r in rings:
         a = ring_signed_area(r)
         if abs(a) < SNAP * SNAP:
             continue
-        (shells if a > 0 else holes).append((abs(a), r))
-    shells.sort(key=lambda t: t[0])  # smallest first
+        (shells if a > 0 else holes).append((abs(a), canon_ring(r)))
+    shells.sort(key=lambda t: (t[0], t[1][0, 0], t[1][0, 1]))  # smallest first, stable
     parts = [[s[1]] for s in shells]
     for ha, h in holes:
         # test point: first vertex nudged toward ring centroid

@@ -301,6 +301,18 @@ def geom_centroid(kind: int, parts) -> tuple[float, float]:
 # validity / normalization (the make_valid analog)
 # ---------------------------------------------------------------------------
 
+def canon_ring(ring: np.ndarray) -> np.ndarray:
+    """Rotate a ring so the lexicographically smallest vertex comes first —
+    a canonical representation so equal polygons serialize byte-identically
+    regardless of construction order (bit-stable self-golden outputs)."""
+    if len(ring) < 2:
+        return ring
+    i = int(np.lexsort((ring[:, 1], ring[:, 0]))[0])
+    if i == 0:
+        return ring
+    return np.vstack([ring[i:], ring[:i]])
+
+
 def make_valid(kind: int, parts):
     """Normalize a geometry (our analog of the reference's fixgeometries /
     make_valid, reference: plugin/brdrq/brdrq_utils.py:1536-1547):
@@ -332,7 +344,7 @@ def make_valid(kind: int, parts):
             want_ccw = i == 0
             if (a > 0) != want_ccw:
                 r = r[::-1].copy()
-            fixed.append(r)
+            fixed.append(canon_ring(r))
         if fixed:
             out.append(fixed)
     return kind, out

@@ -144,8 +144,10 @@ class AlignGroupFn:
         for i in range(len(t_idx)):
             cand = np.nonzero((rxmin <= txmax[i] + reach) & (rxmax >= txmin[i] - reach)
                               & (rymin <= tymax[i] + reach) & (rymax >= tymin[i] - reach))[0]
+            # deterministic candidate order (bit-stable outputs regardless of
+            # shuffle row order): sort by ref_id
             candidates = []
-            for j in cand.tolist():
+            for j in sorted(cand.tolist(), key=lambda j: str(ref_ids[j])):
                 if j not in ref_parts_cache:
                     ref_parts_cache[j] = g.unpack_geom(ref_geoms[j])[1]
                 candidates.append((ref_ids[j], ref_parts_cache[j]))
