@@ -41,6 +41,7 @@ def _fixture_dir(sf_dir: str) -> str:
     out = f"/tmp/brdrq_fixtures/{tag}"
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
+        from brdrq_ray.geom import core as g
         from brdrq_ray.sources import fixtures as fx
         os.makedirs(out, exist_ok=True)
         pq.write_table(fx.make_reference_table(nx, nx, seed=42), f"{out}/reference.parquet")
@@ -50,6 +51,18 @@ def _fixture_dir(sf_dir: str) -> str:
                        f"{out}/metadata.parquet")
         pq.write_table(fx.make_documents_table(n_docs=n_docs, nx=nx, ny=nx, seed=42),
                        f"{out}/documents.parquet")
+        # line themes (snap-processor fixture): jittered parcel edge paths
+        parcels, _ = fx.make_reference_parts(nx, nx, seed=42)
+        rng = np.random.default_rng(99)
+        ids, wkts = [], []
+        for k, (rid, parts) in enumerate(sorted(parcels.items())[:max(10, n_feat // 2)]):
+            ring = parts[0][0]
+            line = g.snap(ring[:3] + rng.uniform(-0.3, 0.3, size=(3, 2)))
+            ids.append(f"L{k:04d}")
+            wkts.append(g.to_wkt(g.GEOM_LINESTRING, [[line]]))
+        pq.write_table(pa.table({"theme_id": pa.array(ids, pa.string()),
+                                 "geometry_wkt": pa.array(wkts, pa.string())}),
+                       f"{out}/lines.parquet")
         open(done, "w").close()
     return out
 
@@ -280,6 +293,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["media_ref", "media_type", "byte_len",
                                    "width", "height", "channels"])
 
+    def snap_lines(sf_dir: str):
+        import ray.data
+        from brdrq_ray.alignment import AlignConfig
+        from brdrq_ray.pipelines.autocorrect import run_alignment
+
+        fdir = _fixture_dir(sf_dir)
+        cfg = AlignConfig(relevant_distance=1.0, snap_strategy="PREFER_VERTICES")
+        res = run_alignment(ray.data.read_parquet(f"{fdir}/lines.parquet"),
+                            ray.data.read_parquet(f"{fdir}/reference.parquet"), cfg)
+        res = res.select_columns(["theme_id", "brdr_perimeter", "brdr_remark", "cell"])
+        return _round_floats(res, ["brdr_perimeter"], 4)
+
+    def clip_selection(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.geometry_ops import clip_to_polygon
+        from brdrq_ray.stages.ingest import parse_geometries
+
+        fdir = _fixture_dir(sf_dir)
+        ds = ray.data.read_parquet(f"{fdir}/thematic.parquet").map_batches(
+            parse_geometries, batch_format="pyarrow")
+        clip = "POLYGON ((100000 150000, 100500 150000, 100500 150500, 100000 150500, 100000 150000))"
+        out = clip_to_polygon(ds, clip).select_columns(["theme_id", "clipped_area"])
+        return _round_floats(out, ["clipped_area"], 4)
+
+    def listing_top1000(sf_dir: str):
+        import ray.data
+        ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_totalprice"])
+        return ds.sort(["o_totalprice", "o_orderkey"],
+                       descending=[True, False]).limit(1000)
+
     return {
         # relational / SQL-checkable (SURVEY section 2 operator ids in docstrings)
         "metrics_agg": rel.lineitem_metrics_agg,
@@ -296,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "case_when_bands": rel.case_when_classification,
         "global_minmax": rel.global_minmax,
         "global_revenue": rel.global_revenue,
+        "listing_top1000": listing_top1000,
         # text / dedup / similarity
         "exact_dedup_documents": exact_dedup_documents,
         "token_count": token_count,
@@ -314,6 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autoupdate": autoupdate,
         "correction": correction,
         "buffer_op": buffer_op,
+        "snap_lines": snap_lines,
+        "clip_selection": clip_selection,
     }
 
 
@@ -388,6 +435,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(value) AS min_value, max(value) AS max_value,
                    min(user_id) AS min_user, max(user_id) AS max_user
             FROM events
+        """,
+        "listing_top1000": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 1000
         """,
         "global_revenue": """
             SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)) / 1000.0)

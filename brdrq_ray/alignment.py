@@ -356,11 +356,21 @@ def evaluate_series(theme_id, theme_parts, candidates, distances, cfg: AlignConf
         # with rd) would each cost buffer work for nothing
         results = [_materialize(a) for a, b in plateaus if (b - a + 1) >= 2 or n == 1]
 
-    preds: list[Prediction] = []
+    # D4 (prediction uniqueness, reference CHANGES.md:229): non-adjacent
+    # plateaus with the SAME fingerprint are one prediction — merge them,
+    # keeping the smallest-rd representative and summing stability mass
+    merged: dict = {}
     for (a, b) in plateaus:
         plen = b - a + 1
         if plen < 2 and n > 1:
             continue  # single-point fingerprints are unstable, not predictions
+        if fps[a] in merged:
+            merged[fps[a]] = (merged[fps[a]][0], merged[fps[a]][1] + plen)
+        else:
+            merged[fps[a]] = (a, plen)
+
+    preds: list[Prediction] = []
+    for a, plen in merged.values():
         rep = _materialize(a)
         score = 100.0 * plen / n
         is_full = rep.full_actual
