@@ -125,6 +125,12 @@ def run_job(job: AlignJob) -> dict:
     written = {}
     for slot in slots:
         out_dir = os.path.join(job.workfolder, slot)
+        # overwrite semantics (D5, the reference removes same-named layers
+        # before re-adding, brdrq_utils.py:793-799) — a re-run must not
+        # append duplicate part files
+        if os.path.isdir(out_dir):
+            import shutil
+            shutil.rmtree(out_dir)
         layer = select_result_type(results, slot)
         if not job.add_attributes and "props" in (layer.schema().names or []):
             layer = layer.drop_columns(["props"])
@@ -137,6 +143,9 @@ def run_job(job: AlignJob) -> dict:
                                       if job.combobox_id_theme == "theme_id" else thematic,
                                       results)
         out_dir = os.path.join(job.workfolder, "correction")
+        if os.path.isdir(out_dir):
+            import shutil
+            shutil.rmtree(out_dir)
         corr.write_parquet(out_dir)
         written["correction"] = out_dir
     stats["outputs"] = written
