@@ -317,6 +317,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = clip_to_polygon(ds, clip).select_columns(["theme_id", "clipped_area"])
         return _round_floats(out, ["clipped_area"], 4)
 
+    def window_tumbling(sf_dir: str):
+        from brdrq_ray.functions.windows import tumbling_window_agg
+        return tumbling_window_agg(sf_dir, 60)
+
+    def window_sessions(sf_dir: str):
+        from brdrq_ray.functions.windows import sliding_session_gap
+        return sliding_session_gap(sf_dir, 30)
+
+    def spatial_semi_join(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.spatial_join import intersects_semi_join
+        fdir = _fixture_dir(sf_dir)
+        return intersects_semi_join(
+            ray.data.read_parquet(f"{fdir}/thematic.parquet"),
+            ray.data.read_parquet(f"{fdir}/reference.parquet"))
+
+    def knn_reference(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.spatial_join import knn_reference_lookup
+        fdir = _fixture_dir(sf_dir)
+        return knn_reference_lookup(
+            ray.data.read_parquet(f"{fdir}/thematic.parquet"),
+            ray.data.read_parquet(f"{fdir}/reference.parquet"), k=3)
+
     def listing_top1000(sf_dir: str):
         import ray.data
         ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
@@ -341,6 +365,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_minmax": rel.global_minmax,
         "global_revenue": rel.global_revenue,
         "listing_top1000": listing_top1000,
+        "window_tumbling": window_tumbling,
+        "window_sessions": window_sessions,
+        "spatial_semi_join": spatial_semi_join,
+        "knn_reference": knn_reference,
         # text / dedup / similarity
         "exact_dedup_documents": exact_dedup_documents,
         "token_count": token_count,
@@ -439,6 +467,13 @@ def oracle_sql() -> dict[str, str]:
         "listing_top1000": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1000
+        """,
+        "window_tumbling": """
+            SELECT user_id,
+                   make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                       AS window_start,
+                   count(*) AS n_events, sum(value) AS sum_value
+            FROM events GROUP BY user_id, window_start
         """,
         "global_revenue": """
             SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)) / 1000.0)

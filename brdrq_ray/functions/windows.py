@@ -1,0 +1,72 @@
+"""Window operators over the ordered events log.
+
+The reference is strictly batch (SURVEY.md section 2.9 — no streaming
+operators), but the engine's 100 TB training-data remit includes
+stream-shaped tables. Ray Data has no event-time windows, so windows are
+expressed per the engine's standard shape: partition by key, order by ts
+INSIDE the group, compute the window with vectorized pandas
+(ray_guide 'Streaming-shaped workloads'). The ordering assumption — rows of
+one key fit one group and are sorted there — is the documented contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def tumbling_window_agg(sf_dir: str, window_minutes: int = 60) -> ray.data.Dataset:
+    """Per (user_id, tumbling window): event count + value sum. One groupby
+    on user_id; the window fold is vectorized floor-division on the sorted
+    group."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    w_us = np.int64(window_minutes) * 60 * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        # force microsecond resolution: pandas may hold ns or us depending on
+        # version — epoch arithmetic must not depend on it
+        epoch = g["ts"].astype("datetime64[us]").astype("int64")
+        win = (epoch // w_us) * w_us
+        # emit microsecond-resolution timestamps (matches the parquet/DuckDB
+        # timestamp[us] type; pandas' default ns would drift the schema)
+        out = g.assign(window_start=pd.to_datetime(win, unit="us")
+                       .astype("datetime64[us]")).groupby(
+            "window_start", as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def sliding_session_gap(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Session windows: per user, events closer than `gap` belong to one
+    session; emits (user_id, session_start, n_events, duration_sec)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        epoch = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_session[1:] = np.diff(epoch) > gap_us
+        sid = np.cumsum(new_session)
+        df = pd.DataFrame({"sid": sid, "epoch": epoch})
+        agg = df.groupby("sid").agg(start=("epoch", "min"), end=("epoch", "max"),
+                                    n_events=("epoch", "size")).reset_index(drop=True)
+        return pd.DataFrame({
+            "user_id": g["user_id"].iloc[0],
+            "session_start": pd.to_datetime(agg["start"], unit="us").astype("datetime64[us]"),
+            "n_events": agg["n_events"].astype("int64"),
+            "duration_sec": ((agg["end"] - agg["start"]) / 1_000_000).astype("float64"),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")

@@ -242,6 +242,13 @@ def _stitch(directed_edges):
         if ok and len(path) >= 3:
             ring = np.array([(p[2], p[3]) for p in path], dtype=np.float64)
             rings.append(ring)
+        elif not ok:
+            # dead-end walk (a classification inconsistency at an
+            # ill-conditioned crossing): release the consumed edges so other
+            # walks can still close their rings — degrade locally, never
+            # collapse the whole result. The starting edge stays consumed.
+            for p in path[1:]:
+                used[index[id(p)]] = False
     return _rings_to_parts(rings)
 
 
@@ -280,12 +287,55 @@ def _bbox_disjoint(a_parts, b_parts) -> bool:
     return ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0
 
 
+def _geom_area(parts):
+    from .core import geom_area, GEOM_POLYGON as GP
+    return geom_area(GP, parts)
+
+
+def _plausible(op: str, out, aa: float, ab: float) -> bool:
+    """Coarse area bounds that every correct overlay satisfies — used to
+    detect stitch collapse at ill-conditioned (near-parallel, shallow-angle)
+    crossings, where float intersection points scramble local topology."""
+    ao = _geom_area(out)
+    eps = 1e-6 * (aa + ab) + 1e-9
+    if op == "union":
+        return max(aa, ab) - eps <= ao <= aa + ab + eps
+    if op == "difference":
+        return aa - ab - eps <= ao <= aa + eps
+    if op == "intersection":
+        return ao <= min(aa, ab) + eps
+    return True
+
+
+def _shift(parts, dx: float, dy: float):
+    return [[r + np.array([dx, dy]) for r in rings] for rings in parts]
+
+
 def overlay(a_parts, b_parts, op: str):
     """Boolean op between two multipolygons (parts as in geom.core).
 
     op: 'intersection' | 'union' | 'difference' | 'symdiff'.
     Returns multipolygon parts (shells CCW, holes CW).
+
+    Robustness: if the result violates coarse area bounds (a symptom of an
+    ill-conditioned crossing), the op is retried with B perturbed by a few
+    snap units (epsilon-perturbation fallback, SURVEY.md section 7.4.1) —
+    deterministic, area change bounded by perimeter * 1e-6.
     """
+    out = _overlay_once(a_parts, b_parts, op)
+    if op in ("union", "difference", "intersection"):
+        aa = _geom_area(a_parts)
+        ab = _geom_area(b_parts)
+        if not _plausible(op, out, aa, ab):
+            for k in (1, 2, 5):
+                pert = _shift(b_parts, k * 1e-6, k * 1e-6)
+                out2 = _overlay_once(a_parts, pert, op)
+                if _plausible(op, out2, aa, ab):
+                    return out2
+    return out
+
+
+def _overlay_once(a_parts, b_parts, op: str):
     _, a_parts = make_valid(GEOM_POLYGON, a_parts)
     _, b_parts = make_valid(GEOM_POLYGON, b_parts)
     if not a_parts or not b_parts:

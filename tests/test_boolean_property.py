@@ -1,0 +1,71 @@
+"""Property-based fuzz of the overlay kernel (hypothesis): the area identities
+A∩B + A∖B + B∖A = A∪B and A∩B + A∖B = A must hold for random simple polygons
+(SURVEY.md section 7.2.1 gate)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from brdrq_ray.geom import core as g
+from brdrq_ray.geom.boolean import overlay
+
+
+def star_polygon(cx, cy, radii, angles):
+    """A guaranteed-simple polygon: points at sorted angles around a center."""
+    pts = np.column_stack([cx + radii * np.cos(angles), cy + radii * np.sin(angles)])
+    return [[g.snap(pts)]]
+
+
+def area(parts):
+    return g.geom_area(g.GEOM_POLYGON, parts)
+
+
+poly_strategy = st.builds(
+    lambda seed, cx, cy: _mk(seed, cx, cy),
+    st.integers(0, 10_000),
+    st.floats(-5, 5), st.floats(-5, 5),
+)
+
+
+def _mk(seed, cx, cy):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 14))
+    # evenly spaced angles + bounded jitter: every angular gap stays < pi,
+    # which guarantees the radial polygon is SIMPLE (a free-sorted angle set
+    # can have a gap > pi whose closing edge self-intersects)
+    step = 2 * np.pi / n
+    angles = np.linspace(0, 2 * np.pi, n, endpoint=False) \
+        + rng.uniform(-0.45, 0.45, n) * step
+    radii = rng.uniform(1.5, 6, n)
+    return star_polygon(cx, cy, radii, angles)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pa_=poly_strategy, pb_=poly_strategy)
+def test_area_identities(pa_, pb_):
+    ai = area(overlay(pa_, pb_, "intersection"))
+    d1 = area(overlay(pa_, pb_, "difference"))
+    d2 = area(overlay(pb_, pa_, "difference"))
+    au = area(overlay(pa_, pb_, "union"))
+    assert ai + d1 + d2 == pytest.approx(au, rel=1e-6, abs=1e-5)
+    assert ai + d1 == pytest.approx(area(pa_), rel=1e-6, abs=1e-5)
+    assert ai + d2 == pytest.approx(area(pb_), rel=1e-6, abs=1e-5)
+    # symdiff consistency
+    sd = area(overlay(pa_, pb_, "symdiff"))
+    assert sd == pytest.approx(d1 + d2, rel=1e-6, abs=1e-5)
+
+
+@settings(max_examples=40, deadline=None)
+@given(p=poly_strategy)
+def test_self_overlay(p):
+    assert area(overlay(p, p, "intersection")) == pytest.approx(area(p), rel=1e-9)
+    assert area(overlay(p, p, "difference")) == pytest.approx(0.0, abs=1e-9)
+    assert area(overlay(p, p, "union")) == pytest.approx(area(p), rel=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(p=poly_strategy)
+def test_wkt_roundtrip_preserves_area(p):
+    wkt = g.to_wkt(g.GEOM_POLYGON, p)
+    kind, parts = g.parse_wkt(wkt)
+    assert area(parts) == pytest.approx(area(p), rel=1e-9, abs=1e-9)

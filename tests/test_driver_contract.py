@@ -30,7 +30,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         if str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype("int64")
+            df[c] = df[c].astype("datetime64[us]").astype("int64")
         if str(df[c].dtype) in ("float32",):
             df[c] = df[c].astype("float64")
         if str(df[c].dtype).startswith("int") or str(df[c].dtype).startswith("uint"):
