@@ -25,8 +25,8 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("BRDRQ_BENCH_DOCS", "1500"))
-BENCH_GRID = int(os.environ.get("BRDRQ_BENCH_GRID", "48"))
+BENCH_DOCS = int(os.environ.get("BRDRQ_BENCH_DOCS", "8000"))
+BENCH_GRID = int(os.environ.get("BRDRQ_BENCH_GRID", "64"))
 
 
 def _bench_fixture_dir() -> str:
