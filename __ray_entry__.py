@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_argmax": rel.grouped_argmax_orders,
         "hash_join_broadcast": rel.broadcast_hash_join,
         "hash_join_partitioned": rel.partitioned_hash_join,
+        "hash_join_native": rel.native_hash_join,
         "dup_key_detection": rel.duplicate_key_detection,
         "asof_join": rel.asof_join_events,
         "case_when_bands": rel.case_when_classification,
@@ -439,6 +440,10 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
         """,
         "hash_join_partitioned": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "hash_join_native": """
             SELECT o_orderkey, o_custkey, o_totalprice, c_name
             FROM orders JOIN customer ON o_custkey = c_custkey
         """,

@@ -183,6 +183,17 @@ def partitioned_hash_join(sf_dir: str):
     return tagged.groupby("k").map_groups(join_group, batch_format="pandas")
 
 
+def native_hash_join(sf_dir: str):
+    """J3 via Ray Data's built-in hash-partitioned ``Dataset.join`` (available
+    in this Ray version) — the platform-native alternative to the explicit
+    tagged-union join; same oracle as the broadcast variant."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = orders.join(cust, join_type="inner", num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    return joined.select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_name"])
+
+
 def duplicate_key_detection(sf_dir: str):
     """D3: keys with more than one row (the reference's multi-prediction ->
     TO_REVIEW trigger, plugin/brdrq/brdrq_utils.py:1251-1254)."""
