@@ -177,12 +177,12 @@ def prepare_candidates(theme_parts, candidates, rd_cap: float | None = None):
     all_ref_parts = []
     for ref_id, ref_parts in candidates:
         all_ref_parts.append(ref_parts)
-        inter = overlay(theme_parts, ref_parts, "intersection")
+        inter = overlay(theme_parts, ref_parts, "intersection", validate=False)
         ia = g.geom_area(g.GEOM_POLYGON, inter)
         if ia <= 0:
             continue
         ra = g.geom_area(g.GEOM_POLYGON, ref_parts)
-        uncovered = overlay(ref_parts, theme_parts, "difference")
+        uncovered = overlay(ref_parts, theme_parts, "difference", validate=False)
         prepared.append({
             "ref_id": ref_id,
             "ref_parts": ref_parts,
@@ -193,7 +193,7 @@ def prepare_candidates(theme_parts, candidates, rd_cap: float | None = None):
             "inr_uncov": _inradius_with_shortcut(uncovered, rd_cap) if uncovered else 0.0,
         })
     if all_ref_parts:
-        od_parts = overlay(theme_parts, dissolve(all_ref_parts), "difference")
+        od_parts = overlay(theme_parts, dissolve(all_ref_parts), "difference", validate=False)
     else:
         od_parts = theme_parts
     if od_parts and g.geom_area(g.GEOM_POLYGON, od_parts) <= 1e-6:
@@ -278,8 +278,8 @@ def align_prepared(theme_parts, prepared, od_parts, rd: float, cfg: AlignConfig)
     pr.result = result
     # symdiff = dissolve of the two one-sided differences (disjoint interiors)
     # — computes each difference once instead of twice
-    pr.result_diff_plus = overlay(result, theme_parts, "difference")
-    pr.result_diff_min = overlay(theme_parts, result, "difference")
+    pr.result_diff_plus = overlay(result, theme_parts, "difference", validate=False)
+    pr.result_diff_min = overlay(theme_parts, result, "difference", validate=False)
     pr.result_diff = dissolve(pr.result_diff_plus + pr.result_diff_min) \
         if (pr.result_diff_plus or pr.result_diff_min) else []
     pr.relevant_intersection = dissolve(rel_int_pieces) if rel_int_pieces else []

@@ -311,33 +311,38 @@ def _shift(parts, dx: float, dy: float):
     return [[r + np.array([dx, dy]) for r in rings] for rings in parts]
 
 
-def overlay(a_parts, b_parts, op: str):
+def overlay(a_parts, b_parts, op: str, validate: bool = True):
     """Boolean op between two multipolygons (parts as in geom.core).
 
     op: 'intersection' | 'union' | 'difference' | 'symdiff'.
     Returns multipolygon parts (shells CCW, holes CW).
+
+    ``validate=False`` skips the input re-normalization (make_valid) — safe
+    ONLY for parts that already went through make_valid (the packed-geometry
+    hot path re-validates thousands of already-canonical inputs otherwise).
 
     Robustness: if the result violates coarse area bounds (a symptom of an
     ill-conditioned crossing), the op is retried with B perturbed by a few
     snap units (epsilon-perturbation fallback, SURVEY.md section 7.4.1) —
     deterministic, area change bounded by perimeter * 1e-6.
     """
-    out = _overlay_once(a_parts, b_parts, op)
+    out = _overlay_once(a_parts, b_parts, op, validate)
     if op in ("union", "difference", "intersection"):
         aa = _geom_area(a_parts)
         ab = _geom_area(b_parts)
         if not _plausible(op, out, aa, ab):
             for k in (1, 2, 5):
                 pert = _shift(b_parts, k * 1e-6, k * 1e-6)
-                out2 = _overlay_once(a_parts, pert, op)
+                out2 = _overlay_once(a_parts, pert, op, validate)
                 if _plausible(op, out2, aa, ab):
                     return out2
     return out
 
 
-def _overlay_once(a_parts, b_parts, op: str):
-    _, a_parts = make_valid(GEOM_POLYGON, a_parts)
-    _, b_parts = make_valid(GEOM_POLYGON, b_parts)
+def _overlay_once(a_parts, b_parts, op: str, validate: bool = True):
+    if validate:
+        _, a_parts = make_valid(GEOM_POLYGON, a_parts)
+        _, b_parts = make_valid(GEOM_POLYGON, b_parts)
     if not a_parts or not b_parts:
         if op == "intersection":
             return []
@@ -352,8 +357,8 @@ def _overlay_once(a_parts, b_parts, op: str):
         return a_parts + b_parts
 
     if op == "symdiff":
-        d1 = overlay(a_parts, b_parts, "difference")
-        d2 = overlay(b_parts, a_parts, "difference")
+        d1 = overlay(a_parts, b_parts, "difference", validate=False)
+        d2 = overlay(b_parts, a_parts, "difference", validate=False)
         return dissolve(d1 + d2)
 
     ea = _edges_of(a_parts)
