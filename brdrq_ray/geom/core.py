@@ -101,14 +101,21 @@ _NUM = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
 
 
 def _parse_coord_seq(text: str) -> np.ndarray:
-    """Parse 'x y[ z[ m]], x y, ...' into an (n, 2) array, dropping Z/M."""
-    pts = []
-    for tok in text.split(","):
-        nums = _NUM.findall(tok)
-        if len(nums) < 2:
-            raise ValueError(f"bad coordinate tuple: {tok!r}")
-        pts.append((float(nums[0]), float(nums[1])))
-    return snap(np.array(pts, dtype=np.float64).reshape(-1, 2))
+    """Parse 'x y[ z[ m]], x y, ...' into an (n, 2) array, dropping Z/M.
+
+    Fast path: whitespace-split the whole sequence at once (the ingest parse
+    is a universal hot stage; per-token regex costs ~3x more)."""
+    n_pts = text.count(",") + 1
+    try:
+        arr = np.array(text.replace(",", " ").split(), dtype=np.float64)
+    except ValueError as exc:
+        raise ValueError(f"bad coordinate sequence: {text[:60]!r}") from exc
+    if n_pts == 0 or len(arr) % n_pts != 0:
+        raise ValueError(f"ragged coordinate sequence: {text[:60]!r}")
+    dims = len(arr) // n_pts
+    if dims < 2:
+        raise ValueError(f"bad coordinate tuple in: {text[:60]!r}")
+    return snap(arr.reshape(n_pts, dims)[:, :2])
 
 
 def _split_groups(body: str):
