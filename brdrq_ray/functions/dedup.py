@@ -177,6 +177,67 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
     return cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def duplicate_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b",
+                       rounds: int = 5):
+    """Connected components over near-dup pairs -> (doc_id, cluster_id) with
+    cluster_id = min member id. Distributed min-label propagation: each round
+    every node adopts the minimum label in its 1-hop neighborhood, expressed
+    as a hash join (edges x labels on the neighbor) + groupby-min — all
+    dataset ops, nothing driver-side, so the pair graph can be arbitrarily
+    large. `rounds` must be >= the cluster diameter (near-dup clusters are
+    shallow; 5 covers diameter-32 chains via label shortcutting).
+    """
+    from ray.data.aggregate import Min
+
+    def seed_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_col_a).cast(pa.int64()).combine_chunks()
+        b = batch.column(id_col_b).cast(pa.int64()).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b]),
+                         "nbr": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(seed_edges, batch_format="pyarrow").materialize()
+
+    def seed_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"lnode": batch.column("node"),
+                         "label": batch.column("node")})
+
+    labels = (edges.map_batches(seed_labels, batch_format="pyarrow")
+              .groupby("lnode").aggregate(Min("label", alias_name="label")))
+
+    def edge_side(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("nbr"),
+                         "node": batch.column("node"),
+                         "label": pa.nulls(batch.num_rows, pa.int64())})
+
+    def label_side(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("lnode"),
+                         "node": pa.nulls(batch.num_rows, pa.int64()),
+                         "label": batch.column("label")})
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        # group = one key: its current label + edges wanting that label
+        labs = g["label"].dropna()
+        if labs.empty:
+            return pd.DataFrame({"lnode": [], "label": []})
+        lab = int(labs.min())
+        nodes = g["node"].dropna().astype("int64").tolist()
+        nodes.append(int(g["key"].iloc[0]))  # keep own label too
+        return pd.DataFrame({"lnode": nodes, "label": lab})
+
+    for _ in range(rounds):
+        # message passing: each edge (node, nbr) delivers label(nbr) to node —
+        # expressed as the tagged-union groupby join (no native join: its hash
+        # partitioner trips on empty partitions in iterated pipelines)
+        tagged = (edges.map_batches(edge_side, batch_format="pyarrow")
+                  .union(labels.map_batches(label_side, batch_format="pyarrow")))
+        msgs = tagged.groupby("key").map_groups(propagate, batch_format="pandas")
+        labels = (msgs.groupby("lnode").aggregate(Min("label", alias_name="label"))
+                  .materialize())
+
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

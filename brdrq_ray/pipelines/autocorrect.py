@@ -143,6 +143,16 @@ def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Datas
                       hot_threshold=hot_threshold)
     level = plan.level
     cs = tiles.cell_size(level)
+    # correctness guarantee of the one-shuffle join: a feature's search region
+    # (bbox + 1.01*rd) must stay within one ring of its owner cell. The
+    # derived level satisfies this by construction; an override that breaks it
+    # would silently drop candidates for oversized features — refuse instead.
+    if cell_level is not None and plan.max_extent + 2 * 1.01 * max_rd > 2 * cs:
+        raise ValueError(
+            f"cell_level={cell_level} (cell {cs:.0f} m) violates the "
+            f"co-partition guarantee for max feature extent "
+            f"{plan.max_extent:.0f} m at rd={max_rd}; use level <= "
+            f"{tiles.pick_level(plan.max_extent, max_rd)} or omit cell_level")
     salts = plan.salts
 
     theme_keyed = (parsed_theme

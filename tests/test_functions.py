@@ -161,3 +161,32 @@ def test_analyze_documents_on_testdata(ray_session):
     assert {"ws_tokens", "bpe_tokens", "quality_score", "fingerprint_md5",
             "lang_pred"} <= set(out.columns)
     assert len(out) == pq.read_metadata(DOCS).num_rows
+
+
+def test_duplicate_clusters(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.functions.dedup import duplicate_clusters
+
+    # two clusters {1,2,3,4} (chain) and {10,11}; singleton 99 not in pairs
+    pairs = pa.table({"id_a": pa.array([1, 2, 3, 10], pa.int64()),
+                      "id_b": pa.array([2, 3, 4, 11], pa.int64())})
+    out = duplicate_clusters(ray.data.from_arrow(pairs)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cell_level_override_guard(ray_session):
+    import pytest as _pt
+    import ray.data
+    from brdrq_ray.pipelines.autocorrect import run_alignment
+    from brdrq_ray import alignment as al
+    from brdrq_ray.sources import fixtures as fx
+
+    theme = fx.make_thematic_table(nx=8, ny=8, seed=42, n_features=5)
+    ref = fx.make_reference_table(nx=8, ny=8, seed=42)
+    with _pt.raises(ValueError, match="co-partition guarantee"):
+        # 64 m cells (probe clamp) cannot hold an ~82 m feature + 2*30 m reach
+        run_alignment(ray.data.from_arrow(theme), ray.data.from_arrow(ref),
+                      al.AlignConfig(relevant_distance=30.0),
+                      cell_level=18).count()
