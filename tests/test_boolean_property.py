@@ -74,3 +74,39 @@ def test_wkt_roundtrip_preserves_area(p):
     wkt = g.to_wkt(g.GEOM_POLYGON, p)
     kind, parts = g.parse_wkt(wkt)
     assert area(parts) == pytest.approx(area(p), rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed_a=st.integers(0, 10_000), seed_b=st.integers(0, 10_000))
+def test_area_identities_holes_and_multi(seed_a, seed_b):
+    """Same identities for polygons with holes and multi-part inputs."""
+    def mk(seed):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 12))
+        step = 2 * np.pi / n
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False) + rng.uniform(-.45, .45, n) * step
+        rad = rng.uniform(2, 6, n)
+        cx, cy = rng.uniform(-4, 4, 2)
+        shell = g.snap(np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)]))
+        parts = [[shell]]
+        if rng.random() < 0.5:
+            hr = rng.uniform(0.3, 0.8)
+            hole = g.snap(np.column_stack([cx + hr * np.cos(ang),
+                                           cy + hr * np.sin(ang)]))[::-1].copy()
+            parts = [[shell, hole]]
+        if rng.random() < 0.3:
+            off = rng.uniform(8, 12)
+            parts.append([g.snap(shell + np.array([off, off]))])
+        _, parts = g.make_valid(g.GEOM_POLYGON, parts)
+        return parts
+
+    A, B = mk(seed_a * 2 + 1), mk(seed_b * 2 + 2)
+    ai = area(overlay(A, B, "intersection"))
+    d1 = area(overlay(A, B, "difference"))
+    d2 = area(overlay(B, A, "difference"))
+    au = area(overlay(A, B, "union"))
+    tol = 2e-6 * (g.geom_perimeter(g.GEOM_POLYGON, A)
+                  + g.geom_perimeter(g.GEOM_POLYGON, B)) + 1e-9
+    assert ai + d1 + d2 == pytest.approx(au, rel=1e-6, abs=tol)
+    assert ai + d1 == pytest.approx(area(A), rel=1e-6, abs=tol)
+    assert ai + d2 == pytest.approx(area(B), rel=1e-6, abs=tol)
