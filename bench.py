@@ -142,8 +142,13 @@ def _run_child(ncpu: int, headline_only: bool = True) -> dict:
 
 def main_scaling():
     lo, hi = 8, 32
-    r_lo = _run_child(lo)
-    r_hi = _run_child(hi)
+    reps = int(os.environ.get("BRDRQ_SCALING_REPS", "2"))
+    # best-of-N per level: one slow outlier (OS jitter, page-cache misses)
+    # must not masquerade as super- or sub-linear scaling
+    runs_lo = [_run_child(lo) for _ in range(reps)]
+    runs_hi = [_run_child(hi) for _ in range(reps)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     tp_lo = r_lo["docs_per_sec"]
     tp_hi = r_hi["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
@@ -152,6 +157,8 @@ def main_scaling():
         "value": round(eff, 3),
         "unit": "efficiency",
         "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "sec_8_all": [r["value"] for r in runs_lo],
+        "sec_32_all": [r["value"] for r in runs_hi],
         "docs_per_sec_8": tp_lo, "docs_per_sec_32": tp_hi,
         "docs": r_lo["docs"],
         "sf": SF_DIR,
