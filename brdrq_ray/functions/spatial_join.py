@@ -14,7 +14,7 @@ import ray.data
 from .. import tiles
 from ..geom import core as g
 from ..stages.ingest import parse_geometries
-from ..stages.tiling import assign_owner_cell, explode_cover, salt_reference, salt_theme
+from ..stages.tiling import assign_owner_cell, explode_cover
 
 
 def _tag_and_union(left: ray.data.Dataset, right: ray.data.Dataset,

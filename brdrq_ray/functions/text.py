@@ -16,9 +16,7 @@ import hashlib
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 # a BPE-ish pre-tokenization regex (GPT-2 style pattern family, public):
 # words, numbers, punctuation runs

@@ -32,7 +32,7 @@ import ray.data
 
 from .. import tiles
 from ..alignment import AlignConfig
-from ..stages.align_stage import AlignGroupFn, RESULT_SCHEMA
+from ..stages.align_stage import AlignGroupFn
 from ..stages.ingest import parse_geometries
 from ..stages.tiling import assign_owner_cell, explode_cover, salt_reference, salt_theme
 
