@@ -52,17 +52,49 @@ def _compute():
     return pa.Table.from_pandas(out[COLS], preserve_index=False)
 
 
-def test_golden_bit_stable(ray_session):
-    got = _compute()
-    if not os.path.exists(GOLDEN_PATH):
+GOLDEN_EVAL_PATH = os.path.join(GOLDEN_DIR, "align_evaluate_nx12.parquet")
+
+EVAL_COLS = ["theme_id", "brdr_relevant_distance", "brdr_prediction_score",
+             "brdr_prediction_count", "brdr_evaluation", "brdr_stability",
+             "brdr_full_actual", "cell"]
+
+
+def _compute_eval():
+    import ray.data
+
+    from brdrq_ray import alignment as al
+    from brdrq_ray.pipelines.autocorrect import run_alignment
+    from brdrq_ray.sources import fixtures as fx
+
+    theme = fx.make_thematic_table(nx=12, ny=12, seed=42, n_features=25)
+    ref = fx.make_reference_table(nx=12, ny=12, seed=42)
+    cfg = al.AlignConfig(od_strategy=al.OD_EXCLUDE, max_predictions=4)
+    res = run_alignment(ray.data.from_arrow(theme), ray.data.from_arrow(ref),
+                        cfg, mode="evaluate", max_rd=3.0)
+    out = res.select_columns(EVAL_COLS).to_pandas()
+    out = out.sort_values(["theme_id", "brdr_relevant_distance"]).reset_index(drop=True)
+    out["brdr_prediction_score"] = out["brdr_prediction_score"].round(4)
+    return pa.Table.from_pandas(out[EVAL_COLS], preserve_index=False)
+
+
+def _check_golden(got, path, cols):
+    if not os.path.exists(path):
         os.makedirs(GOLDEN_DIR, exist_ok=True)
-        pq.write_table(got, GOLDEN_PATH)
-        raise AssertionError("golden file created on first run — commit it and re-run")
-    want = pq.read_table(GOLDEN_PATH)
+        pq.write_table(got, path)
+        raise AssertionError(f"golden file {path} created on first run — commit and re-run")
+    want = pq.read_table(path)
     assert got.schema.equals(want.schema), f"{got.schema}\n!=\n{want.schema}"
     assert got.num_rows == want.num_rows
-    for col in COLS:
+    for col in cols:
         assert got.column(col).equals(want.column(col)), f"column {col} drifted"
+
+
+def test_golden_bit_stable(ray_session):
+    _check_golden(_compute(), GOLDEN_PATH, COLS)
+
+
+def test_golden_evaluate_bit_stable(ray_session):
+    _check_golden(_compute_eval(), GOLDEN_EVAL_PATH, EVAL_COLS)
 
 
 if __name__ == "__main__" and "regen" in sys.argv:
