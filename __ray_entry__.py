@@ -33,12 +33,22 @@ _FIXTURE_PARAMS = {
 }
 
 
+def _fixture_version() -> str:
+    """Content hash of the fixture generator — a code change invalidates any
+    cached fixture parquet automatically."""
+    import hashlib
+
+    import brdrq_ray.sources.fixtures as fxmod
+    with open(fxmod.__file__, "rb") as f:
+        return hashlib.sha1(f.read()).hexdigest()[:8]
+
+
 def _fixture_dir(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
     if tag not in _FIXTURE_PARAMS:
         tag = "sf0.01"
     nx, n_feat, n_docs = _FIXTURE_PARAMS[tag]
-    out = f"/tmp/brdrq_fixtures/{tag}"
+    out = f"/tmp/brdrq_fixtures/{tag}-{_fixture_version()}"
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
         from brdrq_ray.geom import core as g

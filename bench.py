@@ -29,10 +29,18 @@ BENCH_DOCS = int(os.environ.get("BRDRQ_BENCH_DOCS", "8000"))
 BENCH_GRID = int(os.environ.get("BRDRQ_BENCH_GRID", "64"))
 
 
+def _fixture_version() -> str:
+    import hashlib
+
+    import brdrq_ray.sources.fixtures as fxmod
+    with open(fxmod.__file__, "rb") as f:
+        return hashlib.sha1(f.read()).hexdigest()[:8]
+
+
 def _bench_fixture_dir() -> str:
     """Deterministic interleaved corpus + reference tessellation for the
-    headline (cached; a pure function of the knobs)."""
-    out = f"/tmp/brdrq_bench/docs{BENCH_DOCS}_grid{BENCH_GRID}"
+    headline (cached; a pure function of the knobs + generator version)."""
+    out = f"/tmp/brdrq_bench/docs{BENCH_DOCS}_grid{BENCH_GRID}_{_fixture_version()}"
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
         import pyarrow.parquet as pq
