@@ -351,6 +351,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(f"{fdir}/thematic.parquet"),
             ray.data.read_parquet(f"{fdir}/reference.parquet"), k=3)
 
+    def rasterize_features(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.raster import rasterize
+        fdir = _fixture_dir(sf_dir)
+        return rasterize(ray.data.read_parquet(f"{fdir}/thematic.parquet"), level=16)
+
+    def vectorize_features(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.raster import rasterize, vectorize
+        fdir = _fixture_dir(sf_dir)
+        occ = rasterize(ray.data.read_parquet(f"{fdir}/thematic.parquet"), level=16)
+        return vectorize(occ).select_columns(["theme_id", "raster_area"])
+
     def listing_top1000(sf_dir: str):
         import ray.data
         ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
@@ -380,6 +393,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sessions": window_sessions,
         "spatial_semi_join": spatial_semi_join,
         "knn_reference": knn_reference,
+        "rasterize": rasterize_features,
+        "vectorize": vectorize_features,
         # text / dedup / similarity
         "exact_dedup_documents": exact_dedup_documents,
         "token_count": token_count,
