@@ -124,10 +124,34 @@ def _split_edges(edges_a, edges_b):
     cuts_a = [[] for _ in edges_a]
     cuts_b = [[] for _ in edges_b]
     ii, jj = np.nonzero(ov)
-    for i, j in zip(ii.tolist(), jj.tolist()):
-        for t, u, x, y in _seg_intersections(edges_a[i], edges_b[j]):
-            cuts_a[i].append((t, x, y))
-            cuts_b[j].append((u, x, y))
+    if len(ii):
+        # vectorized proper-crossing solve over all candidate pairs; the rare
+        # parallel/collinear pairs fall back to the scalar routine
+        ax, ay = A[ii, 0], A[ii, 1]
+        rx, ry = A[ii, 2] - ax, A[ii, 3] - ay
+        cx, cy = B[jj, 0], B[jj, 1]
+        sx, sy = B[jj, 2] - cx, B[jj, 3] - cy
+        denom = rx * sy - ry * sx
+        nz = denom != 0.0
+        qpx, qpy = cx - ax, cy - ay
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(nz, (qpx * sy - qpy * sx) / np.where(nz, denom, 1.0), -1.0)
+            u = np.where(nz, (qpx * ry - qpy * rx) / np.where(nz, denom, 1.0), -1.0)
+        eps = 1e-12
+        hit = nz & (t >= -eps) & (t <= 1 + eps) & (u >= -eps) & (u <= 1 + eps)
+        tc = np.clip(t, 0.0, 1.0)
+        uc = np.clip(u, 0.0, 1.0)
+        xs = ax + tc * rx
+        ys = ay + tc * ry
+        for idx in np.nonzero(hit)[0].tolist():
+            i, j = int(ii[idx]), int(jj[idx])
+            cuts_a[i].append((float(tc[idx]), float(xs[idx]), float(ys[idx])))
+            cuts_b[j].append((float(uc[idx]), float(xs[idx]), float(ys[idx])))
+        for idx in np.nonzero(~nz)[0].tolist():
+            i, j = int(ii[idx]), int(jj[idx])
+            for t1, u1, x, y in _seg_intersections(edges_a[i], edges_b[j]):
+                cuts_a[i].append((t1, x, y))
+                cuts_b[j].append((u1, x, y))
     out_a = [list(e) + [c] for e, c in zip(edges_a, cuts_a)]
     out_b = [list(e) + [c] for e, c in zip(edges_b, cuts_b)]
     return out_a, out_b
