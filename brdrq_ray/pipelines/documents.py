@@ -89,17 +89,31 @@ def align_documents(documents: ray.data.Dataset, reference: ray.data.Dataset,
                     cfg: AlignConfig | None = None, cell_level: int | None = None,
                     replace_text: bool = True,
                     hot_threshold: int = 256,
-                    stitch_buckets: int = 64) -> ray.data.Dataset:
+                    stitch_buckets: int = 64,
+                    mode: str = "predict",
+                    max_rd: float | None = None) -> ray.data.Dataset:
     """Explode geometry spans, align them against the reference, stitch the
     documents back preserving span order. Returns (doc_id, spans) with the
     same schema as the input.
 
     ``hot_threshold`` bounds rows per shuffle group (salted split above it) —
-    it is the parallelism knob: groups >= total geometry spans / threshold."""
+    it is the parallelism knob: groups >= total geometry spans / threshold.
+
+    ``mode``: 'predict' aligns every span at cfg.relevant_distance;
+    'evaluate_best' runs the full stability scan per span and stitches the
+    single best prediction (auto-tuned relevant distance per span — the
+    reference's PREDICTIONS=BEST strategy, brdrq_algorithm_common.py:123-130)."""
     cfg = cfg or AlignConfig()
     geo = documents.map_batches(explode_geometry_spans, batch_format="pyarrow")
-    results = run_alignment(geo, reference, cfg, mode="predict",
-                            cell_level=cell_level, hot_threshold=hot_threshold)
+    if mode == "evaluate_best":
+        from dataclasses import replace
+        cfg_best = replace(cfg, max_predictions=1, multi_to_best_prediction=True)
+        results = run_alignment(geo, reference, cfg_best, mode="evaluate",
+                                max_rd=max_rd if max_rd else cfg.relevant_distance,
+                                cell_level=cell_level, hot_threshold=hot_threshold)
+    else:
+        results = run_alignment(geo, reference, cfg, mode="predict",
+                                cell_level=cell_level, hot_threshold=hot_threshold)
     aligned = results.map_batches(
         lambda b: emit_wkt(b.select(["theme_id", "result_geom"]), geom_col="result_geom",
                            out_col="aligned_wkt", drop_geom=True),

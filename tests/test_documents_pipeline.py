@@ -67,3 +67,26 @@ def test_align_documents_verification_mode(ray_session, doc_tables):
     b = before.sort_values(key).reset_index(drop=True)
     # full byte-equality incl. geometry text in verification mode
     assert a.equals(b)
+
+
+def test_align_documents_evaluate_best(ray_session, doc_tables):
+    import ray.data
+    from brdrq_ray.pipelines.documents import align_documents, span_sequence_table
+
+    docs, ref = doc_tables
+    cfg = al.AlignConfig(od_strategy=al.OD_EXCLUDE)
+    out = align_documents(ray.data.from_arrow(docs), ray.data.from_arrow(ref),
+                          cfg, mode="evaluate_best", max_rd=3.0)
+    out_tbl = out.to_pandas()
+    assert len(out_tbl) == docs.num_rows
+    # invariant still holds: non-geometry spans untouched, order preserved
+    import pyarrow as pa
+    before = span_sequence_table(ray.data.from_arrow(docs)).to_pandas()
+    after = span_sequence_table(
+        ray.data.from_arrow(pa.Table.from_pandas(out_tbl))).to_pandas()
+    key = ["doc_id", "span_idx"]
+    b = before.sort_values(key).reset_index(drop=True)
+    a = after.sort_values(key).reset_index(drop=True)
+    assert (a["kind"] == b["kind"]).all()
+    non_geo = b["kind"] != "geometry"
+    assert (a.loc[non_geo, "text"] == b.loc[non_geo, "text"]).all()
