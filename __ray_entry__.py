@@ -351,6 +351,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(f"{fdir}/thematic.parquet"),
             ray.data.read_parquet(f"{fdir}/reference.parquet"), k=3)
 
+    def diff_metrics_series(sf_dir: str):
+        import ray.data
+        from brdrq_ray.alignment import AlignConfig, OD_EXCLUDE
+        from brdrq_ray.functions.geometry_ops import difference_metrics
+        from brdrq_ray.pipelines.autocorrect import run_alignment
+
+        fdir = _fixture_dir(sf_dir)
+        res = run_alignment(ray.data.read_parquet(f"{fdir}/thematic.parquet"),
+                            ray.data.read_parquet(f"{fdir}/reference.parquet"),
+                            AlignConfig(od_strategy=OD_EXCLUDE, max_predictions=-1),
+                            mode="evaluate_all", max_rd=2.0)
+        series = difference_metrics(res)
+
+        def jsonify(t: pa.Table) -> pa.Table:
+            import json
+            return pa.table({
+                "theme_id": t.column("theme_id"),
+                "distances": pa.array([json.dumps(v) for v in t.column("distances").to_pylist()], pa.string()),
+                "sym_diff_areas": pa.array([json.dumps(v) for v in t.column("sym_diff_areas").to_pylist()], pa.string()),
+            })
+
+        return series.map_batches(jsonify, batch_format="pyarrow")
+
     def rasterize_features(sf_dir: str):
         import ray.data
         from brdrq_ray.functions.raster import rasterize
@@ -395,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_reference": knn_reference,
         "rasterize": rasterize_features,
         "vectorize": vectorize_features,
+        "diff_metrics_series": diff_metrics_series,
         # text / dedup / similarity
         "exact_dedup_documents": exact_dedup_documents,
         "token_count": token_count,

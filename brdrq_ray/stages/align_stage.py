@@ -177,12 +177,24 @@ class AlignGroupFn:
             else:  # evaluate over the (possibly escalated, M14) distance grid
                 step = max(self.cfg.step_cm, al.escalated_step_cm(theme_area, self.max_rd))
                 grid = al.distance_grid(self.max_rd, step_cm=step)
-                _, preds = al.evaluate_series(t_ids[i], theme_parts, candidates, grid, self.cfg)
-                for p in preds:
-                    meta = al.build_metadata(t_ids[i], p.pr.used_refs, versions) if self.add_metadata else ""
-                    _emit_row(out, t_ids[i], t_cell[i], t_props[i], p.pr, theme_area,
-                              theme_perim, p.stability, p.score, p.prediction_count,
-                              p.evaluation, meta)
+                want_all = self.mode == "evaluate_all"  # PROCESSRESULTS: one
+                # row per grid distance (the reference's non-predictions
+                # result_type; feeds the A7 diff-metrics series)
+                results, preds = al.evaluate_series(t_ids[i], theme_parts,
+                                                    candidates, grid, self.cfg,
+                                                    materialize_all=want_all)
+                if want_all:
+                    for pr in results:
+                        meta = al.build_metadata(t_ids[i], pr.used_refs, versions) if self.add_metadata else ""
+                        _emit_row(out, t_ids[i], t_cell[i], t_props[i], pr, theme_area,
+                                  theme_perim, False, 0.0, len(preds),
+                                  al.EV_NOT_EVALUATED, meta)
+                else:
+                    for p in preds:
+                        meta = al.build_metadata(t_ids[i], p.pr.used_refs, versions) if self.add_metadata else ""
+                        _emit_row(out, t_ids[i], t_cell[i], t_props[i], p.pr, theme_area,
+                                  theme_perim, p.stability, p.score, p.prediction_count,
+                                  p.evaluation, meta)
         if not out["theme_id"]:
             return _empty_result_table()
         return pa.table(out, schema=RESULT_SCHEMA)
