@@ -90,3 +90,28 @@ def test_align_documents_evaluate_best(ray_session, doc_tables):
     assert (a["kind"] == b["kind"]).all()
     non_geo = b["kind"] != "geometry"
     assert (a.loc[non_geo, "text"] == b.loc[non_geo, "text"]).all()
+
+
+def test_documents_with_line_spans(ray_session, doc_tables):
+    """Geometry spans carrying LINESTRING WKT route through the snap
+    processor and stitch back in place."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.pipelines.documents import SPAN_TYPE, align_documents
+
+    _, ref = doc_tables
+    line_wkt = "LINESTRING (100100 150100, 100140 150100.4, 100180 150099.7)"
+    spans = [[{"kind": "text", "text": "before", "media_ref": "", "offset": 0},
+              {"kind": "geometry", "text": line_wkt, "media_ref": "", "offset": 6},
+              {"kind": "media", "text": "", "media_ref": "m://x", "offset": 60}]]
+    docs = pa.table({"doc_id": pa.array(["line-doc"], pa.string()),
+                     "spans": pa.array(spans, pa.list_(SPAN_TYPE))})
+    out = align_documents(ray.data.from_arrow(docs), ray.data.from_arrow(ref),
+                          al.AlignConfig(relevant_distance=1.0)).to_pandas()
+    assert len(out) == 1
+    got = out.iloc[0]["spans"]
+    assert got[0]["text"] == "before"
+    assert got[1]["kind"] == "geometry"
+    assert got[1]["text"].startswith("MULTILINESTRING")
+    assert got[2]["media_ref"] == "m://x"
