@@ -446,10 +446,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "metrics_agg": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-                   sum(l_quantity) / count(*) AS avg_qty,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 6) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -51,13 +51,15 @@ def lineitem_metrics_agg(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # rounded to fixed decimals so the partial-sum association order can
+        # never flip a bit against the sequential-sum oracle
         return pd.DataFrame({
             "l_returnflag": [g["l_returnflag"].iloc[0]],
             "l_linestatus": [g["l_linestatus"].iloc[0]],
-            "sum_qty": [g["sum_qty"].sum()],
-            "sum_base_price": [g["sum_base_price"].sum()],
-            "sum_disc_price": [g["sum_disc_price"].sum()],
-            "avg_qty": [g["sum_qty"].sum() / g["count_order"].sum()],
+            "sum_qty": [round(g["sum_qty"].sum(), 2)],
+            "sum_base_price": [round(g["sum_base_price"].sum(), 2)],
+            "sum_disc_price": [round(g["sum_disc_price"].sum(), 2)],
+            "avg_qty": [round(g["sum_qty"].sum() / g["count_order"].sum(), 6)],
             "count_order": [int(g["count_order"].sum())],
         })
 
