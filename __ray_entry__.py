@@ -526,7 +526,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
                        AS window_start,
-                   count(*) AS n_events, sum(value) AS sum_value
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY user_id, window_start
         """,
         "global_revenue": """

@@ -40,6 +40,8 @@ def tumbling_window_agg(sf_dir: str, window_minutes: int = 60) -> ray.data.Datas
             n_events=("value", "size"), sum_value=("value", "sum"))
         out.insert(0, "user_id", g["user_id"].iloc[0])
         out["n_events"] = out["n_events"].astype("int64")
+        # fixed decimals so float summation order can't flip a bit vs oracle
+        out["sum_value"] = out["sum_value"].round(6)
         return out
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
