@@ -99,6 +99,59 @@ class ImageDecodeStage:
                 .append_column("features", pa.array(feats, pa.list_(pa.float64()))))
 
 
+class ImageResizeStage:
+    """image binary -> 'resized' payload + new dims (STUB: real resize needs
+    PIL; the fake path emits a deterministic payload of the scaled size so
+    batch sizing / schema / memory behavior downstream are realistic)."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224, fake: bool = False):
+        self.tw, self.th = target_w, target_h
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, widths, heights = [], [], []
+        for payload in batch.column("payload").to_pylist():
+            if not self.fake:
+                raise NotImplementedError(
+                    "image resize requires PIL/opencv — run with fake=True")
+            h = hashlib.blake2b(payload + b"resize", digest_size=32).digest()
+            size = max(64, (self.tw * self.th) // 256)
+            payloads.append((h * ((size // len(h)) + 1))[:size])
+            widths.append(self.tw)
+            heights.append(self.th)
+        idx = batch.column_names.index("payload")
+        out = batch.set_column(idx, "payload", pa.array(payloads, pa.binary()))
+        return (out.append_column("width", pa.array(widths, pa.int32()))
+                   .append_column("height", pa.array(heights, pa.int32())))
+
+
+class AudioFeatureStage:
+    """audio binary -> fixed-size feature vector (mel-spectrogram stand-in).
+    STUB: real decode needs an audio codec; fake=True derives deterministic
+    pseudo-features from the payload bytes."""
+
+    def __init__(self, fake: bool = False, n_mels: int = 32):
+        self.fake = fake
+        self.n_mels = n_mels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, durs = [], []
+        for payload in batch.column("payload").to_pylist():
+            if not self.fake:
+                raise NotImplementedError(
+                    "audio decode requires soundfile/ffmpeg — use fake=True")
+            need = self.n_mels * 4
+            h = b"".join(hashlib.blake2b(payload + bytes([i]), digest_size=64).digest()
+                         for i in range((need + 63) // 64))[:need]
+            import numpy as _np
+            v = _np.frombuffer(h, dtype=_np.uint32).astype(_np.float64) / 2**32
+            feats.append(v.tolist())
+            durs.append(round(len(payload) / 16000.0, 6))
+        return (batch.drop_columns(["payload"])
+                .append_column("duration_sec", pa.array(durs, pa.float64()))
+                .append_column("mel_features", pa.array(feats, pa.list_(pa.float64()))))
+
+
 class FrameSampleStage:
     """video binary -> n_frames sampled 'frames' (stub: deterministic frame
     fingerprints). Output one row per sampled frame — media analog of the

@@ -190,3 +190,26 @@ def test_cell_level_override_guard(ray_session):
         run_alignment(ray.data.from_arrow(theme), ray.data.from_arrow(ref),
                       al.AlignConfig(relevant_distance=30.0),
                       cell_level=18).count()
+
+
+def test_multimodal_resize_and_audio(ray_session):
+    import ray.data
+    from brdrq_ray.functions.multimodal import (
+        AudioFeatureStage, ImageResizeStage, synthesize_media_table)
+
+    refs = [f"media://img/{i}.jpg" for i in range(6)] + \
+           [f"media://snd/{i}.wav" for i in range(4)]
+    media = synthesize_media_table(refs)
+    imgs = media.filter(pa.compute.equal(media.column("media_type"), "image"))
+    resized = ray.data.from_arrow(imgs).map_batches(
+        ImageResizeStage, fn_constructor_kwargs=dict(fake=True, target_w=128, target_h=96),
+        batch_format="pyarrow", batch_size=4, concurrency=(1, 2)).to_pandas()
+    assert (resized["width"] == 128).all() and (resized["height"] == 96).all()
+    auds = media.filter(pa.compute.equal(media.column("media_type"), "audio"))
+    feats = ray.data.from_arrow(auds).map_batches(
+        AudioFeatureStage, fn_constructor_kwargs=dict(fake=True),
+        batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
+    assert feats["mel_features"].map(len).eq(32).all()
+    assert (feats["duration_sec"] > 0).all()
+    with pytest.raises(NotImplementedError):
+        ImageResizeStage(fake=False)(imgs)
