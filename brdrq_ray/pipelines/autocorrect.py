@@ -133,9 +133,14 @@ def _part_key(batch: pa.Table) -> pa.Table:
 
 def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Dataset,
                            max_rd: float, cell_level: int | None = None,
-                           hot_threshold: int = 512):
-    """Parse both sides, pick the tile plan, tag cells/salts, return the
-    unified keyed dataset + plan."""
+                           hot_threshold: int = 512,
+                           broadcast_reference: bool | None = None,
+                           broadcast_limit: int = 250_000):
+    """Parse both sides, pick the tile plan, tag cells/salts. Returns
+    (unified_keyed_dataset, plan, ref_broadcast_handle_or_None) — the handle
+    is set when the small-reference broadcast fast path was taken (auto below
+    ``broadcast_limit`` rows; pass broadcast_reference=False to force the
+    shuffle path)."""
     parsed_theme = thematic.map_batches(parse_geometries, batch_format="pyarrow")
     parsed_ref = reference.map_batches(parse_geometries, batch_format="pyarrow")
 
@@ -159,28 +164,69 @@ def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Datas
                    .map_batches(lambda b: assign_owner_cell(b, level), batch_format="pyarrow")
                    .map_batches(lambda b: salt_theme(b, salts), batch_format="pyarrow")
                    .map_batches(lambda b: _unify(b, "theme"), batch_format="pyarrow"))
+
+    # hybrid join strategy (ray_guide 'Joins and lookups'): a SMALL reference
+    # is broadcast as per-cell slices (ray.put once, read per group — the
+    # shuffle then moves theme rows only); a large reference is replicated
+    # through the shuffle to its cover + one ring (the 100 TB path).
+    if broadcast_reference is None:
+        try:
+            n_ref = reference.count()  # parquet metadata count: cheap
+        except Exception:
+            n_ref = None
+        broadcast_reference = n_ref is not None and n_ref <= broadcast_limit
+
+    if broadcast_reference:
+        import ray as _ray
+        ref_tbl = pa.Table.from_pandas(
+            (parsed_ref
+             .map_batches(lambda b: explode_cover(b, level, expand=cs), batch_format="pyarrow")
+             .map_batches(lambda b: _unify(b, "ref"), batch_format="pyarrow")
+             ).to_pandas(), preserve_index=False)
+        slices: dict[int, dict] = {}
+        cells = ref_tbl.column("cell").to_numpy()
+        order = np.argsort(cells, kind="stable")
+        import itertools
+        for cell, grp_idx in itertools.groupby(order.tolist(), key=lambda i: int(cells[i])):
+            idx = list(grp_idx)
+            sub = ref_tbl.take(pa.array(idx, pa.int64()))
+            slices[cell] = {
+                "ref_id": sub.column("ref_id").to_pylist(),
+                "geom": sub.column("geom").to_pylist(),
+                "version_date": sub.column("version_date").to_pylist(),
+                "xmin": sub.column("xmin").to_numpy(zero_copy_only=False),
+                "ymin": sub.column("ymin").to_numpy(zero_copy_only=False),
+                "xmax": sub.column("xmax").to_numpy(zero_copy_only=False),
+                "ymax": sub.column("ymax").to_numpy(zero_copy_only=False),
+            }
+        ref_handle = _ray.put(slices)
+        unified = theme_keyed.map_batches(_part_key, batch_format="pyarrow")
+        return unified, plan, ref_handle
+
     # reference: cover + one ring (see stages.tiling docstring for the proof)
     ref_keyed = (parsed_ref
                  .map_batches(lambda b: explode_cover(b, level, expand=cs), batch_format="pyarrow")
                  .map_batches(lambda b: salt_reference(b, salts), batch_format="pyarrow")
                  .map_batches(lambda b: _unify(b, "ref"), batch_format="pyarrow"))
     unified = theme_keyed.union(ref_keyed).map_batches(_part_key, batch_format="pyarrow")
-    return unified, plan
+    return unified, plan, None
 
 
 def run_alignment(thematic: ray.data.Dataset, reference: ray.data.Dataset,
                   cfg: AlignConfig | None = None, mode: str = "predict",
                   max_rd: float | None = None, cell_level: int | None = None,
-                  hot_threshold: int = 512, add_metadata: bool = True) -> ray.data.Dataset:
+                  hot_threshold: int = 512, add_metadata: bool = True,
+                  broadcast_reference: bool | None = None) -> ray.data.Dataset:
     """AutocorrectBorders core: returns the flat result table (one row per
     (theme_id, relevant_distance) in 'predict' mode, one per prediction in
     'evaluate' mode) with the brdr_* schema of SURVEY.md section 1.3."""
     cfg = cfg or AlignConfig()
     max_rd = max_rd if max_rd is not None else cfg.relevant_distance
-    unified, plan = prepare_aligned_inputs(thematic, reference, max_rd,
-                                           cell_level=cell_level,
-                                           hot_threshold=hot_threshold)
-    fn = AlignGroupFn(cfg, mode=mode, max_rd=max_rd, add_metadata=add_metadata)
+    unified, plan, ref_handle = prepare_aligned_inputs(
+        thematic, reference, max_rd, cell_level=cell_level,
+        hot_threshold=hot_threshold, broadcast_reference=broadcast_reference)
+    fn = AlignGroupFn(cfg, mode=mode, max_rd=max_rd, add_metadata=add_metadata,
+                      ref_broadcast=ref_handle)
 
     def align_group(group: pa.Table) -> pa.Table:
         return fn(group)

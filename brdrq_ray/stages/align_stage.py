@@ -104,11 +104,20 @@ class AlignGroupFn:
     actor/task with the job config; ``__call__`` processes one tile group."""
 
     def __init__(self, cfg: al.AlignConfig, mode: str = "predict",
-                 max_rd: float | None = None, add_metadata: bool = True):
+                 max_rd: float | None = None, add_metadata: bool = True,
+                 ref_broadcast=None):
         self.cfg = cfg
         self.mode = mode
         self.max_rd = max_rd if max_rd is not None else cfg.relevant_distance
         self.add_metadata = add_metadata
+        self.ref_broadcast = ref_broadcast
+        self._slices = None
+
+    def _broadcast_slices(self):
+        if self._slices is None:
+            import ray as _ray
+            self._slices = _ray.get(self.ref_broadcast)
+        return self._slices
 
     def __call__(self, group: pa.Table) -> pa.Table:
         side = np.asarray(group.column("side").to_pylist())
@@ -117,14 +126,29 @@ class AlignGroupFn:
         if not is_theme.any():
             return _empty_result_table()
 
-        ref_idx = np.nonzero(is_ref)[0]
-        ref_ids = group.column("ref_id").take(pa.array(ref_idx)).to_pylist()
-        ref_geoms = group.column("geom").take(pa.array(ref_idx)).to_pylist()
-        ref_vers = group.column("version_date").take(pa.array(ref_idx)).to_pylist()
-        rxmin = group.column("xmin").to_numpy(zero_copy_only=False)[ref_idx]
-        rxmax = group.column("xmax").to_numpy(zero_copy_only=False)[ref_idx]
-        rymin = group.column("ymin").to_numpy(zero_copy_only=False)[ref_idx]
-        rymax = group.column("ymax").to_numpy(zero_copy_only=False)[ref_idx]
+        if self.ref_broadcast is not None:
+            # broadcast fast path: the reference slice for this group's cell
+            # comes from the object store (shipped once), not the shuffle
+            cell = int(group.column("cell")[int(np.nonzero(is_theme)[0][0])].as_py())
+            sl = self._broadcast_slices().get(cell)
+            if sl is None:
+                sl = {"ref_id": [], "geom": [], "version_date": [],
+                      "xmin": np.array([]), "ymin": np.array([]),
+                      "xmax": np.array([]), "ymax": np.array([])}
+            ref_ids = sl["ref_id"]
+            ref_geoms = sl["geom"]
+            ref_vers = sl["version_date"]
+            rxmin, rxmax = sl["xmin"], sl["xmax"]
+            rymin, rymax = sl["ymin"], sl["ymax"]
+        else:
+            ref_idx = np.nonzero(is_ref)[0]
+            ref_ids = group.column("ref_id").take(pa.array(ref_idx)).to_pylist()
+            ref_geoms = group.column("geom").take(pa.array(ref_idx)).to_pylist()
+            ref_vers = group.column("version_date").take(pa.array(ref_idx)).to_pylist()
+            rxmin = group.column("xmin").to_numpy(zero_copy_only=False)[ref_idx]
+            rxmax = group.column("xmax").to_numpy(zero_copy_only=False)[ref_idx]
+            rymin = group.column("ymin").to_numpy(zero_copy_only=False)[ref_idx]
+            rymax = group.column("ymax").to_numpy(zero_copy_only=False)[ref_idx]
         ref_parts_cache: dict[int, list] = {}
         versions = {rid: v for rid, v in zip(ref_ids, ref_vers) if v}
 

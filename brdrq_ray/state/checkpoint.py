@@ -115,8 +115,9 @@ def run_alignment_checkpointed(thematic, reference, out_dir: str, cfg=None,
     done = read_manifest(out_dir, phash)
     done_keys = set(done)
 
-    unified, plan = prepare_aligned_inputs(thematic, reference, max_rd,
-                                           cell_level=cell_level)
+    unified, plan, ref_handle = prepare_aligned_inputs(thematic, reference,
+                                                       max_rd,
+                                                       cell_level=cell_level)
     if done_keys:
         import pyarrow.compute as pc
 
@@ -127,7 +128,7 @@ def run_alignment_checkpointed(thematic, reference, out_dir: str, cfg=None,
 
         unified = unified.map_batches(drop_done, batch_format="pyarrow")
 
-    align = AlignGroupFn(cfg, mode=mode, max_rd=max_rd)
+    align = AlignGroupFn(cfg, mode=mode, max_rd=max_rd, ref_broadcast=ref_handle)
     writer = CellWriter(out_dir, phash)
 
     def align_and_write(group: pa.Table) -> pa.Table:

@@ -81,3 +81,23 @@ def test_alignment_pipeline_evaluate(ray_session, synth_tables):
     counts = pdf.groupby("theme_id").size()
     reported = pdf.groupby("theme_id")["brdr_prediction_count"].first()
     assert (counts == reported).all()
+
+
+def test_shuffle_and_broadcast_paths_agree(ray_session, synth_tables):
+    """The 100-TB shuffle-replication path and the small-reference broadcast
+    fast path must produce identical results."""
+    import ray.data
+    from brdrq_ray.pipelines.autocorrect import run_alignment
+
+    theme, ref = synth_tables
+    cfg = al.AlignConfig(relevant_distance=2.0, od_strategy=al.OD_EXCLUDE)
+    a = run_alignment(ray.data.from_arrow(theme), ray.data.from_arrow(ref),
+                      cfg, broadcast_reference=False).to_pandas()
+    b = run_alignment(ray.data.from_arrow(theme), ray.data.from_arrow(ref),
+                      cfg, broadcast_reference=True).to_pandas()
+    a = a.sort_values("theme_id").reset_index(drop=True)
+    b = b.sort_values("theme_id").reset_index(drop=True)
+    assert (a["theme_id"] == b["theme_id"]).all()
+    assert (a["brdr_area"] == b["brdr_area"]).all()          # bit-identical
+    assert (a["result_geom"] == b["result_geom"]).all()
+    assert (a["brdr_metadata"] == b["brdr_metadata"]).all()
