@@ -87,10 +87,13 @@ def run_headline() -> dict:
     hot = int(os.environ.get("BRDRQ_HOT_THRESHOLD", "0")) or \
         max(24, int(BENCH_DOCS * 2.2) // target_groups)
     t0 = time.time()
+    # the headline measures the SCALE path: reference replicated through the
+    # shuffle (broadcast fast path exists but would sidestep the exchange the
+    # scaling criterion is about)
     out = align_documents(ray.data.read_parquet(f"{fdir}/documents.parquet"),
                           ray.data.read_parquet(f"{fdir}/reference.parquet"),
                           AlignConfig(relevant_distance=2.0, od_strategy=OD_EXCLUDE),
-                          hot_threshold=hot)
+                          hot_threshold=hot, broadcast_reference=False)
     n_docs = out.count()
     wall = time.time() - t0
     return {"sec": round(wall, 3), "docs": n_docs,

@@ -91,7 +91,8 @@ def align_documents(documents: ray.data.Dataset, reference: ray.data.Dataset,
                     hot_threshold: int = 256,
                     stitch_buckets: int = 64,
                     mode: str = "predict",
-                    max_rd: float | None = None) -> ray.data.Dataset:
+                    max_rd: float | None = None,
+                    broadcast_reference: bool | None = None) -> ray.data.Dataset:
     """Explode geometry spans, align them against the reference, stitch the
     documents back preserving span order. Returns (doc_id, spans) with the
     same schema as the input.
@@ -110,10 +111,12 @@ def align_documents(documents: ray.data.Dataset, reference: ray.data.Dataset,
         cfg_best = replace(cfg, max_predictions=1, multi_to_best_prediction=True)
         results = run_alignment(geo, reference, cfg_best, mode="evaluate",
                                 max_rd=max_rd if max_rd else cfg.relevant_distance,
-                                cell_level=cell_level, hot_threshold=hot_threshold)
+                                cell_level=cell_level, hot_threshold=hot_threshold,
+                                broadcast_reference=broadcast_reference)
     else:
         results = run_alignment(geo, reference, cfg, mode="predict",
-                                cell_level=cell_level, hot_threshold=hot_threshold)
+                                cell_level=cell_level, hot_threshold=hot_threshold,
+                                broadcast_reference=broadcast_reference)
     aligned = results.map_batches(
         lambda b: emit_wkt(b.select(["theme_id", "result_geom"]), geom_col="result_geom",
                            out_col="aligned_wkt", drop_geom=True),
