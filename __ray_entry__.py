@@ -378,13 +378,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from brdrq_ray.functions.raster import rasterize
         fdir = _fixture_dir(sf_dir)
-        return rasterize(ray.data.read_parquet(f"{fdir}/thematic.parquet"), level=18)
+        return rasterize(ray.data.read_parquet(f"{fdir}/thematic.parquet"), level=20)
 
     def vectorize_features(sf_dir: str):
         import ray.data
         from brdrq_ray.functions.raster import rasterize, vectorize
         fdir = _fixture_dir(sf_dir)
-        occ = rasterize(ray.data.read_parquet(f"{fdir}/thematic.parquet"), level=18)
+        occ = rasterize(ray.data.read_parquet(f"{fdir}/thematic.parquet"), level=20)
         return vectorize(occ).select_columns(["theme_id", "raster_area"])
 
     def listing_top1000(sf_dir: str):
