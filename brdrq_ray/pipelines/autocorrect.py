@@ -68,11 +68,23 @@ def _plan_stats_batch(batch: pa.Table) -> pa.Table:
 
 
 def plan_tiles(parsed_thematic: ray.data.Dataset, max_rd: float,
-               cell_level: int | None = None, hot_threshold: int = 512) -> TilePlan:
+               cell_level: int | None = None, hot_threshold: int = 512,
+               plan_sample: float = 1.0) -> TilePlan:
     """One aggregate pass over parsed thematic bboxes -> (level, hot-cell
     salts). ``cell_level`` overrides the derived level (production jobs that
     know their data pass it and skip nothing — the histogram is still needed
-    for salting)."""
+    for salting).
+
+    ``plan_sample`` < 1 plans from a seeded sample instead of the full scan
+    (the 100 TB ingest-cost knob): salts become estimates (scaled 1/rate —
+    harmless, they only bound group sizes) and the level is derived from the
+    sampled max extent with a 1.5x safety margin. Because a sample can miss
+    the single largest feature, callers MUST keep the runtime guarantee guard
+    on (prepare_aligned_inputs does: any feature whose search region exceeds
+    one cell ring fails fast with a clear message instead of silently losing
+    candidates)."""
+    if plan_sample < 1.0:
+        parsed_thematic = parsed_thematic.random_sample(plan_sample, seed=11)
     partials = parsed_thematic.map_batches(_plan_stats_batch, batch_format="pyarrow")
     from ray.data.aggregate import Max, Sum
     agg = partials.groupby("probe_cell").aggregate(
@@ -81,6 +93,9 @@ def plan_tiles(parsed_thematic: ray.data.Dataset, max_rd: float,
     hist = hist.rename(columns={"sum_n": "sum(n)"})
     max_extent = float(hist["mx"].max()) if len(hist) else 0.0
     n_features = int(hist["sum(n)"].sum()) if len(hist) else 0
+    if plan_sample < 1.0:
+        max_extent *= 1.5  # sampled estimate -> safety margin (guarded at runtime)
+        n_features = int(n_features / plan_sample) if plan_sample > 0 else n_features
     level = cell_level if cell_level is not None else tiles.pick_level(max_extent, max_rd)
     level = min(level, PROBE_LEVEL)
     # aggregate probe histogram up to the chosen level: parent cell of a
@@ -93,6 +108,8 @@ def plan_tiles(parsed_thematic: ray.data.Dataset, max_rd: float,
         parent = ((np.uint64(level) << np.uint64(58)) | (morton >> shift)).astype(np.int64)
         import pandas as pd
         parent_counts = pd.Series(hist["sum(n)"].to_numpy(), index=parent).groupby(level=0).sum()
+        if plan_sample < 1.0 and plan_sample > 0:
+            parent_counts = (parent_counts / plan_sample).round().astype(int)
         salts = tiles.salt_hot_cells(parent_counts.to_dict(), hot_threshold)
     return TilePlan(level=level, salts=salts, max_extent=max_extent, n_features=n_features)
 
@@ -135,7 +152,8 @@ def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Datas
                            max_rd: float, cell_level: int | None = None,
                            hot_threshold: int = 512,
                            broadcast_reference: bool | None = None,
-                           broadcast_limit: int = 250_000):
+                           broadcast_limit: int = 250_000,
+                           plan_sample: float = 1.0):
     """Parse both sides, pick the tile plan, tag cells/salts. Returns
     (unified_keyed_dataset, plan, ref_broadcast_handle_or_None) — the handle
     is set when the small-reference broadcast fast path was taken (auto below
@@ -145,7 +163,7 @@ def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Datas
     parsed_ref = reference.map_batches(parse_geometries, batch_format="pyarrow")
 
     plan = plan_tiles(parsed_theme, max_rd, cell_level=cell_level,
-                      hot_threshold=hot_threshold)
+                      hot_threshold=hot_threshold, plan_sample=plan_sample)
     level = plan.level
     cs = tiles.cell_size(level)
     # correctness guarantee of the one-shuffle join: a feature's search region
@@ -159,6 +177,28 @@ def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Datas
             f"{plan.max_extent:.0f} m at rd={max_rd}; use level <= "
             f"{tiles.pick_level(plan.max_extent, max_rd)} or omit cell_level")
     salts = plan.salts
+
+    if plan_sample < 1.0:
+        # sampled planning can miss the largest feature — fail fast at
+        # runtime instead of silently dropping candidates (the co-partition
+        # guarantee guard)
+        reach = 2 * 1.01 * max_rd
+
+        def guard(batch: pa.Table) -> pa.Table:
+            ext = np.maximum(
+                batch.column("xmax").to_numpy(zero_copy_only=False)
+                - batch.column("xmin").to_numpy(zero_copy_only=False),
+                batch.column("ymax").to_numpy(zero_copy_only=False)
+                - batch.column("ymin").to_numpy(zero_copy_only=False))
+            bad = np.nonzero(np.nan_to_num(ext) + reach > 2 * cs)[0]
+            if len(bad):
+                raise ValueError(
+                    f"sampled tile plan (level {level}, cell {cs:.0f} m) "
+                    f"violated by a feature of extent {ext[bad[0]]:.0f} m — "
+                    "re-run with plan_sample=1.0 or a coarser cell_level")
+            return batch
+
+        parsed_theme = parsed_theme.map_batches(guard, batch_format="pyarrow")
 
     theme_keyed = (parsed_theme
                    .map_batches(lambda b: assign_owner_cell(b, level), batch_format="pyarrow")

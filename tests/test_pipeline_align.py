@@ -101,3 +101,28 @@ def test_shuffle_and_broadcast_paths_agree(ray_session, synth_tables):
     assert (a["brdr_area"] == b["brdr_area"]).all()          # bit-identical
     assert (a["result_geom"] == b["result_geom"]).all()
     assert (a["brdr_metadata"] == b["brdr_metadata"]).all()
+
+
+def test_sampled_planning(ray_session, synth_tables):
+    """plan_sample < 1 plans from a seeded sample; results identical to the
+    full-scan plan (level may be coarser via the safety margin — never finer),
+    with a runtime guard against missed oversized features."""
+    import ray.data
+    from brdrq_ray.pipelines.autocorrect import prepare_aligned_inputs, run_alignment
+    from brdrq_ray.stages.align_stage import AlignGroupFn
+
+    theme, ref = synth_tables
+    cfg = al.AlignConfig(relevant_distance=2.0, od_strategy=al.OD_EXCLUDE)
+    unified, plan, handle = prepare_aligned_inputs(
+        ray.data.from_arrow(theme), ray.data.from_arrow(ref), 2.0,
+        plan_sample=0.5, broadcast_reference=False)
+    fn = AlignGroupFn(cfg, ref_broadcast=handle)
+    res = unified.groupby("part_key").map_groups(
+        lambda g: fn(g), batch_format="pyarrow").to_pandas()
+    assert len(res) == theme.num_rows
+    # same per-feature areas as the exact-plan run
+    exact = run_alignment(ray.data.from_arrow(theme), ray.data.from_arrow(ref),
+                          cfg, broadcast_reference=False).to_pandas()
+    a = res.sort_values("theme_id")["brdr_area"].to_numpy()
+    b = exact.sort_values("theme_id")["brdr_area"].to_numpy()
+    assert (a == b).all()
