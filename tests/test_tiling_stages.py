@@ -1,0 +1,70 @@
+import numpy as np
+import pyarrow as pa
+
+from brdrq_ray import tiles
+from brdrq_ray.stages.tiling import (
+    assign_owner_cell, explode_cover, salt_reference, salt_theme)
+
+
+def _bbox_batch(boxes, ids=None):
+    boxes = np.asarray(boxes, dtype=float)
+    t = {
+        "xmin": pa.array(boxes[:, 0]), "ymin": pa.array(boxes[:, 1]),
+        "xmax": pa.array(boxes[:, 2]), "ymax": pa.array(boxes[:, 3]),
+    }
+    if ids is not None:
+        t["theme_id"] = pa.array(ids, pa.string())
+    return pa.table(t)
+
+
+def test_assign_owner_cell_center_rule():
+    level = 14
+    cs = tiles.cell_size(level)
+    # bbox straddling two cells: owner = the cell holding the CENTER
+    b = _bbox_batch([[cs * 10 - 1, 0, cs * 10 + 5, 4]])  # center at 10*cs+2
+    out = assign_owner_cell(b, level)
+    cell = out.column("cell")[0].as_py()
+    x0, y0, x1, y1 = tiles.cell_bounds(cell)
+    assert x0 <= cs * 10 + 2 < x1
+
+
+def test_explode_cover_multiplicity():
+    level = 14
+    cs = tiles.cell_size(level)
+    # bbox spanning exactly 2x1 cells (no expand)
+    b = _bbox_batch([[cs * 4 + 1, cs * 7 + 1, cs * 5 + 1, cs * 7 + 2]])
+    out = explode_cover(b, level)
+    assert out.num_rows == 2
+    assert len(set(out.column("cell").to_pylist())) == 2
+    # +1-ring expand -> (2+2) x (1+2) = 12 cells
+    out2 = explode_cover(b, level, expand=cs)
+    assert out2.num_rows == 12
+
+
+def test_salt_theme_deterministic_and_bounded():
+    level = 14
+    b = _bbox_batch([[10, 10, 12, 12]] * 50, ids=[f"T{i}" for i in range(50)])
+    b = assign_owner_cell(b, level)
+    cell = int(b.column("cell")[0].as_py())
+    out = salt_theme(b, {cell: 4})
+    salts = out.column("salt").to_pylist()
+    assert set(salts) <= {0, 1, 2, 3}
+    assert len(set(salts)) > 1  # actually splits
+    out2 = salt_theme(b, {cell: 4})
+    assert salts == out2.column("salt").to_pylist()  # deterministic
+    # non-hot cell -> all salt 0
+    out3 = salt_theme(b, {})
+    assert set(out3.column("salt").to_pylist()) == {0}
+
+
+def test_salt_reference_replication():
+    level = 14
+    b = _bbox_batch([[10, 10, 12, 12]] * 3)
+    b = assign_owner_cell(b, level)
+    cell = int(b.column("cell")[0].as_py())
+    out = salt_reference(b, {cell: 5})
+    assert out.num_rows == 15  # each row replicated 5x
+    per_salt = {}
+    for s in out.column("salt").to_pylist():
+        per_salt[s] = per_salt.get(s, 0) + 1
+    assert per_salt == {0: 3, 1: 3, 2: 3, 3: 3, 4: 3}
