@@ -89,3 +89,31 @@ def test_autoupdate_no_changes_short_circuit(ray_session, tables):
                             "brdr_metadata", pa.array(metas, pa.string()))
     results = run_autoupdate(ray.data.from_arrow(fresh), ray.data.from_arrow(ref))
     assert results.count() == 0
+
+
+def test_correction_multi_prediction_to_review():
+    """Duplicate join keys (multiple predictions for one id) force TO_REVIEW
+    and keep the original geometry (reference: brdrq_utils.py:1251-1254)."""
+    import pyarrow as pa
+    from brdrq_ray.pipelines.correction import CORRECTION_SCHEMA, _correct_group
+
+    group = pa.table({
+        "side": ["source", "result", "result"],
+        "theme_id": ["T1"] * 3,
+        "geometry_wkt": ["ORIG_WKT", None, None],
+        "props": [None] * 3,
+        "result_wkt": [None, "W1", "W2"],
+        "brdr_evaluation": [None, "prediction_unique", "to_check_prediction_multi"],
+        "brdr_relevant_distance": [None, 1.0, 2.0],
+        "brdr_prediction_score": [None, 40.0, 80.0],
+        "brdr_sym_diff_area_index_perc": [None, 1.0, 2.0],
+        "brdr_stability": [None, True, True],
+        "brdr_metadata": [None, "", ""],
+    })
+    out = _correct_group(group, review_percentage=10.0)
+    assert out.num_rows == 1
+    assert out.column("brdrq_state")[0].as_py() == "to_review"
+    assert out.column("geometry_wkt")[0].as_py() == "ORIG_WKT"  # original kept
+    # best prediction (max score) reported for review
+    assert out.column("brdr_prediction_score")[0].as_py() == 80.0
+    assert out.column("brdr_relevant_distance")[0].as_py() == 2.0
