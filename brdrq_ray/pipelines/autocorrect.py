@@ -153,7 +153,8 @@ def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Datas
                            hot_threshold: int = 512,
                            broadcast_reference: bool | None = None,
                            broadcast_limit: int = 250_000,
-                           plan_sample: float = 1.0):
+                           plan_sample: float = 1.0,
+                           plan_override: "TilePlan | None" = None):
     """Parse both sides, pick the tile plan, tag cells/salts. Returns
     (unified_keyed_dataset, plan, ref_broadcast_handle_or_None) — the handle
     is set when the small-reference broadcast fast path was taken (auto below
@@ -162,8 +163,9 @@ def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Datas
     parsed_theme = thematic.map_batches(parse_geometries, batch_format="pyarrow")
     parsed_ref = reference.map_batches(parse_geometries, batch_format="pyarrow")
 
-    plan = plan_tiles(parsed_theme, max_rd, cell_level=cell_level,
-                      hot_threshold=hot_threshold, plan_sample=plan_sample)
+    plan = plan_override if plan_override is not None else plan_tiles(
+        parsed_theme, max_rd, cell_level=cell_level,
+        hot_threshold=hot_threshold, plan_sample=plan_sample)
     level = plan.level
     cs = tiles.cell_size(level)
     # correctness guarantee of the one-shuffle join: a feature's search region

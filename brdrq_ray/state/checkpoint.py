@@ -115,9 +115,30 @@ def run_alignment_checkpointed(thematic, reference, out_dir: str, cfg=None,
     done = read_manifest(out_dir, phash)
     done_keys = set(done)
 
+    # plan lineage: the first run persists its tile plan; a resume reuses it
+    # (skips the planning scan AND guarantees identical partition keys)
+    from ..pipelines.autocorrect import TilePlan
+    plan_path = os.path.join(out_dir, "_plan.json")
+    plan_override = None
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            doc = json.load(f)
+        if doc.get("params_hash") == phash:
+            plan_override = TilePlan(level=doc["level"],
+                                     salts={int(k): v for k, v in doc["salts"].items()},
+                                     max_extent=doc["max_extent"],
+                                     n_features=doc["n_features"])
+
     unified, plan, ref_handle = prepare_aligned_inputs(thematic, reference,
                                                        max_rd,
-                                                       cell_level=cell_level)
+                                                       cell_level=cell_level,
+                                                       plan_override=plan_override)
+    if plan_override is None:
+        with open(plan_path, "w") as f:
+            json.dump({"params_hash": phash, "level": plan.level,
+                       "salts": {str(k): v for k, v in plan.salts.items()},
+                       "max_extent": plan.max_extent,
+                       "n_features": plan.n_features}, f)
     if done_keys:
         import pyarrow.compute as pc
 
