@@ -110,7 +110,7 @@ def run_job(job: AlignJob) -> dict:
             thematic, reference, ck, cfg, mode=mode,
             max_rd=job.max_relevant_distance if mode == "evaluate" else None,
             cell_level=job.cell_level)
-        results = read_results(ck)
+        results = read_results(ck, phash=stats["params_hash"])
     else:
         results = run_alignment(thematic, reference, cfg, mode=mode,
                                 max_rd=job.max_relevant_distance if mode == "evaluate" else None,

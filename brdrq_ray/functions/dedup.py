@@ -46,14 +46,21 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
 # shingles + minhash
 # ---------------------------------------------------------------------------
 
+def _hash64(s: str) -> int:
+    h = hashlib.blake2b(s.encode(), digest_size=8).digest()
+    return int.from_bytes(h, "little") & 0x7FFFFFFFFFFFFFFF
+
+
 def _word_shingles(text: str, k: int = 3) -> set[int]:
     words = (text or "").lower().split()
     if len(words) < k:
-        return {hash(" ".join(words)) & 0x7FFFFFFFFFFFFFFF} if words else set()
+        # blake2b, NOT builtin hash(): str hash is PYTHONHASHSEED-randomized
+        # per process, which would make identical short docs sketch differently
+        # across Ray workers (missed duplicates, nondeterministic runs)
+        return {_hash64(" ".join(words))} if words else set()
     out = set()
     for i in range(len(words) - k + 1):
-        h = hashlib.blake2b(" ".join(words[i:i + k]).encode(), digest_size=8).digest()
-        out.add(int.from_bytes(h, "little") & 0x7FFFFFFFFFFFFFFF)
+        out.add(_hash64(" ".join(words[i:i + k])))
     return out
 
 

@@ -43,7 +43,11 @@ def explode_geometry_spans(batch: pa.Table) -> pa.Table:
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
     flat = spans.flatten()  # struct array of all spans
+    # offsets of a zero-copy ListArray slice are absolute into the parent
+    # values buffer (offsets[0] != 0 for Ray block slices); flatten() already
+    # accounts for the slice, so normalize before indexing into `flat`
     offsets = spans.offsets.to_numpy(zero_copy_only=False)
+    offsets = offsets - offsets[0]
     n_per_doc = np.diff(offsets)
     doc_idx = np.repeat(np.arange(batch.num_rows), n_per_doc)
     span_idx = np.arange(len(flat)) - np.repeat(offsets[:-1], n_per_doc)
@@ -175,6 +179,7 @@ def span_sequence_table(documents: ray.data.Dataset, with_text: bool = True) -> 
             spans = spans.combine_chunks()
         flat = spans.flatten()
         offsets = spans.offsets.to_numpy(zero_copy_only=False)
+        offsets = offsets - offsets[0]  # normalize zero-copy slice offsets
         n_per_doc = np.diff(offsets)
         doc_idx = np.repeat(np.arange(batch.num_rows), n_per_doc)
         span_idx = np.arange(len(flat)) - np.repeat(offsets[:-1], n_per_doc)

@@ -43,23 +43,78 @@ def manifest_path(out_dir: str) -> str:
 
 def read_manifest(out_dir: str, phash: str | None = None) -> dict[int, dict]:
     """Finished partitions keyed by part_key (optionally only those produced
-    with the same params — a changed config invalidates old checkpoints)."""
-    path = manifest_path(out_dir)
+    with the same params — a changed config invalidates old checkpoints).
+
+    Records come from two sources, merged: the driver-side ``_manifest.jsonl``
+    (append-only lineage) and the per-partition ``part=K/_rec.json`` files the
+    CellWriter emits atomically next to each part.parquet. The per-partition
+    records are authoritative for resume: a mid-run kill leaves them in place
+    for every finished tile, so a resume replays ONLY unfinished tiles even
+    when the driver never got to append the jsonl."""
     done: dict[int, dict] = {}
-    if not os.path.exists(path):
-        return done
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            rec = json.loads(line)
-            if phash is not None and rec.get("params_hash") != phash:
-                continue
-            # the data must actually still be there
-            if os.path.exists(os.path.join(rec["path"], "part.parquet")):
-                done[int(rec["part_key"])] = rec
+
+    def admit(rec: dict):
+        if phash is not None and rec.get("params_hash") != phash:
+            return
+        # the data must actually still be there
+        if os.path.exists(os.path.join(rec["path"], "part.parquet")):
+            done[int(rec["part_key"])] = rec
+
+    path = manifest_path(out_dir)
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                admit(json.loads(line))
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            rec_path = os.path.join(out_dir, name, "_rec.json")
+            if name.startswith("part=") and os.path.exists(rec_path):
+                try:
+                    with open(rec_path) as f:
+                        admit(json.load(f))
+                except (ValueError, OSError):
+                    continue  # torn write: treat the partition as unfinished
     return done
+
+
+def purge_stale_parts(out_dir: str, phash: str):
+    """Delete part directories whose record carries a DIFFERENT params_hash
+    (or none at all — an orphan of unknown lineage). Run at the start of every
+    checkpointed run: a changed config or tile plan produces new part keys,
+    and without the purge read_results would mix stale old-param rows with
+    fresh ones (duplicate theme_ids, wrong geometries)."""
+    import shutil
+    if not os.path.isdir(out_dir):
+        return
+    # lineage known from the jsonl may cover dirs whose _rec.json is missing
+    jsonl_phash: dict[str, str] = {}
+    path = manifest_path(out_dir)
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    jsonl_phash[os.path.basename(rec["path"])] = rec.get("params_hash", "")
+    for name in os.listdir(out_dir):
+        if not name.startswith("part="):
+            continue
+        part_dir = os.path.join(out_dir, name)
+        rec_path = os.path.join(part_dir, "_rec.json")
+        rec_hash = None
+        if os.path.exists(rec_path):
+            try:
+                with open(rec_path) as f:
+                    rec_hash = json.load(f).get("params_hash")
+            except (ValueError, OSError):
+                rec_hash = None
+        if rec_hash is None:
+            rec_hash = jsonl_phash.get(name)
+        if rec_hash != phash:
+            shutil.rmtree(part_dir, ignore_errors=True)
 
 
 def append_manifest(out_dir: str, records: list[dict]):
@@ -91,12 +146,22 @@ class CellWriter:
         tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}")
         pq.write_table(group, tmp)
         os.replace(tmp, os.path.join(part_dir, "part.parquet"))
-        return pa.table({"part_key": pa.array([int(part_key)], pa.int64()),
+        rec = {"part_key": int(part_key), "cell": cell, "rows": group.num_rows,
+               "path": part_dir, "params_hash": self.phash,
+               "wall_sec": time.time() - t0}
+        # per-partition manifest record, written atomically AFTER the data: a
+        # mid-run kill leaves every finished tile individually resumable (the
+        # driver-side jsonl append only happens after the whole run)
+        rtmp = os.path.join(part_dir, f".rec-{uuid.uuid4().hex}")
+        with open(rtmp, "w") as f:
+            json.dump(rec, f, sort_keys=True)
+        os.replace(rtmp, os.path.join(part_dir, "_rec.json"))
+        return pa.table({"part_key": pa.array([rec["part_key"]], pa.int64()),
                          "cell": pa.array([cell], pa.int64()),
                          "rows": pa.array([group.num_rows], pa.int64()),
                          "path": pa.array([part_dir], pa.string()),
                          "params_hash": pa.array([self.phash], pa.string()),
-                         "wall_sec": pa.array([time.time() - t0], pa.float64())})
+                         "wall_sec": pa.array([rec["wall_sec"]], pa.float64())})
 
 
 def run_alignment_checkpointed(thematic, reference, out_dir: str, cfg=None,
@@ -112,6 +177,7 @@ def run_alignment_checkpointed(thematic, reference, out_dir: str, cfg=None,
     max_rd = max_rd if max_rd is not None else cfg.relevant_distance
     phash = params_hash(cfg, mode, max_rd)
     os.makedirs(out_dir, exist_ok=True)
+    purge_stale_parts(out_dir, phash)  # changed params -> old part dirs go
     done = read_manifest(out_dir, phash)
     done_keys = set(done)
 
@@ -171,14 +237,21 @@ def run_alignment_checkpointed(thematic, reference, out_dir: str, cfg=None,
         "skipped_parts": sorted(done_keys),
         "rows": int(manifest_rows["rows"].sum()) if len(manifest_rows) else 0,
         "level": plan.level,
+        "params_hash": phash,
     }
 
 
-def read_results(out_dir: str) -> ray.data.Dataset:
-    """Read all finished partitions back as one Dataset."""
-    paths = []
-    for name in sorted(os.listdir(out_dir)):
-        p = os.path.join(out_dir, name, "part.parquet")
-        if name.startswith("part=") and os.path.exists(p):
-            paths.append(p)
+def read_results(out_dir: str, phash: str | None = None) -> ray.data.Dataset:
+    """Read the finished partitions back as one Dataset. The path list comes
+    from the manifest records (NOT a raw listdir): only partitions with a
+    matching params_hash — pass the hash from run_alignment_checkpointed's
+    stats — and an existing part.parquet are admitted, so stale dirs from an
+    earlier differently-parameterized run can never leak into the result."""
+    recs = read_manifest(out_dir, phash)
+    paths = [os.path.join(r["path"], "part.parquet")
+             for _, r in sorted(recs.items())]
+    if not paths:
+        raise FileNotFoundError(
+            f"no finished partitions in {out_dir}"
+            + (f" for params_hash={phash}" if phash else ""))
     return ray.data.read_parquet(paths)

@@ -50,3 +50,73 @@ def test_checkpoint_resume(ray_session, tmp_path):
         ray.data.from_arrow(theme), ray.data.from_arrow(ref), out, cfg2)
     assert stats4["skipped_parts"] == []
     assert len(stats4["processed_parts"]) > 0
+
+
+def test_checkpoint_param_change_no_stale_mix(ray_session, tmp_path):
+    """A re-run with changed params in the SAME out_dir must purge old-param
+    part dirs: read_results returns exactly the fresh rows, never a mix
+    (ADVICE r1: listdir-based read_results leaked stale partitions)."""
+    import ray.data
+    from brdrq_ray.state.checkpoint import (
+        read_results, run_alignment_checkpointed)
+
+    ref = fx.make_reference_table(nx=12, ny=12, seed=42)
+    theme = fx.make_thematic_table(nx=12, ny=12, seed=42, n_features=25)
+    out = str(tmp_path / "ckpt")
+
+    run_alignment_checkpointed(
+        ray.data.from_arrow(theme), ray.data.from_arrow(ref), out,
+        al.AlignConfig(relevant_distance=2.0, od_strategy=al.OD_EXCLUDE))
+    # different params -> different phash AND (via a different plan in
+    # general) possibly different part keys; the old dirs must not survive
+    stats2 = run_alignment_checkpointed(
+        ray.data.from_arrow(theme), ray.data.from_arrow(ref), out,
+        al.AlignConfig(relevant_distance=1.0, od_strategy=al.OD_EXCLUDE))
+    df = read_results(out, phash=stats2["params_hash"]).to_pandas()
+    assert len(df) == theme.num_rows
+    assert not df["theme_id"].duplicated().any()
+    assert (df["brdr_relevant_distance"] == 1.0).all()
+    # read_results without a phash filter must ALSO be clean (purge removed
+    # the stale dirs physically)
+    df_all = read_results(out).to_pandas()
+    assert len(df_all) == theme.num_rows
+    assert (df_all["brdr_relevant_distance"] == 1.0).all()
+
+
+def test_checkpoint_midrun_kill_without_driver_manifest(ray_session, tmp_path):
+    """A kill before the driver-side jsonl append must still resume from the
+    per-partition _rec.json records: only genuinely unfinished tiles replay
+    (ADVICE r1: driver-only manifest made every kill a full recompute)."""
+    import os
+    import shutil
+
+    import ray.data
+    from brdrq_ray.state.checkpoint import (
+        read_results, run_alignment_checkpointed)
+
+    ref = fx.make_reference_table(nx=12, ny=12, seed=42)
+    theme = fx.make_thematic_table(nx=12, ny=12, seed=42, n_features=25)
+    out = str(tmp_path / "ckpt")
+    cfg = al.AlignConfig(relevant_distance=2.0, od_strategy=al.OD_EXCLUDE)
+
+    stats1 = run_alignment_checkpointed(
+        ray.data.from_arrow(theme), ray.data.from_arrow(ref), out, cfg)
+    full = read_results(out, phash=stats1["params_hash"]).to_pandas()
+
+    # simulate the kill: the driver never appended the jsonl, and one tile
+    # never finished (its dir is gone)
+    os.remove(os.path.join(out, "_manifest.jsonl"))
+    victim = stats1["processed_parts"][0]
+    shutil.rmtree(os.path.join(out, f"part={victim}"))
+
+    stats2 = run_alignment_checkpointed(
+        ray.data.from_arrow(theme), ray.data.from_arrow(ref), out, cfg)
+    assert stats2["processed_parts"] == [victim]
+    assert sorted(stats2["skipped_parts"]) == sorted(
+        pk for pk in stats1["processed_parts"] if pk != victim)
+    again = (read_results(out, phash=stats2["params_hash"]).to_pandas()
+             .sort_values("theme_id").reset_index(drop=True))
+    full = full.sort_values("theme_id").reset_index(drop=True)
+    assert sorted(again["theme_id"]) == sorted(full["theme_id"])
+    assert (again.set_index("theme_id")["brdr_area"].round(6)
+            == full.set_index("theme_id")["brdr_area"].round(6)).all()

@@ -25,6 +25,35 @@ def test_explode_geometry_spans(doc_tables):
     assert "#" in out.column("theme_id")[0].as_py()
 
 
+def test_explode_handles_sliced_list_offsets(doc_tables):
+    """A zero-copy table slice has ListArray offsets that do not start at 0
+    (the shape Ray block slicing produces); explode and flatten must normalize
+    them or every span_idx / doc mapping is skewed by offsets[0]."""
+    from brdrq_ray.pipelines.documents import explode_geometry_spans
+
+    docs, _ = doc_tables
+    whole = explode_geometry_spans(docs).to_pandas()
+    sliced = explode_geometry_spans(docs.slice(7, 20)).to_pandas()
+    doc_ids = set(docs.column("doc_id").to_pylist()[7:27])
+    expect = whole[whole["doc_id"].isin(doc_ids)].reset_index(drop=True)
+    sliced = sliced.reset_index(drop=True)
+    assert expect.equals(sliced)
+
+
+def test_span_sequence_table_sliced(ray_session, doc_tables):
+    from brdrq_ray.pipelines.documents import span_sequence_table
+    import ray.data
+
+    docs, _ = doc_tables
+    whole = (span_sequence_table(ray.data.from_arrow(docs)).to_pandas()
+             .sort_values(["doc_id", "span_idx"]).reset_index(drop=True))
+    part = (span_sequence_table(ray.data.from_arrow(docs.slice(5, 10))).to_pandas()
+            .sort_values(["doc_id", "span_idx"]).reset_index(drop=True))
+    ids = set(docs.column("doc_id").to_pylist()[5:15])
+    expect = (whole[whole["doc_id"].isin(ids)].reset_index(drop=True))
+    assert expect.equals(part)
+
+
 def test_align_documents_span_invariant(ray_session, doc_tables):
     import ray.data
     from brdrq_ray.pipelines.documents import align_documents, span_sequence_table

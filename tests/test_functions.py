@@ -66,6 +66,32 @@ def test_minhash_pairs_finds_near_dups(ray_session):
     assert not any(3 in p or 5 in p for p in got)
 
 
+def test_short_text_shingles_are_seed_independent():
+    """Texts shorter than k words must hash via blake2b, not builtin hash():
+    str hash is PYTHONHASHSEED-randomized per process, so identical short docs
+    sketched in different Ray workers would get different MinHash bands."""
+    import hashlib
+    import subprocess
+    import sys
+
+    from brdrq_ray.functions.dedup import _word_shingles
+
+    got = _word_shingles("two words", k=3)
+    want = int.from_bytes(hashlib.blake2b(b"two words", digest_size=8).digest(),
+                          "little") & 0x7FFFFFFFFFFFFFFF
+    assert got == {want}
+    # cross-process determinism under a different PYTHONHASHSEED
+    code = ("import sys; sys.path.insert(0, '.');"
+            "from brdrq_ray.functions.dedup import _word_shingles;"
+            "print(sorted(_word_shingles('two words', k=3))[0])")
+    for seed in ("0", "12345"):
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             text=True, cwd="/root/repo",
+                             env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin"})
+        assert out.returncode == 0, out.stderr
+        assert int(out.stdout.strip()) == want
+
+
 def test_simhash_deterministic():
     from brdrq_ray.functions.dedup import simhash64
 
