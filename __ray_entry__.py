@@ -406,6 +406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_broadcast": rel.broadcast_hash_join,
         "hash_join_partitioned": rel.partitioned_hash_join,
         "hash_join_native": rel.native_hash_join,
+        "semi_join": rel.semi_join_customers,
+        "anti_join": rel.anti_join_customers,
         "dup_key_detection": rel.duplicate_key_detection,
         "asof_join": rel.asof_join_events,
         "case_when_bands": rel.case_when_classification,
@@ -495,6 +497,16 @@ def oracle_sql() -> dict[str, str]:
         "hash_join_native": """
             SELECT o_orderkey, o_custkey, o_totalprice, c_name
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 300000.0)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_totalprice > 400000.0)
         """,
         "dup_key_detection": """
             SELECT o_custkey, count(*) AS n_orders FROM orders

@@ -108,7 +108,10 @@ class AlignConfig:
     max_predictions: int = -1           # -1 = all
     multi_to_best_prediction: bool = True
     step_cm: int = 10
-    no_change_sym_index: float = 0.01   # reference: brdrq_utils.py:1288-1291
+    #: ABSOLUTE symmetric-difference area (m2) below which a prediction is
+    #: labelled no_change — the reference tests SYMMETRICAL_AREA_CHANGE < 0.01
+    #: m2 (brdrq_utils.py:1290), not a percentage of the feature area
+    no_change_sym_area_m2: float = 0.01
     # processor selection (A9) + line/point snapping (A11); snap fields mirror
     # plugin/brdrq/brdrq_dockwidget_featurealigner.py:1513-1522
     processor_id: str = "2024:aligner2024a"
@@ -383,8 +386,7 @@ def evaluate_series(theme_id, theme_parts, candidates, distances, cfg: AlignConf
     # evaluation labels
     for p in preds:
         sym = g.geom_area(g.GEOM_POLYGON, p.pr.result_diff)
-        sym_idx = sym / theme_area if theme_area > 0 else 0.0
-        if sym_idx < cfg.no_change_sym_index:
+        if sym < cfg.no_change_sym_area_m2:
             p.evaluation = EV_NO_CHANGE
         elif p.pr.used_refs and len(p.pr.used_refs) == 1 and p.pr.used_refs[0][1] == "full" \
                 and str(p.pr.used_refs[0][0]) == str(theme_id):

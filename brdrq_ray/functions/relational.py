@@ -196,6 +196,80 @@ def native_hash_join(sf_dir: str):
     return joined.select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_name"])
 
 
+def semi_join(data: ray.data.Dataset, keys: ray.data.Dataset, on: str,
+              anti: bool = False) -> ray.data.Dataset:
+    """Distributed semi-join (J4 building block): keep data rows whose ``on``
+    value appears in ``keys`` (``anti=True`` inverts: keep rows with NO match).
+    Tagged-union + groupby — one shuffle, no driver-side key set, so the key
+    side can be arbitrarily large (the autoupdate changed-since detection at
+    reference-table scale)."""
+    def _arrow_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:  # pandas-backed blocks report numpy dtypes / python classes
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    sch = data.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        schema = base
+    elif isinstance(sch, pa.Schema):
+        schema = sch
+    else:  # ray Schema wrapper without an Arrow base: rebuild from names/types
+        schema = pa.schema([(n, _arrow_type(t))
+                            for n, t in zip(sch.names, sch.types)])
+
+    def data_side(t: pa.Table) -> pa.Table:
+        return t.append_column("__mark", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    def key_side(t: pa.Table) -> pa.Table:
+        cols = {}
+        for f in schema:
+            if f.name == on:
+                cols[on] = t.column(on).cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(t.num_rows, f.type)
+        cols["__mark"] = pa.array(np.ones(t.num_rows, np.int8))
+        return pa.table(cols)
+
+    out_schema = pa.schema(list(schema))
+
+    def grp(g: pa.Table) -> pa.Table:
+        marks = g.column("__mark").to_numpy(zero_copy_only=False)
+        has_key = bool((marks == 1).any())
+        if has_key != anti:
+            return g.filter(pa.array(marks == 0)).drop_columns(["__mark"])
+        return out_schema.empty_table()
+
+    tagged = (data.map_batches(data_side, batch_format="pyarrow")
+              .union(keys.select_columns([on])
+                     .map_batches(key_side, batch_format="pyarrow")))
+    return tagged.groupby(on).map_groups(grp, batch_format="pyarrow")
+
+
+def semi_join_customers(sf_dir: str):
+    """Customers with at least one order above 300k — the distributed
+    semi-join exercised against the driver tables (oracle: IN-subquery)."""
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    big = read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 300_000.0))
+                   .rename_columns(["c_custkey", "o_totalprice"]),
+        batch_format="pyarrow")
+    return semi_join(cust, big, on="c_custkey")
+
+
+def anti_join_customers(sf_dir: str):
+    """Customers with NO order above 400k (anti-join variant of the same)."""
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    big = read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 400_000.0))
+                   .select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow")
+    return semi_join(cust, big, on="c_custkey", anti=True)
+
+
 def duplicate_key_detection(sf_dir: str):
     """D3: keys with more than one row (the reference's multi-prediction ->
     TO_REVIEW trigger, plugin/brdrq/brdrq_utils.py:1251-1254)."""

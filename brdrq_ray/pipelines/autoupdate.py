@@ -9,20 +9,24 @@ parcels whose current version is NEWER than the recorded one, re-aligns only
 the affected features, and returns nothing when the reference did not change
 in the window.
 
-Ray-Data-first (SURVEY.md J4/J5): explode the metadata's
-``reference_geometries[].derived_from`` into (theme_id, ref_id,
-recorded_version) rows; semi-join against the current reference version table
-via a BROADCAST dict (the version table is (ref_id -> date) — small relative
-to the data, shipped once with ray.put, read per batch); features with at
-least one stale parcel survive the anti-join and flow into the standard
-alignment DAG. No shuffle is added beyond the alignment's own.
+Ray-Data-first (SURVEY.md J4/J5), fully distributed — NOTHING reference-sized
+touches the driver:
+
+1. explode ``brdr_metadata`` -> (theme_id, ref_id, recorded_version) rows;
+2. changed-since join: tagged-union with the reference's (ref_id,
+   version_date) projection, one groupby(ref_id) — each group compares its
+   current version against the recorded ones and emits the stale theme_ids;
+3. semi-join the thematic table against the stale id set (hybrid: the stale
+   set is usually tiny, so it is broadcast via ray.put by default — one scan,
+   no second shuffle; above ``broadcast_limit`` ids it switches to the
+   distributed tagged-union semi-join);
+4. survivors flow into the standard alignment DAG.
 """
 
 from __future__ import annotations
 
 import json
 
-import numpy as np
 import pyarrow as pa
 
 import ray
@@ -56,34 +60,59 @@ def explode_metadata_refs(batch: pa.Table) -> pa.Table:
 
 
 def detect_affected(thematic_meta: ray.data.Dataset,
-                    version_lookup_ref) -> ray.data.Dataset:
-    """Changed-since semi-join: theme ids with >= 1 reference parcel whose
-    current version_date > recorded version_date. ``version_lookup_ref`` is a
-    ray.put handle to {ref_id: 'YYYY-MM-DD'} (broadcast, no shuffle)."""
+                    reference: ray.data.Dataset) -> ray.data.Dataset:
+    """Changed-since join: theme ids with >= 1 reference parcel whose current
+    version_date > recorded version_date. One groupby(ref_id) over the
+    exploded metadata unioned with the reference's 2-column version
+    projection — the reference table never leaves the cluster. Returns a
+    deduplicated (theme_id) Dataset."""
+    exploded = thematic_meta.map_batches(explode_metadata_refs,
+                                         batch_format="pyarrow")
 
-    class StaleCheck:
-        def __init__(self):
-            self.versions = ray.get(version_lookup_ref)
+    def rec_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ref_id": t.column("ref_id"),
+            "theme_id": t.column("theme_id"),
+            "recorded_version": t.column("recorded_version"),
+            "current_version": pa.nulls(t.num_rows, pa.string()),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rid = batch.column("ref_id").to_pylist()
-            rec = batch.column("recorded_version").to_pylist()
-            cur = [self.versions.get(r, "") for r in rid]
-            stale = np.array([bool(c) and bool(rv) and c[:10] > rv[:10]
-                              for c, rv in zip(cur, rec)])
-            return batch.filter(pa.array(stale))
+    def cur_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ref_id": t.column("ref_id").cast(pa.string()),
+            "theme_id": pa.nulls(t.num_rows, pa.string()),
+            "recorded_version": pa.nulls(t.num_rows, pa.string()),
+            "current_version": t.column("version_date").cast(pa.string()),
+        })
 
-    exploded = thematic_meta.map_batches(explode_metadata_refs, batch_format="pyarrow")
-    stale = exploded.map_batches(StaleCheck, batch_format="pyarrow",
-                                 concurrency=(1, 4))
-    ids = stale.unique("theme_id")
-    return set(ids) if ids else set()
+    tagged = (exploded.map_batches(rec_side, batch_format="pyarrow")
+              .union(reference.select_columns(["ref_id", "version_date"])
+                     .map_batches(cur_side, batch_format="pyarrow")))
+
+    def stale_in_group(g: pa.Table) -> pa.Table:
+        cur = [v for v in g.column("current_version").to_pylist() if v]
+        if not cur:
+            return pa.table({"theme_id": pa.array([], pa.string())})
+        cur10 = max(c[:10] for c in cur)
+        tids = g.column("theme_id").to_pylist()
+        recs = g.column("recorded_version").to_pylist()
+        out = [t for t, r in zip(tids, recs) if t and r and cur10 > r[:10]]
+        return pa.table({"theme_id": pa.array(out, pa.string())})
+
+    stale = tagged.groupby("ref_id").map_groups(stale_in_group,
+                                                batch_format="pyarrow")
+
+    def first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    return stale.groupby("theme_id").map_groups(first, batch_format="pyarrow")
 
 
 def run_autoupdate(thematic: ray.data.Dataset, reference: ray.data.Dataset,
                    cfg: AlignConfig | None = None,
                    max_distance_for_actualisation: float = 3.0,
-                   cell_level: int | None = None) -> ray.data.Dataset:
+                   cell_level: int | None = None,
+                   broadcast_limit: int = 1_000_000) -> ray.data.Dataset:
     """Full A8 pipeline. thematic needs (theme_id, geometry_wkt,
     brdr_metadata); reference needs (ref_id, geometry_wkt, version_date).
     Returns the alignment result table for AFFECTED features only (empty
@@ -92,29 +121,35 @@ def run_autoupdate(thematic: ray.data.Dataset, reference: ray.data.Dataset,
     plugin/brdrq/brdrq_algorithm_autoupdateborders.py:445-450)."""
     cfg = cfg or AlignConfig()
 
-    # current version table -> broadcast dict (small side)
-    vers_tbl = reference.select_columns(["ref_id", "version_date"]).to_pandas()
-    lookup = {str(r): str(v)[:10] for r, v in
-              zip(vers_tbl["ref_id"], vers_tbl["version_date"])}
-    lookup_ref = ray.put(lookup)
-
-    affected_ids = detect_affected(thematic, lookup_ref)
-    if not affected_ids:
+    affected = detect_affected(thematic, reference).materialize()
+    n_affected = affected.count()
+    if n_affected == 0:
         from ..stages.align_stage import RESULT_SCHEMA
         return ray.data.from_arrow(RESULT_SCHEMA.empty_table())
-    ids_ref = ray.put(affected_ids)
 
-    class KeepAffected:
-        def __init__(self):
-            self.ids = ray.get(ids_ref)
+    if n_affected <= broadcast_limit:
+        # the stale set is small: broadcast it once, filter in one scan
+        ids = set()
+        for b in affected.iter_batches(batch_format="pyarrow"):
+            ids.update(b.column("theme_id").to_pylist())
+        ids_ref = ray.put(ids)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            tid = batch.column("theme_id").to_pylist()
-            mask = pa.array([str(t) in self.ids for t in tid])
-            return batch.filter(mask)
+        class KeepAffected:
+            def __init__(self):
+                self.ids = ray.get(ids_ref)
 
-    survivors = thematic.map_batches(KeepAffected, batch_format="pyarrow",
-                                     concurrency=(1, 4))
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                tid = batch.column("theme_id").to_pylist()
+                mask = pa.array([str(t) in self.ids for t in tid])
+                return batch.filter(mask)
+
+        survivors = thematic.map_batches(KeepAffected, batch_format="pyarrow",
+                                         concurrency=(1, 4))
+    else:
+        # huge churn: distributed semi-join, no driver-side id set
+        from ..functions.relational import semi_join
+        survivors = semi_join(thematic, affected, on="theme_id")
+
     return run_alignment(survivors, reference, cfg, mode="evaluate",
                          max_rd=max_distance_for_actualisation,
                          cell_level=cell_level)

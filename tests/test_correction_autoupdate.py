@@ -71,6 +71,40 @@ def test_autoupdate_selects_stale_only(ray_session, tables):
     assert 0 < len(affected) < meta.num_rows
 
 
+def test_autoupdate_distributed_semi_join_agrees(ray_session, tables):
+    """Forcing the distributed semi-join path (broadcast_limit=0) must select
+    exactly the same affected features as the broadcast path."""
+    import ray.data
+    from brdrq_ray.pipelines.autoupdate import run_autoupdate
+
+    _, ref, meta = tables
+    cfg = al.AlignConfig(od_strategy=al.OD_EXCLUDE)
+    a = run_autoupdate(ray.data.from_arrow(meta), ray.data.from_arrow(ref),
+                       cfg, max_distance_for_actualisation=2.0).to_pandas()
+    b = run_autoupdate(ray.data.from_arrow(meta), ray.data.from_arrow(ref),
+                       cfg, max_distance_for_actualisation=2.0,
+                       broadcast_limit=0).to_pandas()
+    key = ["theme_id", "brdr_relevant_distance"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a[key + ["brdr_evaluation", "brdr_area"]].equals(
+        b[key + ["brdr_evaluation", "brdr_area"]])
+
+
+def test_semi_and_anti_join(ray_session):
+    import pandas as pd
+    import ray.data
+    from brdrq_ray.functions.relational import semi_join
+
+    data = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, 4, 5], "v": ["a", "b", "c", "d", "e"]}))
+    keys = ray.data.from_pandas(pd.DataFrame({"k": [2, 4, 4, 9]}))
+    got = semi_join(data, keys, on="k").to_pandas().sort_values("k")
+    assert got["k"].tolist() == [2, 4]
+    got_anti = semi_join(data, keys, on="k", anti=True).to_pandas().sort_values("k")
+    assert got_anti["k"].tolist() == [1, 3, 5]
+
+
 def test_autoupdate_no_changes_short_circuit(ray_session, tables):
     import ray.data
     from brdrq_ray.pipelines.autoupdate import run_autoupdate
@@ -91,13 +125,17 @@ def test_autoupdate_no_changes_short_circuit(ray_session, tables):
     assert results.count() == 0
 
 
+def _bucket_df(rows):
+    import pandas as pd
+    return pd.DataFrame(rows)
+
+
 def test_correction_multi_prediction_to_review():
     """Duplicate join keys (multiple predictions for one id) force TO_REVIEW
     and keep the original geometry (reference: brdrq_utils.py:1251-1254)."""
-    import pyarrow as pa
-    from brdrq_ray.pipelines.correction import CORRECTION_SCHEMA, _correct_group
+    from brdrq_ray.pipelines.correction import _correct_bucket
 
-    group = pa.table({
+    group = _bucket_df({
         "side": ["source", "result", "result"],
         "theme_id": ["T1"] * 3,
         "geometry_wkt": ["ORIG_WKT", None, None],
@@ -106,14 +144,51 @@ def test_correction_multi_prediction_to_review():
         "brdr_evaluation": [None, "prediction_unique", "to_check_prediction_multi"],
         "brdr_relevant_distance": [None, 1.0, 2.0],
         "brdr_prediction_score": [None, 40.0, 80.0],
+        "brdr_sym_diff_area_index": [None, 5.0, 9.0],
         "brdr_sym_diff_area_index_perc": [None, 1.0, 2.0],
         "brdr_stability": [None, True, True],
         "brdr_metadata": [None, "", ""],
     })
-    out = _correct_group(group, review_percentage=10.0)
+    out = _correct_bucket(group, review_percentage=10.0)
     assert out.num_rows == 1
     assert out.column("brdrq_state")[0].as_py() == "to_review"
     assert out.column("geometry_wkt")[0].as_py() == "ORIG_WKT"  # original kept
     # best prediction (max score) reported for review
     assert out.column("brdr_prediction_score")[0].as_py() == 80.0
     assert out.column("brdr_relevant_distance")[0].as_py() == 2.0
+
+
+def test_correction_state_rule_matches_reference_order():
+    """The review-percentage gate runs BEFORE the no-change test, and
+    no-change uses the ABSOLUTE symmetric-difference area (< 0.01 m2), not a
+    percentage (reference: brdrq_utils.py:1288-1291)."""
+    from brdrq_ray.pipelines.correction import _correct_bucket
+
+    def one(sym_abs, sym_perc, evaluation="prediction_unique", stability=False,
+            review=10.0):
+        group = _bucket_df({
+            "side": ["source", "result"],
+            "theme_id": ["T1"] * 2,
+            "geometry_wkt": ["ORIG", None],
+            "props": [None] * 2,
+            "result_wkt": [None, "RES"],
+            "brdr_evaluation": [None, evaluation],
+            "brdr_relevant_distance": [None, 1.0],
+            "brdr_prediction_score": [None, 50.0],
+            "brdr_sym_diff_area_index": [None, sym_abs],
+            "brdr_sym_diff_area_index_perc": [None, sym_perc],
+            "brdr_stability": [None, stability],
+            "brdr_metadata": [None, ""],
+        })
+        out = _correct_bucket(group, review_percentage=review)
+        return out.column("brdrq_state")[0].as_py()
+
+    # large parcel, sizable absolute change but tiny percentage: NOT no-change
+    assert one(sym_abs=5.0, sym_perc=0.005) == "to_review"
+    # genuinely tiny absolute change -> not_changed (even with auto eval)
+    assert one(sym_abs=0.005, sym_perc=0.005, evaluation="equality_by_id") == "not_changed"
+    # percentage above the review threshold wins over everything else
+    assert one(sym_abs=0.005, sym_perc=60.0) == "to_review"
+    # auto path: single prediction, acceptable change, auto evaluation
+    assert one(sym_abs=5.0, sym_perc=2.0, evaluation="equality_by_id") == "auto_updated"
+    assert one(sym_abs=5.0, sym_perc=2.0, stability=True) == "auto_updated"
