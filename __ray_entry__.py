@@ -240,15 +240,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["quality_score"], 6)
 
     def minhash_pairs(sf_dir: str):
-        import ray
         import ray.data
         from brdrq_ray.functions.dedup import minhash_lsh_pairs
-        docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        lookup = ray.put(dict(zip(docs.column("doc_id").to_pylist(),
-                                  docs.column("text").to_pylist())))
+        # join-based verify: the corpus is never read or broadcast driver-side
         pairs = minhash_lsh_pairs(ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                                         columns=["doc_id", "text"]),
-                                  text_lookup=lookup, jaccard_threshold=0.5)
+                                  jaccard_threshold=0.5)
         return _round_floats(pairs, ["jaccard"], 6)
 
     def simhash_values(sf_dir: str):

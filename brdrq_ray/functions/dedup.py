@@ -132,15 +132,20 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
                       jaccard_threshold: float = 0.7, text_lookup=None):
     """MinHash-LSH near-dup candidate pairs, verified by true n-gram Jaccard.
 
-    Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b. The verify
-    step needs the texts: ``text_lookup`` is a broadcast {id: text} dict ref
-    (ray.put) — the candidate set is tiny relative to the corpus, which is why
-    verification reads from the broadcast side rather than re-shuffling
-    payloads."""
-    import ray
+    Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b (ids int64).
 
-    def make_stage():
-        return MinHashBandStage(num_perm, bands, shingle_k, col, id_col)
+    Scale path (default): verification JOINS the deduped candidate pairs back
+    to the input dataset to fetch ONLY the candidate texts — the corpus is
+    never materialized driver-side and never broadcast. The only driver state
+    is the distinct candidate id set (bounded by the near-dup count, shipped
+    once via ray.put so one column-pruned scan can filter the texts), followed
+    by two tiny shuffles over candidate-sized tables.
+
+    ``text_lookup`` (a ray.put {id: text} dict) selects the legacy broadcast
+    verify — kept for the old-path/new-path equality test; it requires the
+    whole corpus in one object and does not scale."""
+    import ray
+    import ray.data
 
     banded = ds.map_batches(MinHashBandStage,
                             fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
@@ -165,23 +170,106 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
 
     cand = cand.groupby(["id_a", "id_b"]).map_groups(pair_first, batch_format="pandas")
 
-    class Verify:
+    EMPTY = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+
+    if text_lookup is not None:
+        class Verify:
+            def __init__(self):
+                self.texts = ray.get(text_lookup)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0:
+                    return EMPTY
+                df = batch.to_pandas().drop_duplicates(["id_a", "id_b"])
+                jac = [ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""), shingle_k)
+                       for a, b in zip(df["id_a"], df["id_b"])]
+                df["jaccard"] = jac
+                df = df[df["jaccard"] >= jaccard_threshold]
+                return pa.Table.from_pandas(df, preserve_index=False)
+
+        return cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+
+    # ---- join-based verify (the 100 TB path) -------------------------------
+    cand = cand.materialize()  # candidate pairs: small by construction
+    ids: set = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        ids.update(b.column("id_a").to_pylist())
+        ids.update(b.column("id_b").to_pylist())
+    if not ids:
+        return ray.data.from_arrow(EMPTY)
+    ids_ref = ray.put(ids)
+
+    class KeepCandidateTexts:
+        """One column-pruned scan of the corpus; only candidate texts survive
+        (the id set is broadcast once per actor, never the texts)."""
+
         def __init__(self):
-            self.texts = ray.get(text_lookup) if text_lookup is not None else None
+            self.ids = ray.get(ids_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0 or self.texts is None:
-                return pa.table({"id_a": pa.array([], pa.int64()),
-                                 "id_b": pa.array([], pa.int64()),
-                                 "jaccard": pa.array([], pa.float64())})
-            df = batch.to_pandas().drop_duplicates(["id_a", "id_b"])
-            jac = [ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""), shingle_k)
-                   for a, b in zip(df["id_a"], df["id_b"])]
-            df["jaccard"] = jac
-            df = df[df["jaccard"] >= jaccard_threshold]
-            return pa.Table.from_pandas(df, preserve_index=False)
+            keep = pa.array([v in self.ids
+                             for v in batch.column(id_col).to_pylist()])
+            return batch.select([id_col, col]).filter(keep)
 
-    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+    texts = ds.map_batches(KeepCandidateTexts, batch_format="pyarrow",
+                           concurrency=(1, 8))
+
+    # stage 1: attach each candidate doc's text to every pair-half wanting it
+    # (tagged union on the doc id — one shuffle of candidate-sized data)
+    def doc_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"key": t.column(id_col),
+                         "role": pa.array(np.zeros(n, np.int8)),
+                         "id_a": pa.nulls(n, pa.int64()),
+                         "id_b": pa.nulls(n, pa.int64()),
+                         "text": t.column(col)})
+
+    def pair_sides(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").cast(pa.int64()).combine_chunks()
+        b = t.column("id_b").cast(pa.int64()).combine_chunks()
+        n = t.num_rows
+        return pa.table({
+            "key": pa.concat_arrays([a, b]),
+            "role": pa.array(np.concatenate([np.ones(n, np.int8),
+                                             np.full(n, 2, np.int8)])),
+            "id_a": pa.concat_arrays([a, a]),
+            "id_b": pa.concat_arrays([b, b]),
+            "text": pa.nulls(2 * n, pa.string()),
+        })
+
+    tagged = (texts.map_batches(doc_side, batch_format="pyarrow")
+              .union(cand.map_batches(pair_sides, batch_format="pyarrow")))
+
+    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g[g["role"] == 0]
+        halves = g[g["role"] != 0]
+        if doc.empty or halves.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "role": [], "text": []})
+        text = doc["text"].iloc[0]
+        return pd.DataFrame({"id_a": halves["id_a"].astype("int64"),
+                             "id_b": halves["id_b"].astype("int64"),
+                             "role": halves["role"],
+                             "text": text})
+
+    halves = tagged.groupby("key").map_groups(attach_text, batch_format="pandas")
+
+    # stage 2: reunite the two halves of each pair and verify with the true
+    # n-gram Jaccard (one shuffle of the candidate pair table)
+    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
+        ta = g.loc[g["role"] == 1, "text"]
+        tb = g.loc[g["role"] == 2, "text"]
+        jac = ngram_jaccard(ta.iloc[0] if len(ta) else "",
+                            tb.iloc[0] if len(tb) else "", shingle_k)
+        if jac < jaccard_threshold:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        return pd.DataFrame({"id_a": [int(g["id_a"].iloc[0])],
+                             "id_b": [int(g["id_b"].iloc[0])],
+                             "jaccard": [jac]})
+
+    return halves.groupby(["id_a", "id_b"]).map_groups(verify_pair,
+                                                       batch_format="pandas")
 
 
 def duplicate_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b",

@@ -14,6 +14,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
+import ray.data
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
@@ -88,13 +89,24 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10,
     return C
 
 
-def ivf_knn(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
-            n_probe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
-            train_sample: int = 2048) -> pd.DataFrame:
-    """IVF ANN: assign each vector to its nearest centroid (broadcast codebook),
-    search only the n_probe closest partitions per query. Same output schema
-    as knn_brute_force; recall < 1 by design (tested against the brute-force
-    oracle in tests)."""
+def ivf_build(ds, n_clusters: int = 16, vec_col: str = "embedding",
+              id_col: str = "vec_id", train_sample: int = 2048,
+              index_dir: str | None = None) -> dict:
+    """Build the IVF index: train the codebook on a driver-side SAMPLE, assign
+    every vector to its nearest centroid (broadcast codebook, one streaming
+    pass), then MATERIALIZE the inverted file as parquet partitioned by
+    ``ivf_cell`` — one directory per cell, so a probe reads only the probed
+    cells' files and never scans the rest of the corpus. Returns
+    {'index_dir', 'codebook', 'n_clusters'} (the probe handle)."""
+    import os
+    import shutil
+
+    if index_dir is None:
+        import tempfile
+        index_dir = tempfile.mkdtemp(prefix="brdrq_ivf_", dir="/tmp")
+    elif os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+
     sample = np.asarray(ds.limit(train_sample).to_pandas()[vec_col].tolist())
     C = kmeans_fit(sample, n_clusters)
     cref = ray.put(C)
@@ -108,11 +120,42 @@ def ivf_knn(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
             assign = (V @ self.C.T).argmax(axis=1)
             return batch.append_column("ivf_cell", pa.array(assign, pa.int32()))
 
-    assigned = ds.map_batches(AssignStage, batch_format="pyarrow", concurrency=(1, 8))
+    (ds.map_batches(AssignStage, batch_format="pyarrow", concurrency=(1, 8))
+       .write_parquet(index_dir, partition_cols=["ivf_cell"]))
+    np.save(os.path.join(index_dir, "_codebook.npy"), C)
+    return {"index_dir": index_dir, "codebook": C, "n_clusters": n_clusters}
 
+
+def ivf_load(index_dir: str) -> dict:
+    C = np.load(f"{index_dir}/_codebook.npy")
+    return {"index_dir": index_dir, "codebook": C, "n_clusters": len(C)}
+
+
+def ivf_cell_files(index_dir: str, cells) -> list[str]:
+    """Parquet files of the probed cells only (the point of the inverted
+    file: probe I/O is proportional to n_probe/n_clusters, not corpus size)."""
+    import glob
+
+    files: list[str] = []
+    for c in sorted(set(int(x) for x in cells)):
+        files.extend(sorted(glob.glob(f"{index_dir}/ivf_cell={c}/*.parquet")))
+    return files
+
+
+def ivf_probe(index: dict, queries: np.ndarray, k: int = 10, n_probe: int = 4,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
+    """Probe the inverted file: per query the n_probe nearest centroids are
+    selected, ONLY those cells' parquet partitions are read, and each batch
+    scores only the queries probing its cell. Same output schema as
+    knn_brute_force; recall < 1 by design."""
+    C = index["codebook"]
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]      # (n_q, n_probe)
     probe_sets = [set(row) for row in probe.tolist()]
+    needed = sorted({c for s in probe_sets for c in s})
+    files = ivf_cell_files(index["index_dir"], needed)
+    if not files:
+        return pd.DataFrame({"query_id": [], id_col: [], "cosine": [], "rank": []})
     qref = ray.put(Q)
 
     class ProbeTopK:
@@ -120,7 +163,8 @@ def ivf_knn(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
             self.Q = ray.get(qref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            cells = batch.column("ivf_cell").to_numpy(zero_copy_only=False)
+            # the hive partition column comes back as string -> int
+            cells = batch.column("ivf_cell").cast(pa.int32()).to_numpy(zero_copy_only=False)
             ids = np.asarray(batch.column(id_col).to_pylist())
             V = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
             out_q, out_id, out_s = [], [], []
@@ -138,10 +182,27 @@ def ivf_knn(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
                              id_col: pa.array(out_id),
                              "cosine": pa.array(out_s, pa.float64())})
 
-    df = assigned.map_batches(ProbeTopK, batch_format="pyarrow",
-                              concurrency=(1, 8)).to_pandas()
+    df = (ray.data.read_parquet(files)
+          .map_batches(ProbeTopK, batch_format="pyarrow", concurrency=(1, 8))
+          .to_pandas())
     df["cosine"] = df["cosine"].round(9)
     df = df.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
     df = df.groupby("query_id", group_keys=False).head(k)
     df["rank"] = df.groupby("query_id").cumcount() + 1
     return df.reset_index(drop=True)
+
+
+def ivf_knn(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+            n_probe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
+            train_sample: int = 2048, index_dir: str | None = None) -> pd.DataFrame:
+    """IVF ANN, build + probe in one call (ad-hoc use; production keeps the
+    ivf_build index and probes it repeatedly)."""
+    import shutil
+
+    own_index = index_dir is None
+    index = ivf_build(ds, n_clusters, vec_col, id_col, train_sample, index_dir)
+    try:
+        return ivf_probe(index, queries, k, n_probe, vec_col, id_col)
+    finally:
+        if own_index:
+            shutil.rmtree(index["index_dir"], ignore_errors=True)

@@ -57,13 +57,43 @@ def test_minhash_pairs_finds_near_dups(ray_session):
     texts = {1: base, 2: base + " tail", 3: "completely different words here entirely",
              4: base.replace("quick", "slow"), 5: "another unrelated text about rivers"}
     t = pa.table({"doc_id": list(texts), "text": list(texts.values())})
-    lookup = ray.put(texts)
-    pairs = minhash_lsh_pairs(ray.data.from_arrow(t), text_lookup=lookup,
+    pairs = minhash_lsh_pairs(ray.data.from_arrow(t),
                               jaccard_threshold=0.5).to_pandas()
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert (1, 2) in got
     assert all(ngram_jaccard(texts[a], texts[b]) >= 0.5 for a, b in got)
     assert not any(3 in p or 5 in p for p in got)
+
+
+def test_minhash_join_verify_matches_broadcast_verify(ray_session):
+    """The join-based verify (no corpus broadcast) must return the identical
+    pair set + jaccard values as the legacy broadcast verify, on a corpus with
+    real near-dup structure."""
+    import ray
+    import ray.data
+    from brdrq_ray.functions.dedup import minhash_lsh_pairs
+
+    rng = __import__("numpy").random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "parcel", "border", "map", "road"]
+    texts = {}
+    for i in range(60):
+        base = " ".join(rng.choice(words, size=20))
+        texts[2 * i] = base
+        # every even doc gets a near-dup odd twin with a small mutation
+        texts[2 * i + 1] = base + (" tail" if i % 2 else "")
+    t = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+
+    new = (minhash_lsh_pairs(ray.data.from_arrow(t), jaccard_threshold=0.5)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    legacy = (minhash_lsh_pairs(ray.data.from_arrow(t),
+                                text_lookup=ray.put(texts),
+                                jaccard_threshold=0.5)
+              .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert len(new) > 0
+    assert new["id_a"].astype("int64").tolist() == legacy["id_a"].astype("int64").tolist()
+    assert new["id_b"].astype("int64").tolist() == legacy["id_b"].astype("int64").tolist()
+    assert (new["jaccard"].round(12) == legacy["jaccard"].round(12)).all()
 
 
 def test_short_text_shingles_are_seed_independent():
@@ -150,6 +180,49 @@ def test_ivf_knn_recall(ray_session):
         a = set(approx[approx["query_id"] == qi]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.6
+
+
+def test_ivf_inverted_file_probe_io(ray_session, tmp_path):
+    """The inverted file is materialized (partitioned parquet per cell) and a
+    probe reads ONLY the probed cells: scanned rows ~= sum of probed cell
+    sizes << corpus size, with recall identical to the unpartitioned scan."""
+    import pyarrow.parquet as ppq
+    import ray.data
+    from brdrq_ray.functions.similarity import (
+        _normalize, ivf_build, ivf_cell_files, ivf_probe)
+
+    emb = pq.read_table(EMB)
+    n_total = emb.num_rows
+    Q = np.asarray(emb.column("embedding").to_pylist())[:3]
+    index = ivf_build(ray.data.from_arrow(emb), n_clusters=8,
+                      index_dir=str(tmp_path / "ivf"))
+
+    # which cells do these queries probe?
+    C = index["codebook"]
+    Qn = _normalize(np.asarray(Q, dtype=np.float64))
+    probe_cells = sorted({int(c) for row in
+                          np.argsort(-(Qn @ C.T), axis=1)[:, :2] for c in row})
+    scanned = sum(ppq.read_metadata(f).num_rows
+                  for f in ivf_cell_files(index["index_dir"], probe_cells))
+    assert 0 < scanned < n_total  # the probe never scans the whole corpus
+
+    got = ivf_probe(index, Q, k=5, n_probe=2)
+    # the probe result equals a brute-force scan RESTRICTED to the probed
+    # cells (i.e. partition pruning loses nothing vs. the old full-scan+filter)
+    sub = ray.data.read_parquet(ivf_cell_files(index["index_dir"], probe_cells))
+    sdf = sub.to_pandas()
+    V = np.asarray(sdf["embedding"].tolist())
+    ids = sdf["vec_id"].to_numpy()
+    cells = sdf["ivf_cell"].astype(int).to_numpy()
+    Vn = _normalize(V)
+    for qi in range(3):
+        mycells = set(np.argsort(-(Qn[qi] @ C.T))[:2].tolist())
+        mask = np.isin(cells, list(mycells))
+        sim = np.round(Vn[mask] @ Qn[qi], 9)
+        order = sorted(zip(-sim, ids[mask]), key=lambda x: (x[0], x[1]))[:5]
+        expect = [int(i) for _, i in order]
+        mine = got[got["query_id"] == qi]["vec_id"].astype(int).tolist()
+        assert mine == expect
 
 
 def test_multimodal_stub(ray_session):
