@@ -107,6 +107,10 @@ class AlignConfig:
     full_reference_strategy: str = FRS_NO_FULL
     max_predictions: int = -1           # -1 = all
     multi_to_best_prediction: bool = True
+    #: reference default-on path (brdrq_algorithm_common.py:89-97, wired from
+    #: brdrq_algorithm_autocorrectborders.py:553 / autoupdateborders.py:410):
+    #: multipolygon parts are aligned as singles, then re-merged per id
+    multi_as_single_modus: bool = True
     step_cm: int = 10
     #: ABSOLUTE symmetric-difference area (m2) below which a prediction is
     #: labelled no_change — the reference tests SYMMETRICAL_AREA_CHANGE < 0.01
@@ -204,6 +208,51 @@ def prepare_candidates(theme_parts, candidates, rd_cap: float | None = None):
     return prepared, od_parts
 
 
+_OD_SNAP_MODES = (OD_SNAP_INNER_SIDE, OD_SNAP_ALL_SIDE)
+
+
+def snap_open_domain(od_parts, ref_parts_list, rd: float, cfg: AlignConfig):
+    """OD SNAP_INNER_SIDE / SNAP_ALL_SIDE (reference enum at
+    plugin/brdrq/brdrq_utils.py:177-179, docs/autocorrectborders.md:69-72
+    'snap its edges to the inner/all sides') — reconstructed semantics
+    (SEMANTICS.md section 3):
+
+    * INNER: every od ring vertex (rings densified at snap_max_segment_length)
+      within rd of a candidate reference boundary moves onto it — the
+      reference-facing side of the open-domain remainder snaps to the border;
+      the outward boundary beyond rd stays. Degenerate parts (slivers fully
+      collapsed onto the border) drop out.
+    * ALL: the same snap, then an rd-scale morphological opening
+      (erode rd/2 -> dilate rd/2) so ALL sides lose sub-rd features, not just
+      the reference-facing one.
+    """
+    from .geom.buffer import dilate as _dilate
+    from .geom.buffer import erode as _erode
+    from .geom.snap import _reference_geometry_arrays, densify_line, snap_points
+
+    seg_a, seg_b, vertices = _reference_geometry_arrays(ref_parts_list)
+    out_parts = []
+    for part in od_parts:
+        new_rings = []
+        for ring in part:
+            coords = np.asarray(ring, dtype=np.float64)
+            closed = np.vstack([coords, coords[:1]])  # densify the closing edge too
+            dense = densify_line(closed, cfg.snap_max_segment_length)[:-1]
+            snapped, _ = snap_points(dense, seg_a, seg_b, vertices, rd,
+                                     strategy="NO_PREFERENCE")
+            if len(snapped) > 1:  # collapse consecutive duplicates
+                keep = np.ones(len(snapped), dtype=bool)
+                keep[1:] = np.any(snapped[1:] != snapped[:-1], axis=1)
+                snapped = snapped[keep]
+            if len(snapped) >= 3:
+                new_rings.append(snapped)
+        if new_rings and abs(g.geom_area(g.GEOM_POLYGON, [new_rings])) > 1e-9:
+            out_parts.append(new_rings)
+    if cfg.od_strategy == OD_SNAP_ALL_SIDE and out_parts:
+        out_parts = _dilate(_erode(out_parts, rd / 2.0), rd / 2.0)
+    return out_parts
+
+
 def classify_at(prepared, rd: float, cfg: AlignConfig):
     """The rd-dependent relevance decisions, O(candidates) with no geometry
     work: returns (decisions, fingerprint) where decisions is a list of
@@ -221,11 +270,11 @@ def classify_at(prepared, rd: float, cfg: AlignConfig):
     return decisions
 
 
-def _fingerprint(decisions, od_used: bool, rd: float):
+def _fingerprint(decisions, od_used: bool, rd: float, od_rd_dependent: bool = False):
     key = tuple(sorted((str(c["ref_id"]), kind) for c, kind in decisions if kind != "excluded"))
     has_partial = any(kind == "partial" for _, kind in decisions)
-    # partial contributions vary with rd -> rd participates in the fingerprint
-    return (key, od_used, round_rd(rd) if has_partial else 0.0)
+    # partial contributions (and snapped od) vary with rd -> rd participates
+    return (key, od_used, round_rd(rd) if (has_partial or od_rd_dependent) else 0.0)
 
 
 def align_one(theme_parts, candidates, rd: float, cfg: AlignConfig) -> ProcessResult:
@@ -264,15 +313,27 @@ def align_prepared(theme_parts, prepared, od_parts, rd: float, cfg: AlignConfig)
             remarks.append(f"partial:{c['ref_id']}")
 
     pieces = [c[2] for c in contributions]
-    od_used = False
+    od_used = False        # od geometry actually present in the result
+    od_flag = False        # od admitted by the strategy (the fingerprint bit)
     if od_parts:
         if cfg.od_strategy == OD_EXCLUDE:
             remarks.append("od_excluded")
+        elif cfg.od_strategy in _OD_SNAP_MODES:
+            od_flag = True
+            od_snapped = snap_open_domain(
+                od_parts, [c["ref_parts"] for c in prepared], rd, cfg)
+            if od_snapped:
+                pieces.append(od_snapped)
+                od_used = True
+                remarks.append("od_snapped_inner"
+                               if cfg.od_strategy == OD_SNAP_INNER_SIDE
+                               else "od_snapped_all")
+            else:
+                remarks.append("od_snapped_away")
         else:
-            if cfg.od_strategy in (OD_SNAP_INNER_SIDE, OD_SNAP_ALL_SIDE):
-                remarks.append("od_snap_approximated_as_is")
             pieces.append(od_parts)
             od_used = True
+            od_flag = True
 
     result = dissolve(pieces) if pieces else []
     if cfg.apply_correction and result:
@@ -290,9 +351,62 @@ def align_prepared(theme_parts, prepared, od_parts, rd: float, cfg: AlignConfig)
     pr.full_actual = bool(contributions) and all(c[1] == "full" for c in contributions) and not od_used
     pr.remark = ";".join(remarks)
     pr.used_refs = [(c[0], c[1]) for c in contributions]
-    pr.fingerprint = (tuple(sorted((str(c[0]), c[1]) for c in contributions)), od_used,
-                      rd if any(c[1] == "partial" for c in contributions) else 0.0)
+    # snapped od varies continuously with rd (like partial contributions) ->
+    # rd participates in the fingerprint whenever a snap strategy admits od
+    rd_dependent = (any(c[1] == "partial" for c in contributions)
+                    or (od_flag and cfg.od_strategy in _OD_SNAP_MODES))
+    pr.fingerprint = (tuple(sorted((str(c[0]), c[1]) for c in contributions)), od_flag,
+                      rd if rd_dependent else 0.0)
     return pr
+
+
+def _merge_part_results(theme_parts, prs: list[ProcessResult], rd: float,
+                        cfg: AlignConfig) -> ProcessResult:
+    """multi_as_single_modus merge: each multipolygon part was aligned as a
+    single feature; re-dissolve the part results into one ProcessResult per
+    original id (reference: brdr's multi_as_single_modus merge, wired at
+    brdrq_algorithm_common.py:89-97). Diff slots are recomputed against the
+    WHOLE original geometry so the metrics match the per-feature contract."""
+    rd = round_rd(rd)
+    pr = ProcessResult(rd=rd)
+    if rd <= 0.0:
+        pr.result = theme_parts
+        pr.fingerprint = ("identity",)
+        return pr
+    # union_many, NOT dissolve: two parts of one multipolygon can claim the
+    # SAME reference parcel, so part results may overlap (dissolve assumes a
+    # tessellation; the pairwise overlay union is overlap-robust)
+    from .geom.boolean import union_many
+    res_pieces = [p.result for p in prs if p.result]
+    result = union_many(res_pieces) if res_pieces else []
+    pr.result = result
+    pr.result_diff_plus = overlay(result, theme_parts, "difference", validate=False)
+    pr.result_diff_min = overlay(theme_parts, result, "difference", validate=False)
+    pr.result_diff = dissolve(pr.result_diff_plus + pr.result_diff_min) \
+        if (pr.result_diff_plus or pr.result_diff_min) else []
+    ri = [p.relevant_intersection for p in prs if p.relevant_intersection]
+    rdf = [p.relevant_diff for p in prs if p.relevant_diff]
+    pr.relevant_intersection = union_many(ri) if ri else []
+    pr.relevant_diff = union_many(rdf) if rdf else []
+    pr.full_actual = bool(prs) and all(p.full_actual for p in prs)
+    remarks = [p.remark for p in prs if p.remark]
+    pr.remark = ";".join(["multi_as_single"] + remarks) if remarks else "multi_as_single"
+    seen = set()
+    for p in prs:
+        for ref in p.used_refs:
+            if ref not in seen:
+                seen.add(ref)
+                pr.used_refs.append(ref)
+    pr.fingerprint = ("multi",) + tuple(p.fingerprint for p in prs)
+    return pr
+
+
+def align_one_multi(theme_parts, candidates, rd: float, cfg: AlignConfig) -> ProcessResult:
+    """Part-wise alignment of a multipolygon (multi_as_single_modus): each
+    part goes through the kernel as its own single feature, then the results
+    merge per id."""
+    prs = [align_one([part], candidates, rd, cfg) for part in theme_parts]
+    return _merge_part_results(theme_parts, prs, rd, cfg)
 
 
 def fingerprint_at(prepared, od_parts, rd: float, cfg: AlignConfig):
@@ -303,7 +417,8 @@ def fingerprint_at(prepared, od_parts, rd: float, cfg: AlignConfig):
     if rd <= 0.0:
         return ("identity",)
     od_used = bool(od_parts) and cfg.od_strategy != OD_EXCLUDE
-    return _fingerprint(classify_at(prepared, rd, cfg), od_used, rd)
+    od_rd_dep = bool(od_parts) and cfg.od_strategy in _OD_SNAP_MODES
+    return _fingerprint(classify_at(prepared, rd, cfg), od_used, rd, od_rd_dep)
 
 
 @dataclass
@@ -334,6 +449,45 @@ def evaluate_series(theme_id, theme_parts, candidates, distances, cfg: AlignConf
                                             rd_cap=max(distances))
     fps = [fingerprint_at(prepared, od_parts, rd, cfg) for rd in distances]
 
+    def materialize(idx):
+        return align_prepared(theme_parts, prepared, od_parts,
+                              distances[idx], cfg)
+
+    return _plateau_predictions(theme_id, theme_parts, distances, fps,
+                                materialize, cfg, materialize_all)
+
+
+def evaluate_series_multi(theme_id, theme_parts, candidates, distances,
+                          cfg: AlignConfig, materialize_all: bool = False):
+    """Part-wise evaluate (multi_as_single_modus): each multipolygon part is
+    prepared and fingerprinted as its own single feature; the combined
+    fingerprint (tuple over parts) drives plateau detection, and plateau
+    representatives are materialized per part then merged per id."""
+    n = len(distances)
+    if n == 0:
+        return [], []
+    units = []
+    for part in theme_parts:
+        prepared, od = prepare_candidates([part], candidates,
+                                          rd_cap=max(distances))
+        units.append((part, prepared, od))
+    fps = [tuple(fingerprint_at(prep, od, rd, cfg) for _, prep, od in units)
+           for rd in distances]
+
+    def materialize(idx):
+        prs = [align_prepared([part], prep, od, distances[idx], cfg)
+               for part, prep, od in units]
+        return _merge_part_results(theme_parts, prs, distances[idx], cfg)
+
+    return _plateau_predictions(theme_id, theme_parts, distances, fps,
+                                materialize, cfg, materialize_all)
+
+
+def _plateau_predictions(theme_id, theme_parts, distances, fps, materialize,
+                         cfg: AlignConfig, materialize_all: bool):
+    """Shared plateau detection + scoring + evaluation labelling over a
+    fingerprint series (single-feature and part-wise paths)."""
+    n = len(distances)
     # plateaus of equal fingerprints
     plateaus = []  # (start_idx, end_idx inclusive)
     s = 0
@@ -347,8 +501,7 @@ def evaluate_series(theme_id, theme_parts, candidates, distances, cfg: AlignConf
 
     def _materialize(idx):
         if idx not in rep_cache:
-            rep_cache[idx] = align_prepared(theme_parts, prepared, od_parts,
-                                            distances[idx], cfg)
+            rep_cache[idx] = materialize(idx)
         return rep_cache[idx]
 
     if materialize_all:

@@ -194,7 +194,12 @@ class AlignGroupFn:
                           theme_perim, True, 100.0, 1, al.EV_NOT_EVALUATED, meta,
                           kind=t_kind)
             elif self.mode == "predict":
-                pr = al.align_one(theme_parts, candidates, self.cfg.relevant_distance, self.cfg)
+                part_wise = self.cfg.multi_as_single_modus and len(theme_parts) > 1
+                if part_wise:  # A14 multi_as_single_modus (reference default)
+                    pr = al.align_one_multi(theme_parts, candidates,
+                                            self.cfg.relevant_distance, self.cfg)
+                else:
+                    pr = al.align_one(theme_parts, candidates, self.cfg.relevant_distance, self.cfg)
                 meta = al.build_metadata(t_ids[i], pr.used_refs, versions) if self.add_metadata else ""
                 _emit_row(out, t_ids[i], t_cell[i], t_props[i], pr, theme_area,
                           theme_perim, True, 100.0, 1, al.EV_NOT_EVALUATED, meta)
@@ -204,9 +209,12 @@ class AlignGroupFn:
                 want_all = self.mode == "evaluate_all"  # PROCESSRESULTS: one
                 # row per grid distance (the reference's non-predictions
                 # result_type; feeds the A7 diff-metrics series)
-                results, preds = al.evaluate_series(t_ids[i], theme_parts,
-                                                    candidates, grid, self.cfg,
-                                                    materialize_all=want_all)
+                evaluate = (al.evaluate_series_multi
+                            if self.cfg.multi_as_single_modus and len(theme_parts) > 1
+                            else al.evaluate_series)
+                results, preds = evaluate(t_ids[i], theme_parts,
+                                          candidates, grid, self.cfg,
+                                          materialize_all=want_all)
                 if want_all:
                     for pr in results:
                         meta = al.build_metadata(t_ids[i], pr.used_refs, versions) if self.add_metadata else ""

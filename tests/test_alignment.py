@@ -131,6 +131,127 @@ def test_max_predictions_cut():
     assert len(all_preds) >= len(one)
 
 
+def test_od_snap_inner_collapses_sliver_overhang():
+    """SNAP_INNER_SIDE: a thin open-domain overhang hugging the reference
+    border snaps onto it (collapses); AS_IS keeps it. The two strategies must
+    differ (r1 approximated SNAP_* as AS_IS)."""
+    # P1 plus a 0.3 m strip overhanging into open domain
+    theme = [[sq(0, 0, 10.3, 10)]]
+    cands = [("P1", P1)]
+    as_is = al.align_one(theme, cands, 1.0,
+                         al.AlignConfig(od_strategy=al.OD_AS_IS))
+    inner = al.align_one(theme, cands, 1.0,
+                         al.AlignConfig(od_strategy=al.OD_SNAP_INNER_SIDE))
+    assert area(as_is.result) == pytest.approx(103.0)
+    assert area(inner.result) == pytest.approx(100.0)  # sliver snapped away
+    assert "od_snapped" in inner.remark
+    assert "approximated" not in inner.remark
+
+
+def test_od_snap_all_smooths_every_side():
+    """SNAP_ALL_SIDE additionally removes sub-rd features on the OUTWARD
+    boundary (rd-scale opening); SNAP_INNER_SIDE keeps them."""
+    # P1 + a 4 m-thick od blob + a 0.2 m-thin spike sticking far out
+    ring = np.array([(0, 0), (14, 0), (14, 4.9), (16, 4.9), (16, 5.1),
+                     (14, 5.1), (14, 10), (0, 10)], dtype=float)
+    theme = [[ring]]
+    cands = [("P1", P1)]
+    inner = al.align_one(theme, cands, 1.0,
+                         al.AlignConfig(od_strategy=al.OD_SNAP_INNER_SIDE))
+    al_all = al.align_one(theme, cands, 1.0,
+                          al.AlignConfig(od_strategy=al.OD_SNAP_ALL_SIDE))
+    # the spike (0.2 m thin, far from the reference) survives INNER but not ALL
+    assert area(inner.result) > area(al_all.result)
+    assert area(al_all.result) > 100.0  # the thick blob itself survives
+
+
+def test_od_snap_fingerprints_rd_dependent():
+    """Snapped od varies with rd -> fingerprint_at must carry rd (and agree
+    with align_prepared's fingerprint) so plateaus never conflate distinct
+    snapped geometries."""
+    theme = [[sq(0, 0, 10.3, 10)]]
+    cands = [("P1", P1)]
+    cfg = al.AlignConfig(od_strategy=al.OD_SNAP_INNER_SIDE)
+    prepared, od = al.prepare_candidates(theme, cands, rd_cap=2.0)
+    for rd in (0.5, 1.0, 2.0):
+        fp_cheap = al.fingerprint_at(prepared, od, rd, cfg)
+        fp_real = al.align_prepared(theme, prepared, od, rd, cfg).fingerprint
+        assert fp_cheap == fp_real
+    assert (al.fingerprint_at(prepared, od, 0.5, cfg)
+            != al.fingerprint_at(prepared, od, 1.0, cfg))
+
+
+def test_multi_as_single_differs_from_whole_geometry():
+    """A14 multi_as_single_modus: a 2-part multipolygon whose parts each
+    cover < threshold of a parcel (excluded part-wise) but together cover
+    nearly all of it (relevant + full whole-geometry) must produce DIFFERENT
+    results on the two paths — and the part-wise path is the reference
+    default (brdrq_algorithm_common.py:89-97)."""
+    theme = [[sq(0, 0, 10, 4.9)], [sq(0, 5.1, 10, 10)]]  # 49% + 49% of P1
+    cfg = al.AlignConfig(relevant_distance=12.0, od_strategy=al.OD_EXCLUDE,
+                         threshold_overlap_percentage=50.0)
+    whole = al.align_one(theme, CANDS, 12.0, cfg)
+    # combined 98% >= 50% threshold -> relevant; uncovered gap is thin -> full
+    assert area(whole.result) == pytest.approx(100.0)
+    pw = al.align_one_multi(theme, CANDS, 12.0, cfg)
+    # each part: not deep (inradius 2.45 < rd/2) and 49% < 50% -> excluded
+    assert area(pw.result) == pytest.approx(0.0)
+    assert "multi_as_single" in pw.remark
+    assert pw.fingerprint != whole.fingerprint
+
+
+def test_multi_as_single_flag_routes_in_pipeline(ray_session):
+    """The AlignConfig flag reproduces the part-wise result through the full
+    alignment DAG; turning it off reproduces the whole-geometry result."""
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.pipelines.autocorrect import run_alignment
+
+    theme_wkt = ("MULTIPOLYGON (((0 0, 10 0, 10 4.9, 0 4.9, 0 0)), "
+                 "((0 5.1, 10 5.1, 10 10, 0 10, 0 5.1)))")
+    ref_wkt = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    theme = pa.table({"theme_id": ["T1"], "geometry_wkt": [theme_wkt]})
+    ref = pa.table({"ref_id": ["R1"], "geometry_wkt": [ref_wkt]})
+
+    def run(flag):
+        cfg = al.AlignConfig(relevant_distance=12.0, od_strategy=al.OD_EXCLUDE,
+                             threshold_overlap_percentage=50.0,
+                             multi_as_single_modus=flag)
+        return run_alignment(ray.data.from_arrow(theme), ray.data.from_arrow(ref),
+                             cfg).to_pandas()
+
+    part_wise = run(True)
+    whole = run(False)
+    assert part_wise["brdr_area"].iloc[0] == pytest.approx(0.0)
+    assert whole["brdr_area"].iloc[0] == pytest.approx(100.0)
+    assert "multi_as_single" in part_wise["brdr_remark"].iloc[0]
+
+
+def test_multi_as_single_merges_shared_parcel():
+    """Two parts that BOTH relevantly claim the same parcel merge cleanly
+    (union_many, not tessellation dissolve): result equals the parcel once."""
+    theme = [[sq(0, 0, 10, 4.8)], [sq(0, 5.2, 10, 10)]]  # 48% + 48%, deep
+    cfg = al.AlignConfig(relevant_distance=1.0, od_strategy=al.OD_EXCLUDE)
+    pw = al.align_one_multi(theme, CANDS, 1.0, cfg)
+    whole = al.align_one(theme, CANDS, 1.0, cfg)
+    # both paths are partial-contribution unions; part-wise must not
+    # double-count the shared parcel
+    assert area(pw.result) <= 100.0 + 1e-6
+    assert area(pw.result) == pytest.approx(area(whole.result), abs=1e-6)
+
+
+def test_evaluate_series_multi_plateaus():
+    """Part-wise evaluate: a 2-part theme jittered around two parcels finds a
+    stable full-parcel prediction just like the single-part path does."""
+    theme = [[sq(0.3, -0.2, 9.8, 10.3)], [sq(10.4, 0.2, 19.7, 9.8)]]
+    grid = al.distance_grid(2.0)
+    cfg = al.AlignConfig(od_strategy=al.OD_EXCLUDE)
+    _, preds = al.evaluate_series_multi("T", theme, CANDS, grid, cfg)
+    assert preds
+    best = max(preds, key=lambda p: p.score)
+    assert area(best.pr.result) == pytest.approx(200.0)  # both parcels, once
+
+
 def test_build_metadata():
     meta = al.build_metadata("T9", [("P1", "full")], {"P1": "2021-05-01"})
     import json
