@@ -320,6 +320,125 @@ def canon_ring(ring: np.ndarray) -> np.ndarray:
     return np.vstack([ring[i:], ring[:i]])
 
 
+def _ring_interior_point(ring: np.ndarray):
+    """A point strictly inside a SIMPLE ring: the centroid when it lands
+    inside, else edge midpoints nudged along the inward normal."""
+    c = ring.mean(axis=0)
+    if points_in_rings(c[None, :], [ring])[0] != 0:
+        return c
+    diag = float(np.hypot(*(ring.max(axis=0) - ring.min(axis=0)))) or 1.0
+    eps = 1e-4 * diag
+    b = np.roll(ring, -1, axis=0)
+    for i in range(len(ring)):
+        mid = (ring[i] + b[i]) / 2.0
+        d = b[i] - ring[i]
+        n = np.hypot(d[0], d[1])
+        if n == 0:
+            continue
+        nrm = np.array([-d[1], d[0]]) / n  # left normal (inward for CCW)
+        for cand in (mid + eps * nrm, mid - eps * nrm):
+            if points_in_rings(cand[None, :], [ring])[0] != 0:
+                return cand
+    return c
+
+
+def _insert_ring_self_intersections(ring: np.ndarray) -> np.ndarray:
+    """Insert a vertex at every interior crossing between non-adjacent ring
+    segments (broadcast over all segment pairs)."""
+    n = len(ring)
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    d = b - a
+    # pairwise solve a_i + t*d_i == a_j + u*d_j
+    ii, jj = np.triu_indices(n, k=1)
+    adjacent = (jj - ii == 1) | ((ii == 0) & (jj == n - 1))
+    ii, jj = ii[~adjacent], jj[~adjacent]
+    if len(ii) == 0:
+        return ring
+    denom = d[ii, 0] * d[jj, 1] - d[ii, 1] * d[jj, 0]
+    ok = np.abs(denom) > 1e-18
+    ii, jj, denom = ii[ok], jj[ok], denom[ok]
+    if len(ii) == 0:
+        return ring
+    w = a[jj] - a[ii]
+    t = (w[:, 0] * d[jj, 1] - w[:, 1] * d[jj, 0]) / denom
+    u = (w[:, 0] * d[ii, 1] - w[:, 1] * d[ii, 0]) / denom
+    tol = 1e-12
+    hit = (t >= -tol) & (t <= 1 + tol) & (u >= -tol) & (u <= 1 + tol)
+    interior_i = hit & (t > tol) & (t < 1 - tol)
+    interior_j = hit & (u > tol) & (u < 1 - tol)
+    inserts: dict[int, list] = {}
+    pts = a[ii] + t[:, None] * d[ii]
+    for sel, segs, tt in ((interior_i, ii, t), (interior_j, jj, u)):
+        for s, tv, p in zip(segs[sel], tt[sel], pts[sel]):
+            inserts.setdefault(int(s), []).append((float(tv if segs is ii else tv), p))
+    if not inserts:
+        return ring
+    out = []
+    for i in range(n):
+        out.append(a[i])
+        for _, p in sorted(inserts.get(i, []), key=lambda x: x[0]):
+            out.append(p)
+    dense = snap(np.asarray(out, dtype=np.float64))
+    keep = np.ones(len(dense), dtype=bool)
+    keep[1:] = np.any(dense[1:] != dense[:-1], axis=1)
+    dense = dense[keep]
+    if len(dense) > 1 and np.all(dense[0] == dense[-1]):
+        dense = dense[:-1]
+    return dense
+
+
+def _split_simple_subrings(dense: np.ndarray) -> list[np.ndarray]:
+    """Decompose a closed chain (crossings already inserted as vertices) into
+    simple sub-rings: walk the chain, and whenever a vertex repeats, the loop
+    between the two occurrences pops off as one simple ring."""
+    out: list[np.ndarray] = []
+    stack: list[np.ndarray] = []
+    pos: dict[tuple, int] = {}
+    for p in list(dense) + [dense[0]]:
+        key = (float(p[0]), float(p[1]))
+        if key in pos:
+            i = pos[key]
+            cyc = stack[i:]
+            if len(cyc) >= 3:
+                out.append(np.asarray(cyc))
+            for q in stack[i + 1:]:
+                pos.pop((float(q[0]), float(q[1])), None)
+            stack = stack[:i + 1]
+        else:
+            pos[key] = len(stack)
+            stack.append(p)
+    return out
+
+
+def ring_is_simple(ring: np.ndarray) -> bool:
+    """True when the ring has no repeated vertices and no interior segment
+    crossings (cheap O(n^2) broadcast check used at ingest)."""
+    r = snap(np.asarray(ring, dtype=np.float64))
+    if len(np.unique(r, axis=0)) != len(r):
+        return False
+    return len(_insert_ring_self_intersections(r)) == len(r)
+
+
+def repair_ring(ring: np.ndarray) -> list[tuple[np.ndarray, bool]]:
+    """GEOS-MakeValid-style repair of one self-intersecting ring (reference:
+    fixgeometries, plugin/brdrq/brdrq_utils.py:1536-1547): split at crossings
+    into simple sub-rings, then classify each by the WINDING NUMBER of the
+    original traversal at an interior sample — nonzero winding = filled region
+    (shell), zero winding = enclosed but unfilled (hole). A bowtie becomes two
+    shells; a pinched donut becomes shell + hole. Returns
+    [(simple_ring, is_shell), ...]."""
+    dense = _insert_ring_self_intersections(snap(np.asarray(ring, dtype=np.float64)))
+    subs = []
+    for sub in _split_simple_subrings(dense):
+        if abs(ring_signed_area(sub)) < SNAP * SNAP:
+            continue
+        probe = _ring_interior_point(sub)
+        wind = int(points_in_rings(probe[None, :], [dense])[0])
+        subs.append((sub, wind != 0))
+    return subs
+
+
 def make_valid(kind: int, parts):
     """Normalize a geometry (our analog of the reference's fixgeometries /
     make_valid, reference: plugin/brdrq/brdrq_utils.py:1536-1547):
@@ -327,9 +446,9 @@ def make_valid(kind: int, parts):
     * drop rings with < 3 points or ~zero area (polygons)
     * orient shells CCW, holes CW
     * snap coordinates to the 1e-6 grid
-
-    Self-intersecting rings are NOT repaired here (the boolean kernel's
-    stitcher resolves them when they flow through an overlay).
+    * repair self-intersecting rings (bowties, pinches): split at crossings,
+      keep nonzero-winding regions as shells, zero-winding enclosures as
+      holes assigned to their containing shell (repair_ring above)
     """
     if kind != GEOM_POLYGON:
         out = []
@@ -340,20 +459,61 @@ def make_valid(kind: int, parts):
         return kind, out
     out = []
     for rings in parts:
-        fixed = []
+        cleaned = []
         for i, r in enumerate(rings):
             r = snap(_dedupe_ring(np.asarray(r, dtype=np.float64)))
-            if len(r) < 3:
-                continue
-            a = ring_signed_area(r)
-            if abs(a) < SNAP * SNAP:
-                continue
-            want_ccw = i == 0
-            if (a > 0) != want_ccw:
-                r = r[::-1].copy()
-            fixed.append(canon_ring(r))
-        if fixed:
-            out.append(fixed)
+            if len(r) >= 3:
+                cleaned.append((i, r))
+        if not cleaned:
+            continue
+        if all(ring_is_simple(r) for _, r in cleaned):
+            # fast path: byte-identical to the pre-repair normalization
+            fixed = []
+            for i, r in cleaned:
+                a = ring_signed_area(r)
+                if abs(a) < SNAP * SNAP:
+                    continue
+                want_ccw = i == 0
+                if (a > 0) != want_ccw:
+                    r = r[::-1].copy()
+                fixed.append(canon_ring(r))
+            if fixed:
+                out.append(fixed)
+            continue
+        # repair path: a bowtie's signed area can cancel to ~0, so the area
+        # filter applies only AFTER splitting into simple sub-rings
+        shells: list[np.ndarray] = []
+        holes: list[np.ndarray] = []
+        for i, r in cleaned:
+            if ring_is_simple(r):
+                if abs(ring_signed_area(r)) < SNAP * SNAP:
+                    continue
+                pieces = [(r, True)]
+            else:
+                pieces = repair_ring(r)
+            for sub, filled in pieces:
+                if abs(ring_signed_area(sub)) < SNAP * SNAP:
+                    continue
+                # a shell's filled regions are shells; a hole ring's filled
+                # regions are holes (and its zero-winding enclosures islands)
+                if (i == 0) == filled:
+                    shells.append(sub)
+                else:
+                    holes.append(sub)
+        shell_areas = [abs(ring_signed_area(s)) for s in shells]
+        assembled = [[canon_ring(s if ring_signed_area(s) > 0 else s[::-1].copy())]
+                     for s in shells]
+        for h in holes:
+            probe = _ring_interior_point(h)
+            best = None
+            for k, s in enumerate(shells):
+                if points_in_rings(probe[None, :], [s])[0] != 0:
+                    if best is None or shell_areas[k] < shell_areas[best]:
+                        best = k
+            if best is not None:
+                hh = h if ring_signed_area(h) < 0 else h[::-1].copy()
+                assembled[best].append(canon_ring(hh))
+        out.extend(assembled)
     return kind, out
 
 

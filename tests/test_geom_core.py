@@ -109,3 +109,53 @@ def test_make_valid_drops_degenerate():
     kind, fixed = g.make_valid(g.GEOM_POLYGON, parts)
     assert len(fixed) == 1
     assert g.ring_signed_area(fixed[0][0]) > 0  # reoriented CCW
+
+
+def test_make_valid_repairs_bowtie():
+    """A figure-eight (bowtie) ring splits into two simple lobes whose total
+    area equals the winding-rule area (reference: fixgeometries GEOS repair,
+    brdrq_utils.py:1536-1547). The raw shoelace area of the bowtie is ~0 —
+    the repair must run BEFORE any zero-area filter."""
+    bow = np.array([(0, 0), (2, 2), (2, 0), (0, 2)], float)
+    kind, parts = g.make_valid(g.GEOM_POLYGON, [[bow]])
+    assert len(parts) == 2
+    assert g.geom_area(kind, parts) == pytest.approx(2.0)
+    for p in parts:
+        assert g.ring_signed_area(p[0]) > 0  # shells CCW
+
+
+def test_make_valid_repairs_pinched_donut():
+    """A ring that traces an outer square and an opposite-wound inner triangle
+    through a pinch vertex becomes shell + hole (zero-winding enclosure)."""
+    ring = np.array([(0, 0), (5, 0), (3, 3), (7, 3), (5, 0),
+                     (10, 0), (10, 10), (0, 10)], float)
+    kind, parts = g.make_valid(g.GEOM_POLYGON, [[ring]])
+    assert len(parts) == 1
+    assert len(parts[0]) == 2  # shell + hole
+    assert g.geom_area(kind, parts) == pytest.approx(94.0)  # 100 - 6
+
+
+def test_make_valid_simple_rings_unchanged():
+    """The repair path must not perturb already-simple input (byte stability
+    of the golden fixtures)."""
+    part = [sq(0, 0, 10, 10), sq(2, 2, 4, 4)[::-1].copy()]  # shell + hole
+    k1, before = g.make_valid(g.GEOM_POLYGON, [part])
+    assert g.ring_is_simple(part[0])
+    k2, again = g.make_valid(g.GEOM_POLYGON, before)
+    assert all(np.array_equal(a, b) for p1, p2 in zip(before, again)
+               for a, b in zip(p1, p2))
+
+
+def test_bowtie_ingests_through_pipeline():
+    """End-to-end: a bowtie WKT flows through parse_geometries into a valid
+    multipolygon with the winding-rule area and finite metrics."""
+    import pyarrow as pa
+    from brdrq_ray.stages.ingest import parse_geometries
+
+    t = pa.table({"theme_id": ["B1"],
+                  "geometry_wkt": ["POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"]})
+    out = parse_geometries(t)
+    assert out.num_rows == 1
+    kind, parts = g.unpack_geom(out.column("geom")[0].as_py())
+    assert len(parts) == 2
+    assert g.geom_area(kind, parts) == pytest.approx(2.0)
