@@ -154,13 +154,24 @@ def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Datas
                            broadcast_reference: bool | None = None,
                            broadcast_limit: int = 250_000,
                            plan_sample: float = 1.0,
-                           plan_override: "TilePlan | None" = None):
+                           plan_override: "TilePlan | None" = None,
+                           pre_parsed: bool = False,
+                           oversize_policy: str = "fail"):
     """Parse both sides, pick the tile plan, tag cells/salts. Returns
-    (unified_keyed_dataset, plan, ref_broadcast_handle_or_None) — the handle
-    is set when the small-reference broadcast fast path was taken (auto below
+    (unified_keyed_dataset, plan, ref_broadcast_handle_or_None,
+    oversized_parsed_dataset_or_None) — the handle is set when the
+    small-reference broadcast fast path was taken (auto below
     ``broadcast_limit`` rows; pass broadcast_reference=False to force the
-    shuffle path)."""
-    parsed_theme = thematic.map_batches(parse_geometries, batch_format="pyarrow")
+    shuffle path).
+
+    With a sampled plan (``plan_sample`` < 1) the co-partition guarantee is
+    checked at runtime; ``oversize_policy`` decides what happens to features
+    the sample missed: 'fail' raises (the conservative default), 'route'
+    diverts them into the returned ``oversized`` dataset so the caller can
+    align them under their own exact (coarser) plan — run_alignment does this
+    and unions the two result tables."""
+    parsed_theme = (thematic if pre_parsed
+                    else thematic.map_batches(parse_geometries, batch_format="pyarrow"))
     parsed_ref = reference.map_batches(parse_geometries, batch_format="pyarrow")
 
     plan = plan_override if plan_override is not None else plan_tiles(
@@ -180,27 +191,42 @@ def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Datas
             f"{tiles.pick_level(plan.max_extent, max_rd)} or omit cell_level")
     salts = plan.salts
 
+    oversized = None
     if plan_sample < 1.0:
-        # sampled planning can miss the largest feature — fail fast at
-        # runtime instead of silently dropping candidates (the co-partition
-        # guarantee guard)
+        # sampled planning can miss the largest feature — the co-partition
+        # guarantee guard: fail fast, or route violators to their own plan
         reach = 2 * 1.01 * max_rd
 
-        def guard(batch: pa.Table) -> pa.Table:
-            ext = np.maximum(
+        def _ext(batch: pa.Table) -> np.ndarray:
+            return np.nan_to_num(np.maximum(
                 batch.column("xmax").to_numpy(zero_copy_only=False)
                 - batch.column("xmin").to_numpy(zero_copy_only=False),
                 batch.column("ymax").to_numpy(zero_copy_only=False)
-                - batch.column("ymin").to_numpy(zero_copy_only=False))
-            bad = np.nonzero(np.nan_to_num(ext) + reach > 2 * cs)[0]
-            if len(bad):
-                raise ValueError(
-                    f"sampled tile plan (level {level}, cell {cs:.0f} m) "
-                    f"violated by a feature of extent {ext[bad[0]]:.0f} m — "
-                    "re-run with plan_sample=1.0 or a coarser cell_level")
-            return batch
+                - batch.column("ymin").to_numpy(zero_copy_only=False)))
 
-        parsed_theme = parsed_theme.map_batches(guard, batch_format="pyarrow")
+        if oversize_policy == "route":
+            def keep_fit(batch: pa.Table) -> pa.Table:
+                return batch.filter(pa.array(_ext(batch) + reach <= 2 * cs))
+
+            def keep_oversized(batch: pa.Table) -> pa.Table:
+                return batch.filter(pa.array(_ext(batch) + reach > 2 * cs))
+
+            oversized = parsed_theme.map_batches(keep_oversized,
+                                                 batch_format="pyarrow")
+            parsed_theme = parsed_theme.map_batches(keep_fit,
+                                                    batch_format="pyarrow")
+        else:
+            def guard(batch: pa.Table) -> pa.Table:
+                ext = _ext(batch)
+                bad = np.nonzero(ext + reach > 2 * cs)[0]
+                if len(bad):
+                    raise ValueError(
+                        f"sampled tile plan (level {level}, cell {cs:.0f} m) "
+                        f"violated by a feature of extent {ext[bad[0]]:.0f} m — "
+                        "re-run with plan_sample=1.0 or a coarser cell_level")
+                return batch
+
+            parsed_theme = parsed_theme.map_batches(guard, batch_format="pyarrow")
 
     theme_keyed = (parsed_theme
                    .map_batches(lambda b: assign_owner_cell(b, level), batch_format="pyarrow")
@@ -243,7 +269,7 @@ def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Datas
             }
         ref_handle = _ray.put(slices)
         unified = theme_keyed.map_batches(_part_key, batch_format="pyarrow")
-        return unified, plan, ref_handle
+        return unified, plan, ref_handle, oversized
 
     # reference: cover + one ring (see stages.tiling docstring for the proof)
     ref_keyed = (parsed_ref
@@ -251,29 +277,60 @@ def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Datas
                  .map_batches(lambda b: salt_reference(b, salts), batch_format="pyarrow")
                  .map_batches(lambda b: _unify(b, "ref"), batch_format="pyarrow"))
     unified = theme_keyed.union(ref_keyed).map_batches(_part_key, batch_format="pyarrow")
-    return unified, plan, None
+    return unified, plan, None, oversized
 
 
 def run_alignment(thematic: ray.data.Dataset, reference: ray.data.Dataset,
                   cfg: AlignConfig | None = None, mode: str = "predict",
                   max_rd: float | None = None, cell_level: int | None = None,
                   hot_threshold: int = 512, add_metadata: bool = True,
-                  broadcast_reference: bool | None = None) -> ray.data.Dataset:
+                  broadcast_reference: bool | None = None,
+                  plan_sample: float = 1.0,
+                  oversize_policy: str = "route") -> ray.data.Dataset:
     """AutocorrectBorders core: returns the flat result table (one row per
     (theme_id, relevant_distance) in 'predict' mode, one per prediction in
-    'evaluate' mode) with the brdr_* schema of SURVEY.md section 1.3."""
+    'evaluate' mode) with the brdr_* schema of SURVEY.md section 1.3.
+
+    With ``plan_sample`` < 1 the tile plan comes from a seeded sample; any
+    feature the sample missed (its search region violates the co-partition
+    guarantee at the sampled level) is, under the default
+    ``oversize_policy='route'``, aligned separately under an exact plan over
+    just the oversized subset and unioned into the result — sampled planning
+    is total, not fail-fast."""
     cfg = cfg or AlignConfig()
     max_rd = max_rd if max_rd is not None else cfg.relevant_distance
-    unified, plan, ref_handle = prepare_aligned_inputs(
+    unified, plan, ref_handle, oversized = prepare_aligned_inputs(
         thematic, reference, max_rd, cell_level=cell_level,
-        hot_threshold=hot_threshold, broadcast_reference=broadcast_reference)
+        hot_threshold=hot_threshold, broadcast_reference=broadcast_reference,
+        plan_sample=plan_sample, oversize_policy=oversize_policy)
     fn = AlignGroupFn(cfg, mode=mode, max_rd=max_rd, add_metadata=add_metadata,
                       ref_broadcast=ref_handle)
 
     def align_group(group: pa.Table) -> pa.Table:
         return fn(group)
 
-    return unified.groupby("part_key").map_groups(align_group, batch_format="pyarrow")
+    main = unified.groupby("part_key").map_groups(align_group, batch_format="pyarrow")
+    if oversized is None:
+        return main
+    # the oversized subset is tiny by assumption: materialize it (one filter
+    # scan), and only when non-empty run the fallback DAG under its own exact
+    # plan (coarser level derived from the true max extent)
+    oversized = oversized.materialize()
+    if oversized.count() == 0:
+        return main
+    over_unified, _, over_handle, _ = prepare_aligned_inputs(
+        oversized, reference, max_rd, cell_level=None,
+        hot_threshold=hot_threshold, broadcast_reference=broadcast_reference,
+        plan_sample=1.0, pre_parsed=True)
+    fn2 = AlignGroupFn(cfg, mode=mode, max_rd=max_rd, add_metadata=add_metadata,
+                       ref_broadcast=over_handle)
+
+    def align_group_over(group: pa.Table) -> pa.Table:
+        return fn2(group)
+
+    fallback = over_unified.groupby("part_key").map_groups(
+        align_group_over, batch_format="pyarrow")
+    return main.union(fallback)
 
 
 # --- result materialization (A5 analog) ------------------------------------

@@ -195,10 +195,9 @@ def run_alignment_checkpointed(thematic, reference, out_dir: str, cfg=None,
                                      max_extent=doc["max_extent"],
                                      n_features=doc["n_features"])
 
-    unified, plan, ref_handle = prepare_aligned_inputs(thematic, reference,
-                                                       max_rd,
-                                                       cell_level=cell_level,
-                                                       plan_override=plan_override)
+    unified, plan, ref_handle, _ = prepare_aligned_inputs(
+        thematic, reference, max_rd, cell_level=cell_level,
+        plan_override=plan_override)
     if plan_override is None:
         with open(plan_path, "w") as f:
             json.dump({"params_hash": phash, "level": plan.level,

@@ -113,7 +113,7 @@ def test_sampled_planning(ray_session, synth_tables):
 
     theme, ref = synth_tables
     cfg = al.AlignConfig(relevant_distance=2.0, od_strategy=al.OD_EXCLUDE)
-    unified, plan, handle = prepare_aligned_inputs(
+    unified, plan, handle, _ = prepare_aligned_inputs(
         ray.data.from_arrow(theme), ray.data.from_arrow(ref), 2.0,
         plan_sample=0.5, broadcast_reference=False)
     fn = AlignGroupFn(cfg, ref_broadcast=handle)
@@ -126,3 +126,51 @@ def test_sampled_planning(ray_session, synth_tables):
     a = res.sort_values("theme_id")["brdr_area"].to_numpy()
     b = exact.sort_values("theme_id")["brdr_area"].to_numpy()
     assert (a == b).all()
+
+
+def test_oversized_feature_routing(ray_session, synth_tables):
+    """A feature the sampled plan missed is ROUTED through its own exact-plan
+    fallback DAG instead of failing fast: the union result is identical to
+    the exact full-scan plan (sampled planning is total)."""
+    import ray.data
+    from brdrq_ray.pipelines.autocorrect import (
+        TilePlan, plan_tiles, prepare_aligned_inputs, run_alignment)
+    from brdrq_ray.stages.ingest import parse_geometries
+
+    theme, ref = synth_tables
+    # add one giant feature spanning many cells (the kind a sample misses)
+    giant_wkt = ("POLYGON ((100000 150000, 105000 150000, 105000 155000, "
+                 "100000 155000, 100000 150000))")
+    theme_g = pa.table({
+        "theme_id": theme.column("theme_id").to_pylist() + ["GIANT"],
+        "geometry_wkt": theme.column("geometry_wkt").to_pylist() + [giant_wkt],
+    })
+    cfg = al.AlignConfig(relevant_distance=2.0, od_strategy=al.OD_EXCLUDE)
+
+    exact = (run_alignment(ray.data.from_arrow(theme_g), ray.data.from_arrow(ref),
+                           cfg, broadcast_reference=False)
+             .to_pandas().sort_values("theme_id").reset_index(drop=True))
+
+    # deterministically force the miss: plan for the SMALL features only, then
+    # feed the full table with that plan's level via plan_override + sampling
+    parsed_small = ray.data.from_arrow(theme).map_batches(
+        parse_geometries, batch_format="pyarrow")
+    small_plan = plan_tiles(parsed_small, 2.0)
+    override = TilePlan(level=small_plan.level, salts=small_plan.salts,
+                        max_extent=small_plan.max_extent,
+                        n_features=small_plan.n_features)
+    unified, _, handle, oversized = prepare_aligned_inputs(
+        ray.data.from_arrow(theme_g), ray.data.from_arrow(ref), 2.0,
+        plan_sample=0.99, plan_override=override, oversize_policy="route",
+        broadcast_reference=False)
+    assert oversized is not None
+    over_ids = oversized.to_pandas()["theme_id"].tolist()
+    assert over_ids == ["GIANT"]  # exactly the violator routed
+
+    # end-to-end: sampled plan + routing reproduces the exact-plan result
+    routed = (run_alignment(ray.data.from_arrow(theme_g), ray.data.from_arrow(ref),
+                            cfg, broadcast_reference=False, plan_sample=0.5)
+              .to_pandas().sort_values("theme_id").reset_index(drop=True))
+    assert (routed["theme_id"] == exact["theme_id"]).all()
+    assert (routed["brdr_area"] == exact["brdr_area"]).all()
+    assert (routed["result_geom"] == exact["result_geom"]).all()
