@@ -261,7 +261,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from brdrq_ray.functions.dedup import embedding_neardup_pairs
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         dim = len(ds.take(1)[0]["embedding"])
-        return _round_floats(embedding_neardup_pairs(ds, dim=dim, threshold=0.9),
+        # 0.3: the synthetic embeddings are near-orthogonal random vectors, so
+        # a production-style 0.9 threshold is vacuously empty; 0.3 exercises
+        # the bucket->exact-cosine path with a small, checkable pair set
+        return _round_floats(embedding_neardup_pairs(ds, dim=dim, threshold=0.3),
                              ["cosine"], 6)
 
     def knn_top5(sf_dir: str):
@@ -441,8 +444,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# --------------------------------------------------------------------------
+# golden-parquet oracles for the non-SQL-expressible queries
+# --------------------------------------------------------------------------
+#
+# Sketch/geometry queries (seeded models, geometry kernels) have no DuckDB-SQL
+# equivalent, but their sf0.01 outputs are DETERMINISTIC — so their expected
+# outputs are committed as parquet under tests/golden/oracle/ (regenerated
+# ONLY deliberately: `PYTHONPATH=. python tests/golden/regen_oracle.py`) and
+# served to the driver as `SELECT * FROM read_parquet(...)` oracles. A
+# content hash of the fixture generator AND the driver testdata guards
+# staleness: on any mismatch the entries are omitted and those queries fall
+# back to rows-only checks instead of failing against stale goldens.
+
+_GOLDEN_ORACLE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "tests", "golden", "oracle")
+
+
+def _golden_env_hash(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    import hashlib
+    h = hashlib.sha1()
+    h.update(_fixture_version().encode())
+    if os.path.isdir(sf_dir):
+        for name in sorted(os.listdir(sf_dir)):
+            if name.endswith(".parquet"):
+                h.update(name.encode())
+                with open(os.path.join(sf_dir, name), "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _golden_oracles() -> dict[str, str]:
+    import json
+    meta_path = os.path.join(_GOLDEN_ORACLE_DIR, "meta.json")
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("env_hash") != _golden_env_hash():
+        return {}  # stale goldens -> rows-only fallback, never a false FAIL
+    out = {}
+    for name in meta.get("queries", []):
+        p = os.path.join(_GOLDEN_ORACLE_DIR, f"{name}.parquet")
+        if os.path.exists(p):
+            out[name] = f"SELECT * FROM read_parquet('{p}')"
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = dict(_BASE_ORACLE_SQL)
+    for name, sql in _golden_oracles().items():
+        out.setdefault(name, sql)
+    return out
+
+
+_BASE_ORACLE_SQL = {
         "metrics_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

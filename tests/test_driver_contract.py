@@ -46,15 +46,11 @@ def con():
     return c
 
 
-SQL_QUERIES = sorted(entrymod.oracle_sql())
+SQL_QUERIES = sorted(entrymod._BASE_ORACLE_SQL)
+GOLDEN_QUERIES = sorted(entrymod._golden_oracles())
 
 
-@pytest.mark.parametrize("name", SQL_QUERIES)
-def test_query_matches_oracle(ray_session, con, name):
-    q = entrymod.queries()[name]
-    sql = entrymod.oracle_sql()[name]
-    mine = _canon(_to_pandas(q(SF_DIR)))
-    oracle = _canon(con.sql(sql).df())
+def _compare(name, mine, oracle):
     assert list(mine.columns) == list(oracle.columns), \
         f"columns {list(mine.columns)} != {list(oracle.columns)}"
     assert len(mine) == len(oracle), f"rows {len(mine)} != {len(oracle)}"
@@ -67,6 +63,38 @@ def test_query_matches_oracle(ray_session, con, name):
         else:
             assert (a.fillna("<na>").to_numpy() == b.fillna("<na>").to_numpy()).all(), \
                 f"{name}.{c} mismatch"
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_oracle(ray_session, con, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    mine = _canon(_to_pandas(q(SF_DIR)))
+    oracle = _canon(con.sql(sql).df())
+    _compare(name, mine, oracle)
+
+
+@pytest.mark.parametrize("name", GOLDEN_QUERIES)
+def test_query_matches_golden_oracle(ray_session, name):
+    """The golden-parquet oracles are pinned at sf0.01 (the driver's
+    correctness scale) — re-run each covered query there and compare against
+    its committed expected output through the same read_parquet SQL the
+    driver will execute."""
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    mine = _canon(_to_pandas(q("/root/testdata/sf0.01")))
+    oracle = _canon(duckdb.sql(sql).df())
+    _compare(name, mine, oracle)
+
+
+def test_golden_oracles_cover_everything():
+    """With fresh goldens, every queries() entry has SOME oracle (base SQL or
+    golden parquet); regenerate with tests/golden/regen_oracle.py when a
+    semantic change invalidates them deliberately."""
+    if not entrymod._golden_oracles():
+        pytest.skip("golden oracles stale for this environment (rows-only)")
+    missing = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+    assert missing == []
 
 
 def test_rows_only_queries_run(ray_session):
