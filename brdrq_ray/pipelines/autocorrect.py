@@ -246,11 +246,15 @@ def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Datas
 
     if broadcast_reference:
         import ray as _ray
-        ref_tbl = pa.Table.from_pandas(
-            (parsed_ref
-             .map_batches(lambda b: explode_cover(b, level, expand=cs), batch_format="pyarrow")
-             .map_batches(lambda b: _unify(b, "ref"), batch_format="pyarrow")
-             ).to_pandas(), preserve_index=False)
+        # to_arrow_refs + concat: the keyed reference lands once as Arrow
+        # (zero-copy from the object store) — no pandas driver copy
+        ref_tbl = pa.concat_tables([
+            t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+            for t in _ray.get(
+                (parsed_ref
+                 .map_batches(lambda b: explode_cover(b, level, expand=cs), batch_format="pyarrow")
+                 .map_batches(lambda b: _unify(b, "ref"), batch_format="pyarrow")
+                 ).to_arrow_refs())]).combine_chunks()
         slices: dict[int, dict] = {}
         cells = ref_tbl.column("cell").to_numpy()
         order = np.argsort(cells, kind="stable")

@@ -102,47 +102,130 @@ def _fiscal_loader(spec):
 
 # --- S4: OSM-style nodes + ways assembly ------------------------------------
 
+def _way_to_wkt(wid, coords, closed_only: bool):
+    """(way_id, ordered coords) -> (ref_id, wkt) or None."""
+    from ..geom import core as g
+
+    if any(c is None for c in coords) or len(coords) < 2:
+        return None
+    arr = g.snap(np.asarray(coords, dtype=np.float64))
+    closed = len(arr) >= 4 and np.array_equal(arr[0], arr[-1])
+    if closed:
+        kind, parts = g.make_valid(g.GEOM_POLYGON, [[arr[:-1]]])
+        if not parts:
+            return None
+        return f"way/{wid}", g.to_wkt(kind, parts)
+    if not closed_only:
+        return f"way/{wid}", g.to_wkt(g.GEOM_LINESTRING, [[arr]])
+    return None
+
+
 def assemble_ways(nodes: ray.data.Dataset, ways: ray.data.Dataset,
-                  closed_only: bool = True) -> ray.data.Dataset:
+                  closed_only: bool = True,
+                  broadcast_limit: int = 5_000_000) -> ray.data.Dataset:
     """Overpass-style assembly: nodes (node_id, x, y) + ways (way_id,
     node_refs list<int64>) -> (ref_id, geometry_wkt). The reference gets this
     from brdr's OSMLoader over the Overpass JSON (cached fixture
-    cache/ccb528....json); the engine expresses it as a broadcast node lookup
-    + per-way coordinate gather (node table is the small side)."""
+    cache/ccb528....json).
+
+    Hybrid join: below ``broadcast_limit`` nodes the node table broadcasts
+    once (ray.put) and ways gather per batch; above it (a planet file's node
+    table dwarfs the ways) the assembly is fully distributed — explode way
+    refs, one groupby(node_id) to attach coordinates, one groupby(way_id) to
+    reassemble in ref order. Nothing node-table-sized touches the driver on
+    that path."""
     import ray as _ray
-    from ..geom import core as g
 
-    node_tbl = nodes.to_pandas()
-    lookup_ref = _ray.put(dict(zip(node_tbl["node_id"].astype(np.int64),
-                                   zip(node_tbl["x"], node_tbl["y"]))))
+    try:
+        n_nodes = nodes.count()
+    except Exception:
+        n_nodes = None
 
-    class Assemble:
-        def __init__(self):
-            self.nodes = _ray.get(lookup_ref)
+    if n_nodes is not None and n_nodes <= broadcast_limit:
+        node_tbl = nodes.to_pandas()
+        lookup_ref = _ray.put(dict(zip(node_tbl["node_id"].astype(np.int64),
+                                       zip(node_tbl["x"], node_tbl["y"]))))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, wkts = [], []
-            for wid, refs in zip(batch.column("way_id").to_pylist(),
-                                 batch.column("node_refs").to_pylist()):
-                coords = [self.nodes.get(int(r)) for r in refs]
-                if any(c is None for c in coords) or len(coords) < 2:
-                    continue
-                arr = g.snap(np.asarray(coords, dtype=np.float64))
-                closed = len(arr) >= 4 and np.array_equal(arr[0], arr[-1])
-                if closed:
-                    kind, parts = g.make_valid(g.GEOM_POLYGON, [[arr[:-1]]])
-                    if not parts:
-                        continue
-                    wkts.append(g.to_wkt(kind, parts))
-                elif not closed_only:
-                    wkts.append(g.to_wkt(g.GEOM_LINESTRING, [[arr]]))
-                else:
-                    continue
-                ids.append(f"way/{wid}")
-            return pa.table({"ref_id": pa.array(ids, pa.string()),
-                             "geometry_wkt": pa.array(wkts, pa.string())})
+        class Assemble:
+            def __init__(self):
+                self.nodes = _ray.get(lookup_ref)
 
-    return ways.map_batches(Assemble, batch_format="pyarrow", concurrency=(1, 8))
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids, wkts = [], []
+                for wid, refs in zip(batch.column("way_id").to_pylist(),
+                                     batch.column("node_refs").to_pylist()):
+                    got = _way_to_wkt(wid, [self.nodes.get(int(r)) for r in refs],
+                                      closed_only)
+                    if got:
+                        ids.append(got[0])
+                        wkts.append(got[1])
+                return pa.table({"ref_id": pa.array(ids, pa.string()),
+                                 "geometry_wkt": pa.array(wkts, pa.string())})
+
+        return ways.map_batches(Assemble, batch_format="pyarrow", concurrency=(1, 8))
+
+    # distributed path: explode refs -> attach coords on node_id -> reassemble
+    import pandas as pd
+
+    def explode_refs(batch: pa.Table) -> pa.Table:
+        refs = batch.column("node_refs")
+        if isinstance(refs, pa.ChunkedArray):
+            refs = refs.combine_chunks()
+        offsets = refs.offsets.to_numpy(zero_copy_only=False)
+        offsets = offsets - offsets[0]
+        n_per = np.diff(offsets)
+        wid = batch.column("way_id").to_numpy(zero_copy_only=False)
+        flat = refs.flatten().cast(pa.int64())
+        seq = np.arange(len(flat)) - np.repeat(offsets[:-1], n_per)
+        return pa.table({
+            "node_id": flat,
+            "way_id": pa.array(np.repeat(wid, n_per), pa.int64()),
+            "seq": pa.array(seq, pa.int32()),
+            "x": pa.nulls(len(flat), pa.float64()),
+            "y": pa.nulls(len(flat), pa.float64()),
+        })
+
+    def node_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "node_id": batch.column("node_id").cast(pa.int64()),
+            "way_id": pa.nulls(n, pa.int64()),
+            "seq": pa.nulls(n, pa.int32()),
+            "x": batch.column("x").cast(pa.float64()),
+            "y": batch.column("y").cast(pa.float64()),
+        })
+
+    tagged = (ways.map_batches(explode_refs, batch_format="pyarrow")
+              .union(nodes.map_batches(node_side, batch_format="pyarrow")))
+
+    def attach(grp: pd.DataFrame) -> pd.DataFrame:
+        coords = grp[grp["way_id"].isna()]
+        refs = grp[grp["way_id"].notna()]
+        if refs.empty:
+            return pd.DataFrame({"way_id": [], "seq": [], "x": [], "y": []})
+        if coords.empty:
+            x = y = np.nan  # dangling ref: way will be dropped at assembly
+        else:
+            x, y = float(coords["x"].iloc[0]), float(coords["y"].iloc[0])
+        return pd.DataFrame({"way_id": refs["way_id"].astype("int64"),
+                             "seq": refs["seq"].astype("int64"),
+                             "x": x, "y": y})
+
+    placed = tagged.groupby("node_id").map_groups(attach, batch_format="pandas")
+
+    def reassemble(grp: pd.DataFrame) -> pa.Table:
+        grp = grp.sort_values("seq")
+        wid = int(grp["way_id"].iloc[0])
+        coords = [None if (np.isnan(x) or np.isnan(y)) else (x, y)
+                  for x, y in zip(grp["x"], grp["y"])]
+        got = _way_to_wkt(wid, coords, closed_only)
+        if not got:
+            return pa.table({"ref_id": pa.array([], pa.string()),
+                             "geometry_wkt": pa.array([], pa.string())})
+        return pa.table({"ref_id": pa.array([got[0]], pa.string()),
+                         "geometry_wkt": pa.array([got[1]], pa.string())})
+
+    return placed.groupby("way_id").map_groups(reassemble, batch_format="pandas")
 
 
 def _osm_loader(spec):

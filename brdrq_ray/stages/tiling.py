@@ -59,17 +59,16 @@ def explode_cover(batch: pa.Table, level: int, expand: float = 0.0) -> pa.Table:
 
 
 def _stable_hash_mod(ids: pa.Array, k: np.ndarray) -> np.ndarray:
-    """Deterministic per-id salt in [0, k): FNV-1a over the id string,
-    vectorizable enough (ids only hashed for hot-cell rows)."""
+    """Deterministic per-id salt in [0, k): crc32 over the id string (one
+    C-level call per hot-cell row — no per-character Python loop)."""
+    import zlib
     out = np.zeros(len(k), dtype=np.int64)
+    hot = np.nonzero(k > 1)[0]
+    if len(hot) == 0:
+        return out
     id_list = ids.to_pylist()
-    for i, (s, kk) in enumerate(zip(id_list, k.tolist())):
-        if kk <= 1:
-            continue
-        h = 2166136261
-        for ch in str(s).encode():
-            h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
-        out[i] = h % kk
+    for i in hot:
+        out[i] = zlib.crc32(str(id_list[i]).encode()) % int(k[i])
     return out
 
 

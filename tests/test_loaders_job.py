@@ -69,6 +69,16 @@ def test_osm_assembly(ray_session):
                          closed_only=False).to_pandas()
     assert len(out2) == 2
 
+    # distributed path (planet-scale node tables): identical output
+    for closed in (True, False):
+        bc = (assemble_ways(ray.data.from_arrow(nodes), ray.data.from_arrow(ways),
+                            closed_only=closed)
+              .to_pandas().sort_values("ref_id").reset_index(drop=True))
+        dist = (assemble_ways(ray.data.from_arrow(nodes), ray.data.from_arrow(ways),
+                              closed_only=closed, broadcast_limit=0)
+                .to_pandas().sort_values("ref_id").reset_index(drop=True))
+        assert bc.equals(dist)
+
 
 def test_align_job_end_to_end(ray_session, tmp_path):
     from brdrq_ray.config import AlignJob, run_job
