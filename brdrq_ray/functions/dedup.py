@@ -129,17 +129,19 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 
 def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
-                      jaccard_threshold: float = 0.7, text_lookup=None):
+                      jaccard_threshold: float = 0.7, text_lookup=None,
+                      broadcast_texts_limit: int = 100_000):
     """MinHash-LSH near-dup candidate pairs, verified by true n-gram Jaccard.
 
     Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b (ids int64).
 
-    Scale path (default): verification JOINS the deduped candidate pairs back
-    to the input dataset to fetch ONLY the candidate texts — the corpus is
-    never materialized driver-side and never broadcast. The only driver state
-    is the distinct candidate id set (bounded by the near-dup count, shipped
-    once via ray.put so one column-pruned scan can filter the texts), followed
-    by two tiny shuffles over candidate-sized tables.
+    Scale path (default): verification fetches ONLY the candidate texts from
+    the input dataset — the corpus is never materialized driver-side and never
+    broadcast. The distinct candidate id set (bounded by the near-dup count)
+    ships once via ray.put so one column-pruned scan filters the texts; below
+    ``broadcast_texts_limit`` candidates the filtered texts broadcast and
+    verification is shuffle-free, above it the texts join back to the pairs
+    through two candidate-sized tagged-union shuffles.
 
     ``text_lookup`` (a ray.put {id: text} dict) selects the legacy broadcast
     verify — kept for the old-path/new-path equality test; it requires the
@@ -214,7 +216,34 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
             return batch.select([id_col, col]).filter(keep)
 
     texts = ds.map_batches(KeepCandidateTexts, batch_format="pyarrow",
-                           concurrency=(1, 8))
+                           concurrency=(1, 8)).materialize()
+
+    if len(ids) <= broadcast_texts_limit:
+        # the filtered candidate texts are small: broadcast THEM (never the
+        # corpus) and verify with zero additional shuffles
+        lookup = {}
+        for b in texts.iter_batches(batch_format="pyarrow"):
+            lookup.update(zip(b.column(id_col).to_pylist(),
+                              b.column(col).to_pylist()))
+        lk_ref = ray.put(lookup)
+
+        class VerifyBroadcastCand:
+            def __init__(self):
+                self.texts = ray.get(lk_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0:
+                    return EMPTY
+                df = batch.to_pandas()
+                jac = [ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""),
+                                     shingle_k)
+                       for a, b in zip(df["id_a"], df["id_b"])]
+                df["jaccard"] = jac
+                df = df[df["jaccard"] >= jaccard_threshold]
+                return pa.Table.from_pandas(df, preserve_index=False)
+
+        return cand.map_batches(VerifyBroadcastCand, batch_format="pyarrow",
+                                concurrency=(1, 4))
 
     # stage 1: attach each candidate doc's text to every pair-half wanting it
     # (tagged union on the doc id — one shuffle of candidate-sized data)

@@ -342,6 +342,22 @@ def _ring_interior_point(ring: np.ndarray):
     return c
 
 
+_PAIR_CACHE: dict = {}
+
+
+def _nonadjacent_pairs(n: int):
+    """Index pairs (i<j) of non-adjacent ring segments, cached per n (the
+    triu_indices construction dominates the check for small rings)."""
+    got = _PAIR_CACHE.get(n)
+    if got is None:
+        ii, jj = np.triu_indices(n, k=1)
+        adjacent = (jj - ii == 1) | ((ii == 0) & (jj == n - 1))
+        got = (ii[~adjacent].copy(), jj[~adjacent].copy())
+        if len(_PAIR_CACHE) < 512:  # bound the cache
+            _PAIR_CACHE[n] = got
+    return got
+
+
 def _insert_ring_self_intersections(ring: np.ndarray) -> np.ndarray:
     """Insert a vertex at every interior crossing between non-adjacent ring
     segments (broadcast over all segment pairs)."""
@@ -350,9 +366,7 @@ def _insert_ring_self_intersections(ring: np.ndarray) -> np.ndarray:
     b = np.roll(ring, -1, axis=0)
     d = b - a
     # pairwise solve a_i + t*d_i == a_j + u*d_j
-    ii, jj = np.triu_indices(n, k=1)
-    adjacent = (jj - ii == 1) | ((ii == 0) & (jj == n - 1))
-    ii, jj = ii[~adjacent], jj[~adjacent]
+    ii, jj = _nonadjacent_pairs(n)
     if len(ii) == 0:
         return ring
     denom = d[ii, 0] * d[jj, 1] - d[ii, 1] * d[jj, 0]
@@ -413,10 +427,24 @@ def _split_simple_subrings(dense: np.ndarray) -> list[np.ndarray]:
 
 def ring_is_simple(ring: np.ndarray) -> bool:
     """True when the ring has no repeated vertices and no interior segment
-    crossings (cheap O(n^2) broadcast check used at ingest)."""
+    crossings. Runs on EVERY make_valid, so the common case is fast-pathed:
+    duplicate check via a tuple set (tiny rings) and a strict-convexity test
+    (a strictly convex ring with distinct vertices cannot self-intersect);
+    only non-convex rings pay the O(n^2) pair broadcast."""
     r = snap(np.asarray(ring, dtype=np.float64))
-    if len(np.unique(r, axis=0)) != len(r):
+    n = len(r)
+    if n < 4:
+        return len({(p[0], p[1]) for p in r}) == n
+    if n <= 256:
+        if len({(p[0], p[1]) for p in r}) != n:
+            return False
+    elif len(np.unique(r, axis=0)) != n:
         return False
+    d = np.roll(r, -1, axis=0) - r
+    d2 = np.roll(d, -1, axis=0)
+    cross = d[:, 0] * d2[:, 1] - d[:, 1] * d2[:, 0]
+    if np.all(cross > 0) or np.all(cross < 0):
+        return True  # strictly convex
     return len(_insert_ring_self_intersections(r)) == len(r)
 
 

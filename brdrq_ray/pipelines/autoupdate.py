@@ -99,13 +99,11 @@ def detect_affected(thematic_meta: ray.data.Dataset,
         out = [t for t, r in zip(tids, recs) if t and r and cur10 > r[:10]]
         return pa.table({"theme_id": pa.array(out, pa.string())})
 
-    stale = tagged.groupby("ref_id").map_groups(stale_in_group,
-                                                batch_format="pyarrow")
-
-    def first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
-    return stale.groupby("theme_id").map_groups(first, batch_format="pyarrow")
+    # NOTE: theme_ids may repeat (several stale parcels per feature) — the
+    # consumers dedupe for free (broadcast set / semi-join groups), so no
+    # extra distinct shuffle here
+    return tagged.groupby("ref_id").map_groups(stale_in_group,
+                                               batch_format="pyarrow")
 
 
 def run_autoupdate(thematic: ray.data.Dataset, reference: ray.data.Dataset,

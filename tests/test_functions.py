@@ -84,16 +84,20 @@ def test_minhash_join_verify_matches_broadcast_verify(ray_session):
         texts[2 * i + 1] = base + (" tail" if i % 2 else "")
     t = pa.table({"doc_id": list(texts), "text": list(texts.values())})
 
-    new = (minhash_lsh_pairs(ray.data.from_arrow(t), jaccard_threshold=0.5)
-           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
     legacy = (minhash_lsh_pairs(ray.data.from_arrow(t),
                                 text_lookup=ray.put(texts),
                                 jaccard_threshold=0.5)
               .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
-    assert len(new) > 0
-    assert new["id_a"].astype("int64").tolist() == legacy["id_a"].astype("int64").tolist()
-    assert new["id_b"].astype("int64").tolist() == legacy["id_b"].astype("int64").tolist()
-    assert (new["jaccard"].round(12) == legacy["jaccard"].round(12)).all()
+    assert len(legacy) > 0
+    # both scale paths: broadcast-candidate-texts (default) and the pure
+    # two-shuffle join (broadcast_texts_limit=0)
+    for limit in (100_000, 0):
+        new = (minhash_lsh_pairs(ray.data.from_arrow(t), jaccard_threshold=0.5,
+                                 broadcast_texts_limit=limit)
+               .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        assert new["id_a"].astype("int64").tolist() == legacy["id_a"].astype("int64").tolist()
+        assert new["id_b"].astype("int64").tolist() == legacy["id_b"].astype("int64").tolist()
+        assert (new["jaccard"].round(12) == legacy["jaccard"].round(12)).all()
 
 
 def test_short_text_shingles_are_seed_independent():
