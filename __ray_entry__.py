@@ -248,6 +248,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   jaccard_threshold=0.5)
         return _round_floats(pairs, ["jaccard"], 6)
 
+    def neardup_clusters(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.dedup import duplicate_clusters, minhash_lsh_pairs
+        pairs = minhash_lsh_pairs(ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                                        columns=["doc_id", "text"]),
+                                  jaccard_threshold=0.5)
+        return duplicate_clusters(pairs).map_batches(
+            lambda t: t, batch_format="pyarrow")
+
     def simhash_values(sf_dir: str):
         import ray.data
         from brdrq_ray.functions.dedup import simhash_batch
@@ -427,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": fingerprint_md5,
         "text_quality": text_quality,
         "minhash_pairs": minhash_pairs,
+        "neardup_clusters": neardup_clusters,
         "simhash_values": simhash_values,
         "embedding_neardup": embedding_neardup,
         "knn_top5": knn_top5,
