@@ -81,9 +81,12 @@ def run_headline() -> dict:
      .count())
 
     # group-size knob: a FIXED target group count independent of num_cpus so
-    # both scaling runs execute the identical job (~5 groups per core at the
-    # LARGER level; geometry spans are roughly 2.2x docs in this corpus)
-    target_groups = int(os.environ.get("BRDRQ_TARGET_GROUPS", "160"))
+    # both scaling runs execute the identical job (~10 groups per core at the
+    # LARGER level; geometry spans are roughly 2.2x docs in this corpus).
+    # 320 measured best at 32 cpus (r2): finer groups soak the hot-tile skew
+    # (max/mean task wall was 4.8s/2.1s at 160) without shuffle overhead
+    # taking over (640 regresses)
+    target_groups = int(os.environ.get("BRDRQ_TARGET_GROUPS", "320"))
     hot = int(os.environ.get("BRDRQ_HOT_THRESHOLD", "0")) or \
         max(24, int(BENCH_DOCS * 2.2) // target_groups)
     t0 = time.time()

@@ -171,11 +171,20 @@ def _inradius_with_shortcut(parts, rd_cap: float | None) -> float:
     return _inradius(parts)
 
 
-def prepare_candidates(theme_parts, candidates, rd_cap: float | None = None):
+def prepare_candidates(theme_parts, candidates, rd_cap: float | None = None,
+                       min_rd: float | None = None,
+                       overlap_threshold: float | None = None):
     """Precompute everything that does NOT depend on the relevant distance —
     the distance grid multiplies alignments per feature by ~31 (10 cm steps to
     3 m, SURVEY.md section 6), so intersections / areas / inradii are computed
     once per (theme, candidate) pair and reused across the whole grid.
+
+    ``min_rd``: the SMALLEST rd any later classify_at call will use. Deepness
+    (inradius(inter) >= rd/2) is monotone decreasing in rd and the overlap
+    threshold is rd-independent, so a candidate not relevant at min_rd is
+    excluded at every rd >= min_rd — its uncovered-region overlay + inradius
+    (the expensive full-parcel difference) is skipped entirely. Predict mode
+    passes its single rd here; evaluate passes the smallest nonzero grid step.
 
     Returns (prepared, od_parts): prepared is a list of dicts per candidate
     with a nonempty intersection; od_parts is the open-domain remainder
@@ -189,15 +198,28 @@ def prepare_candidates(theme_parts, candidates, rd_cap: float | None = None):
         if ia <= 0:
             continue
         ra = g.geom_area(g.GEOM_POLYGON, ref_parts)
-        uncovered = overlay(ref_parts, theme_parts, "difference", validate=False)
+        overlap_pct = 100.0 * ia / ra if ra > 0 else 0.0
+        inr_inter = _inradius_with_shortcut(inter, rd_cap)
+        # the skip requires BOTH min_rd and the caller's actual overlap
+        # threshold (cfg.threshold_overlap_percentage): not deep at min_rd
+        # and below the threshold -> excluded at every rd >= min_rd
+        never_relevant = (min_rd is not None and min_rd > 0
+                          and overlap_threshold is not None
+                          and inr_inter < min_rd / 2.0
+                          and overlap_pct < overlap_threshold)
+        if never_relevant:
+            inr_uncov = 0.0  # unused: classify_at never reads it for excluded
+        else:
+            uncovered = overlay(ref_parts, theme_parts, "difference", validate=False)
+            inr_uncov = _inradius_with_shortcut(uncovered, rd_cap) if uncovered else 0.0
         prepared.append({
             "ref_id": ref_id,
             "ref_parts": ref_parts,
             "inter": inter,
             "ia": ia,
-            "overlap_pct": 100.0 * ia / ra if ra > 0 else 0.0,
-            "inr_inter": _inradius_with_shortcut(inter, rd_cap),
-            "inr_uncov": _inradius_with_shortcut(uncovered, rd_cap) if uncovered else 0.0,
+            "overlap_pct": overlap_pct,
+            "inr_inter": inr_inter,
+            "inr_uncov": inr_uncov,
         })
     if all_ref_parts:
         od_parts = overlay(theme_parts, dissolve(all_ref_parts), "difference", validate=False)
@@ -282,8 +304,9 @@ def align_one(theme_parts, candidates, rd: float, cfg: AlignConfig) -> ProcessRe
 
     candidates: list of (ref_id, parts). Returns a ProcessResult.
     """
-    prepared, od_parts = prepare_candidates(theme_parts, candidates,
-                                            rd_cap=round_rd(rd))
+    prepared, od_parts = prepare_candidates(
+        theme_parts, candidates, rd_cap=round_rd(rd), min_rd=round_rd(rd),
+        overlap_threshold=cfg.threshold_overlap_percentage)
     return align_prepared(theme_parts, prepared, od_parts, rd, cfg)
 
 
@@ -445,8 +468,10 @@ def evaluate_series(theme_id, theme_parts, candidates, distances, cfg: AlignConf
     n = len(distances)
     if n == 0:
         return [], []
-    prepared, od_parts = prepare_candidates(theme_parts, candidates,
-                                            rd_cap=max(distances))
+    min_pos = min((d for d in distances if d > 0), default=None)
+    prepared, od_parts = prepare_candidates(
+        theme_parts, candidates, rd_cap=max(distances), min_rd=min_pos,
+        overlap_threshold=cfg.threshold_overlap_percentage)
     fps = [fingerprint_at(prepared, od_parts, rd, cfg) for rd in distances]
 
     def materialize(idx):
@@ -466,10 +491,12 @@ def evaluate_series_multi(theme_id, theme_parts, candidates, distances,
     n = len(distances)
     if n == 0:
         return [], []
+    min_pos = min((d for d in distances if d > 0), default=None)
     units = []
     for part in theme_parts:
-        prepared, od = prepare_candidates([part], candidates,
-                                          rd_cap=max(distances))
+        prepared, od = prepare_candidates(
+            [part], candidates, rd_cap=max(distances), min_rd=min_pos,
+            overlap_threshold=cfg.threshold_overlap_percentage)
         units.append((part, prepared, od))
     fps = [tuple(fingerprint_at(prep, od, rd, cfg) for _, prep, od in units)
            for rd in distances]
