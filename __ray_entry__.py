@@ -300,17 +300,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["cosine"] = df["cosine"].round(5)
         return df
 
-    def media_decode(sf_dir: str):
-        import ray.data
-        from brdrq_ray.functions.multimodal import decode_images, synthesize_media_table
+    def _media_refs(sf_dir: str):
         fdir = _fixture_dir(sf_dir)
         docs = pq.read_table(f"{fdir}/documents.parquet")
-        refs = sorted({s["media_ref"] for doc in docs.column("spans").to_pylist()
+        return sorted({s["media_ref"] for doc in docs.column("spans").to_pylist()
                        for s in doc if s["kind"] == "media"})
-        media = synthesize_media_table(refs)
-        out = decode_images(ray.data.from_arrow(media), fake=True)
+
+    def media_decode(sf_dir: str):
+        import pyarrow.compute as pc
+        import ray.data
+        from brdrq_ray.functions.multimodal import decode_images, synthesize_media_table
+        media = synthesize_media_table([r for r in _media_refs(sf_dir)]
+                                       + [f"media://img/extra-{i}.ppm" for i in range(8)])
+        imgs = media.filter(pc.equal(media.column("media_type"), "image"))
+        # REAL decode: synthesized payloads are genuine PPMs; features/dims
+        # come from the actual pixels (r2 — no fake path in the query)
+        out = decode_images(ray.data.from_arrow(imgs), fake=False)
         return out.select_columns(["media_ref", "media_type", "byte_len",
                                    "width", "height", "channels"])
+
+    def audio_features(sf_dir: str):
+        import pyarrow.compute as pc
+        import ray.data
+        from brdrq_ray.functions.multimodal import (
+            AudioFeatureStage, synthesize_media_table)
+        media = synthesize_media_table([r for r in _media_refs(sf_dir)]
+                                       + [f"media://snd/extra-{i}.wav" for i in range(8)])
+        auds = media.filter(pc.equal(media.column("media_type"), "audio"))
+        out = ray.data.from_arrow(auds).map_batches(
+            AudioFeatureStage, batch_format="pyarrow", batch_size=32,
+            concurrency=(1, 4))
+
+        def jsonify(t: pa.Table) -> pa.Table:
+            import json
+            return pa.table({
+                "media_ref": t.column("media_ref"),
+                "duration_sec": t.column("duration_sec"),
+                "mel_features": pa.array(
+                    [json.dumps([round(v, 6) for v in row])
+                     for row in t.column("mel_features").to_pylist()], pa.string()),
+            })
+
+        return out.map_batches(jsonify, batch_format="pyarrow")
+
+    def video_frames(sf_dir: str):
+        import pyarrow.compute as pc
+        import ray.data
+        from brdrq_ray.functions.multimodal import (
+            FrameSampleStage, synthesize_media_table)
+        media = synthesize_media_table([r for r in _media_refs(sf_dir)]
+                                       + [f"media://vid/extra-{i}.mp4" for i in range(6)])
+        vids = media.filter(pc.equal(media.column("media_type"), "video"))
+        return ray.data.from_arrow(vids).map_batches(
+            FrameSampleStage, fn_constructor_kwargs=dict(n_frames=3),
+            batch_format="pyarrow", batch_size=16, concurrency=(1, 4))
 
     def snap_lines(sf_dir: str):
         import ray.data
@@ -442,6 +485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top5": knn_top5,
         "ivf_knn": ivf_knn_q,
         "media_decode": media_decode,
+        "audio_features": audio_features,
+        "video_frames": video_frames,
         # geometry pipelines (rows-only)
         "align_predict": align_predict,
         "align_evaluate": align_evaluate,

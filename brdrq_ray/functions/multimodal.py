@@ -1,20 +1,32 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column processing.
 
 Media payloads are opaque Arrow ``binary`` columns with typed metadata columns
 beside them — the layout the interleaved-document table's ``media_ref`` spans
-point at. The decode kernels themselves need codec libraries that are NOT in
-this container, so the decode step is STUBBED (clearly marked): by default it
-raises NotImplementedError; with ``fake=True`` it runs a deterministic fake
-decode (seeded from the payload bytes) so the Ray-side plumbing — schema,
-batch size, actor lifecycle, output layout — is real and tested.
+point at. All stages are callable classes => actor pools ('codec init' happens
+once per actor in __init__, per the stateful-stage rule; small batch_size on
+purpose — payloads are large binaries).
 
-All stages are callable classes => actor pools ('model load' happens once per
-actor in __init__, per the stateful-stage rule).
+Decode support (r2 — REAL decoders, no external codec libraries needed):
+
+* images: PPM (P6) and uncompressed 24-bit BMP, parsed with numpy; features
+  and resize operate on real pixels. JPEG/PNG would need PIL/opencv (absent
+  in this container) and raise NotImplementedError unless ``fake=True``.
+* audio: PCM WAV via the stdlib ``wave`` module; duration and band-energy
+  features come from the real samples (rfft). MP3/OGG raise unless fake.
+* video: a raw frame-sequence container (``BRDRVID1`` magic + concatenated
+  PPM frames — the uncompressed shape a real pipeline would get from an
+  upstream ffmpeg extract); frame sampling decodes real frames. Compressed
+  video raises unless fake.
+
+``fake=True`` keeps the original deterministic pseudo-decode for arbitrary
+bytes (plumbing tests and codec-free smoke paths).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -27,18 +39,176 @@ MEDIA_SCHEMA = pa.schema([
     ("byte_len", pa.int64()),
 ])
 
+VIDEO_MAGIC = b"BRDRVID1"
 
-def synthesize_media_table(media_refs, seed: int = 42) -> pa.Table:
-    """Deterministic fake payloads for a list of media_ref URIs (stands in for
-    the object-store fetch; payload bytes are a pure function of the ref)."""
+
+# ---------------------------------------------------------------------------
+# codecs (pure numpy / stdlib)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> binary PPM (P6)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> HxWx3 uint8 (raises ValueError on malformed)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> HxWx3 uint8 (RGB)."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BMP core header unsupported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    bgr = rows[:, :w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return (rgb[::-1] if flip else rgb).copy()
+
+
+def decode_image_payload(payload: bytes) -> np.ndarray:
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
+    raise ValueError("undecodable image format (JPEG/PNG need PIL/opencv)")
+
+
+def decode_wav(payload: bytes):
+    """PCM WAV -> (samples float64 in [-1,1] mono, sample_rate)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n = wf.getnframes()
+        rate = wf.getframerate()
+        width = wf.getsampwidth()
+        ch = wf.getnchannels()
+        raw = wf.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"{8 * width}-bit WAV unsupported")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes((np.clip(samples, -1, 1) * 32767).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """Frame-sequence container: magic + frame count + length-prefixed PPMs."""
+    out = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        ppm = encode_ppm(f)
+        out.append(struct.pack("<I", len(ppm)))
+        out.append(ppm)
+    return b"".join(out)
+
+
+def decode_video_frames(payload: bytes):
+    """Frame-sequence container -> iterator of (frame_idx, ppm_bytes)."""
+    if not payload.startswith(VIDEO_MAGIC):
+        raise ValueError("not a BRDRVID1 frame sequence (compressed video "
+                         "needs ffmpeg)")
+    n = struct.unpack_from("<I", payload, len(VIDEO_MAGIC))[0]
+    pos = len(VIDEO_MAGIC) + 4
+    for i in range(n):
+        ln = struct.unpack_from("<I", payload, pos)[0]
+        pos += 4
+        yield i, payload[pos:pos + ln]
+        pos += ln
+
+
+# ---------------------------------------------------------------------------
+# synthetic payloads (deterministic stand-in for the object-store fetch)
+# ---------------------------------------------------------------------------
+
+def synthesize_media_table(media_refs, seed: int = 42, real: bool = True,
+                           video_frames: int = 6) -> pa.Table:
+    """Deterministic payloads for a list of media_ref URIs. ``real=True``
+    (default, r2) emits genuinely decodable bytes — PPM images, PCM WAV audio,
+    BRDRVID1 frame sequences — a pure function of (seed, ref); ``real=False``
+    keeps the r1 opaque pseudo-payloads."""
     payloads, types, lens = [], [], []
     for ref in media_refs:
         h = hashlib.blake2b(f"{seed}:{ref}".encode(), digest_size=32).digest()
-        size = 256 + h[0] * 16
-        payload = (h * ((size // len(h)) + 1))[:size]
+        mtype = ("image" if ref.endswith((".jpg", ".png", ".ppm", ".bmp")) else
+                 "audio" if ref.endswith((".wav", ".mp3")) else "video")
+        if not real:
+            size = 256 + h[0] * 16
+            payload = (h * ((size // len(h)) + 1))[:size]
+        else:
+            rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+            if mtype == "image":
+                w, ht = 32 + int(h[1]) % 64, 32 + int(h[2]) % 64
+                # smooth gradient + noise so features/resize are non-trivial
+                gx = np.linspace(0, 255, w)[None, :, None]
+                gy = np.linspace(0, 255, ht)[:, None, None]
+                arr = (0.5 * gx + 0.3 * gy
+                       + rng.uniform(0, 64, size=(ht, w, 3))).astype(np.uint8)
+                payload = encode_ppm(arr)
+            elif mtype == "audio":
+                rate = 16000
+                dur = 0.2 + (h[3] % 32) / 64.0
+                t = np.arange(int(rate * dur)) / rate
+                f0 = 110.0 * (1 + h[4] % 8)
+                x = (0.6 * np.sin(2 * np.pi * f0 * t)
+                     + 0.2 * np.sin(2 * np.pi * 2.5 * f0 * t)
+                     + 0.05 * rng.standard_normal(len(t)))
+                payload = encode_wav(x, rate)
+            else:
+                frames = []
+                for i in range(video_frames):
+                    base = rng.uniform(0, 255, size=(24, 32, 3))
+                    frames.append(np.clip(base + 10 * i, 0, 255).astype(np.uint8))
+                payload = encode_video(frames)
         payloads.append(payload)
-        types.append("image" if ref.endswith((".jpg", ".png")) else
-                     "audio" if ref.endswith((".wav", ".mp3")) else "video")
+        types.append(mtype)
         lens.append(len(payload))
     return pa.table({
         "media_ref": pa.array([str(r) for r in media_refs], pa.string()),
@@ -48,41 +218,49 @@ def synthesize_media_table(media_refs, seed: int = 42) -> pa.Table:
     }, schema=MEDIA_SCHEMA)
 
 
-class ImageDecodeStage:
-    """image binary -> (width, height, channels) + a feature vector.
+# ---------------------------------------------------------------------------
+# stages (actor pools)
+# ---------------------------------------------------------------------------
 
-    STUB: real decode would use PIL/opencv (not installed). __init__ is the
-    once-per-actor setup point (codec init / model load); __call__ is the
-    per-batch decode. fake=True produces deterministic pseudo-decodes."""
+def _image_features(arr: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Real 16-dim image descriptor: RGB means/stds, 3x3 luminance grid,
+    aspect ratio — all from the actual pixels."""
+    a = arr.astype(np.float64) / 255.0
+    h, w, _ = a.shape
+    lum = a.mean(axis=2)
+    ys = np.array_split(np.arange(h), 3)
+    xs = np.array_split(np.arange(w), 3)
+    grid = [lum[np.ix_(y, x)].mean() for y in ys for x in xs]
+    feat = np.array([*a.reshape(-1, 3).mean(axis=0), *a.reshape(-1, 3).std(axis=0),
+                     *grid, w / h], dtype=np.float64)
+    return feat[:dim] if len(feat) >= dim else np.pad(feat, (0, dim - len(feat)))
+
+
+class ImageDecodeStage:
+    """image binary -> (width, height, channels) + a real feature vector for
+    decodable formats (PPM/BMP); JPEG/PNG raise unless ``fake=True``."""
 
     def __init__(self, fake: bool = False, feature_dim: int = 16):
         self.fake = fake
         self.feature_dim = feature_dim
-        if not fake:
-            try:
-                import PIL  # noqa: F401
-            except ImportError:
-                # defer the failure to call time so the pipeline shape can be
-                # constructed and tested without codecs
-                self._no_codec = True
-            else:
-                self._no_codec = False
-        else:
-            self._no_codec = False
 
     def _decode_one(self, payload: bytes):
-        if not self.fake:
+        if self.fake:
+            h = hashlib.blake2b(payload, digest_size=32).digest()
+            w = 64 + h[1] * 4
+            ht = 64 + h[2] * 4
+            feat = np.frombuffer(
+                hashlib.blake2b(payload, digest_size=self.feature_dim * 4).digest(),
+                dtype=np.uint32).astype(np.float64)
+            return w, ht, 3, feat / np.float64(2**32)
+        try:
+            arr = decode_image_payload(payload)
+        except ValueError as e:
             raise NotImplementedError(
-                "image decode requires PIL/opencv, not available in this "
-                "environment — run with fake=True for the deterministic stub")
-        h = hashlib.blake2b(payload, digest_size=32).digest()
-        w = 64 + h[1] * 4
-        ht = 64 + h[2] * 4
-        feat = np.frombuffer(
-            hashlib.blake2b(payload, digest_size=self.feature_dim * 4).digest(),
-            dtype=np.uint32).astype(np.float64)
-        feat = feat / np.float64(2**32)
-        return w, ht, 3, feat
+                f"{e} — this container has no PIL/opencv; pass fake=True for "
+                "the deterministic stub") from e
+        ht, w, c = arr.shape
+        return w, ht, c, _image_features(arr, self.feature_dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, chans, feats = [], [], [], []
@@ -91,7 +269,7 @@ class ImageDecodeStage:
             widths.append(w)
             heights.append(h)
             chans.append(c)
-            feats.append(f.tolist())
+            feats.append(np.round(f, 9).tolist())
         return (batch.drop_columns(["payload"])
                 .append_column("width", pa.array(widths, pa.int32()))
                 .append_column("height", pa.array(heights, pa.int32()))
@@ -99,10 +277,17 @@ class ImageDecodeStage:
                 .append_column("features", pa.array(feats, pa.list_(pa.float64()))))
 
 
+def _resize_nn(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbour resample (pure numpy index maps)."""
+    h, w, _ = arr.shape
+    yi = np.minimum((np.arange(th) * h) // th, h - 1)
+    xi = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    return arr[np.ix_(yi, xi)]
+
+
 class ImageResizeStage:
-    """image binary -> 'resized' payload + new dims (STUB: real resize needs
-    PIL; the fake path emits a deterministic payload of the scaled size so
-    batch sizing / schema / memory behavior downstream are realistic)."""
+    """image binary -> resized payload + new dims. REAL nearest-neighbour
+    resample for PPM/BMP (re-encoded as PPM); fake path for opaque bytes."""
 
     def __init__(self, target_w: int = 224, target_h: int = 224, fake: bool = False):
         self.tw, self.th = target_w, target_h
@@ -111,12 +296,17 @@ class ImageResizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads, widths, heights = [], [], []
         for payload in batch.column("payload").to_pylist():
-            if not self.fake:
-                raise NotImplementedError(
-                    "image resize requires PIL/opencv — run with fake=True")
-            h = hashlib.blake2b(payload + b"resize", digest_size=32).digest()
-            size = max(64, (self.tw * self.th) // 256)
-            payloads.append((h * ((size // len(h)) + 1))[:size])
+            if self.fake:
+                h = hashlib.blake2b(payload + b"resize", digest_size=32).digest()
+                size = max(64, (self.tw * self.th) // 256)
+                payloads.append((h * ((size // len(h)) + 1))[:size])
+            else:
+                try:
+                    arr = decode_image_payload(payload)
+                except ValueError as e:
+                    raise NotImplementedError(
+                        f"{e} — pass fake=True for the stub") from e
+                payloads.append(encode_ppm(_resize_nn(arr, self.tw, self.th)))
             widths.append(self.tw)
             heights.append(self.th)
         idx = batch.column_names.index("payload")
@@ -126,61 +316,93 @@ class ImageResizeStage:
 
 
 class AudioFeatureStage:
-    """audio binary -> fixed-size feature vector (mel-spectrogram stand-in).
-    STUB: real decode needs an audio codec; fake=True derives deterministic
-    pseudo-features from the payload bytes."""
+    """audio binary -> duration + band-energy feature vector. REAL for PCM
+    WAV (stdlib wave + rfft over n_mels log-spaced bands); fake otherwise."""
 
     def __init__(self, fake: bool = False, n_mels: int = 32):
         self.fake = fake
         self.n_mels = n_mels
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        feats, durs = [], []
-        for payload in batch.column("payload").to_pylist():
-            if not self.fake:
-                raise NotImplementedError(
-                    "audio decode requires soundfile/ffmpeg — use fake=True")
+    def _features(self, payload: bytes):
+        if self.fake:
             need = self.n_mels * 4
             h = b"".join(hashlib.blake2b(payload + bytes([i]), digest_size=64).digest()
                          for i in range((need + 63) // 64))[:need]
-            import numpy as _np
-            v = _np.frombuffer(h, dtype=_np.uint32).astype(_np.float64) / 2**32
-            feats.append(v.tolist())
-            durs.append(round(len(payload) / 16000.0, 6))
+            v = np.frombuffer(h, dtype=np.uint32).astype(np.float64) / 2**32
+            return v, round(len(payload) / 16000.0, 6)
+        try:
+            x, rate = decode_wav(payload)
+        except Exception as e:
+            raise NotImplementedError(
+                f"audio decode failed ({e}) — compressed audio needs "
+                "soundfile/ffmpeg; pass fake=True for the stub") from e
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        edges = np.unique(np.geomspace(1, len(spec) - 1,
+                                       self.n_mels + 1).astype(int))
+        bands = np.zeros(self.n_mels)
+        for i in range(min(self.n_mels, len(edges) - 1)):
+            seg = spec[edges[i]:edges[i + 1]]
+            bands[i] = np.log1p(seg.mean()) if len(seg) else 0.0
+        return bands, round(len(x) / rate, 6)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, durs = [], []
+        for payload in batch.column("payload").to_pylist():
+            v, dur = self._features(payload)
+            feats.append(np.round(v, 9).tolist())
+            durs.append(dur)
         return (batch.drop_columns(["payload"])
                 .append_column("duration_sec", pa.array(durs, pa.float64()))
                 .append_column("mel_features", pa.array(feats, pa.list_(pa.float64()))))
 
 
 class FrameSampleStage:
-    """video binary -> n_frames sampled 'frames' (stub: deterministic frame
-    fingerprints). Output one row per sampled frame — media analog of the
-    span explode."""
+    """video binary -> n_frames evenly-sampled frames, one output row each
+    (media analog of the span explode). REAL for the BRDRVID1 frame-sequence
+    container: decoded dims + a digest of the actual frame bytes."""
 
     def __init__(self, fake: bool = False, n_frames: int = 4):
         self.fake = fake
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        refs, frame_idx, digests = [], [], []
+        refs, frame_idx, digests, widths, heights = [], [], [], [], []
         for ref, payload in zip(batch.column("media_ref").to_pylist(),
                                 batch.column("payload").to_pylist()):
-            if not self.fake:
+            if self.fake:
+                for i in range(self.n_frames):
+                    refs.append(ref)
+                    frame_idx.append(i)
+                    digests.append(hashlib.blake2b(payload + bytes([i]),
+                                                   digest_size=16).hexdigest())
+                    widths.append(0)
+                    heights.append(0)
+                continue
+            try:
+                frames = list(decode_video_frames(payload))
+            except ValueError as e:
                 raise NotImplementedError(
-                    "video decode requires ffmpeg, not available — use fake=True")
-            for i in range(self.n_frames):
+                    f"{e} — pass fake=True for the stub") from e
+            take = np.linspace(0, len(frames) - 1,
+                               min(self.n_frames, len(frames))).astype(int)
+            for i in np.unique(take):
+                fi, ppm = frames[i]
+                arr = decode_ppm(ppm)
                 refs.append(ref)
-                frame_idx.append(i)
-                digests.append(hashlib.blake2b(payload + bytes([i]),
-                                               digest_size=16).hexdigest())
+                frame_idx.append(int(fi))
+                digests.append(hashlib.blake2b(ppm, digest_size=16).hexdigest())
+                heights.append(arr.shape[0])
+                widths.append(arr.shape[1])
         return pa.table({
             "media_ref": pa.array(refs, pa.string()),
             "frame_idx": pa.array(frame_idx, pa.int32()),
             "frame_digest": pa.array(digests, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
         })
 
 
-def decode_images(ds, fake: bool = True, batch_size: int = 64,
+def decode_images(ds, fake: bool = False, batch_size: int = 64,
                   concurrency=(1, 4)):
     """Actor-pool decode stage over a media table. Small batch_size on
     purpose: payloads are large binaries (memory-aware batching)."""

@@ -237,22 +237,70 @@ def test_multimodal_stub(ray_session):
     refs = [f"media://img/{i}.jpg" for i in range(10)]
     media = synthesize_media_table(refs)
     assert media.num_rows == 10
-    # real decode path raises the documented stub error
+    # undecodable bytes on the real path raise the documented error
     with pytest.raises(NotImplementedError):
         ImageDecodeStage(fake=False)._decode_one(b"xx")
-    out = decode_images(ray.data.from_arrow(media), fake=True).to_pandas()
+    # REAL decode path: synthesized payloads are genuine PPMs
+    out = decode_images(ray.data.from_arrow(media), fake=False).to_pandas()
     assert len(out) == 10
     assert (out["width"] > 0).all()
     assert out["features"].map(len).eq(16).all()
-    # determinism
+    # determinism (real features from real pixels)
     out2 = decode_images(ray.data.from_arrow(synthesize_media_table(refs)),
-                         fake=True).to_pandas()
+                         fake=False).to_pandas()
     assert out.sort_values("media_ref")["features"].map(tuple).tolist() == \
            out2.sort_values("media_ref")["features"].map(tuple).tolist()
-    frames = ray.data.from_arrow(media).map_batches(
+    # fake path still works on arbitrary bytes (plumbing smoke)
+    fake_media = synthesize_media_table(refs, real=False)
+    outf = decode_images(ray.data.from_arrow(fake_media), fake=True).to_pandas()
+    assert len(outf) == 10
+    frames = ray.data.from_arrow(fake_media).map_batches(
         FrameSampleStage, fn_constructor_kwargs=dict(fake=True),
         batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
     assert len(frames) == 40
+
+
+def test_multimodal_real_codecs():
+    """The r2 pure-python codecs round-trip and measure real content."""
+    import numpy as np
+    from brdrq_ray.functions.multimodal import (
+        decode_ppm, decode_bmp, decode_wav, decode_video_frames, encode_ppm,
+        encode_wav, encode_video, _resize_nn)
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(arr)), arr)
+
+    # hand-rolled 24-bit BMP (bottom-up, padded rows)
+    import struct
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):
+        row = arr[y, :, ::-1].tobytes()
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pix = b"".join(rows)
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+           + pix)
+    assert np.array_equal(decode_bmp(bmp), arr)
+
+    # WAV round trip (16-bit PCM)
+    x = np.sin(2 * np.pi * 440 * np.arange(1600) / 16000)
+    got, rate = decode_wav(encode_wav(x, 16000))
+    assert rate == 16000 and len(got) == 1600
+    assert np.abs(got - x).max() < 2e-4
+
+    # video container round trip
+    frames = [arr, (arr // 2)]
+    dec = list(decode_video_frames(encode_video(frames)))
+    assert len(dec) == 2
+    assert np.array_equal(decode_ppm(dec[1][1]), arr // 2)
+
+    # nearest-neighbour resize picks real pixels
+    small = _resize_nn(arr, 8, 4)
+    assert small.shape == (4, 8, 3)
+    assert small.dtype == np.uint8
 
 
 def test_analyze_documents_on_testdata(ray_session):
@@ -296,23 +344,41 @@ def test_cell_level_override_guard(ray_session):
 
 
 def test_multimodal_resize_and_audio(ray_session):
+    import numpy as np
     import ray.data
     from brdrq_ray.functions.multimodal import (
-        AudioFeatureStage, ImageResizeStage, synthesize_media_table)
+        AudioFeatureStage, FrameSampleStage, ImageResizeStage, decode_ppm,
+        synthesize_media_table)
 
     refs = [f"media://img/{i}.jpg" for i in range(6)] + \
-           [f"media://snd/{i}.wav" for i in range(4)]
+           [f"media://snd/{i}.wav" for i in range(4)] + \
+           [f"media://vid/{i}.mp4" for i in range(2)]
     media = synthesize_media_table(refs)
     imgs = media.filter(pa.compute.equal(media.column("media_type"), "image"))
+    # REAL resize: output payloads are decodable PPMs of the target size
     resized = ray.data.from_arrow(imgs).map_batches(
-        ImageResizeStage, fn_constructor_kwargs=dict(fake=True, target_w=128, target_h=96),
+        ImageResizeStage, fn_constructor_kwargs=dict(target_w=128, target_h=96),
         batch_format="pyarrow", batch_size=4, concurrency=(1, 2)).to_pandas()
     assert (resized["width"] == 128).all() and (resized["height"] == 96).all()
+    assert all(decode_ppm(p).shape == (96, 128, 3) for p in resized["payload"])
+
     auds = media.filter(pa.compute.equal(media.column("media_type"), "audio"))
     feats = ray.data.from_arrow(auds).map_batches(
-        AudioFeatureStage, fn_constructor_kwargs=dict(fake=True),
-        batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
+        AudioFeatureStage, batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
     assert feats["mel_features"].map(len).eq(32).all()
     assert (feats["duration_sec"] > 0).all()
+    # real band energies: a pure tone concentrates energy (non-uniform bands)
+    v = np.asarray(feats["mel_features"].iloc[0])
+    assert v.max() > 2 * max(v.mean(), 1e-9)
+
+    vids = media.filter(pa.compute.equal(media.column("media_type"), "video"))
+    frames = ray.data.from_arrow(vids).map_batches(
+        FrameSampleStage, fn_constructor_kwargs=dict(n_frames=3),
+        batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
+    assert len(frames) == 6  # 3 real frames per video, real dims
+    assert (frames["width"] == 32).all() and (frames["height"] == 24).all()
+
+    # undecodable bytes on the real path raise
     with pytest.raises(NotImplementedError):
-        ImageResizeStage(fake=False)(imgs)
+        ImageResizeStage()(synthesize_media_table(
+            ["media://img/x.jpg"], real=False))
