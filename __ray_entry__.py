@@ -292,11 +292,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df[["query_id", "vec_id", "cosine", "rank"]]
 
     def ivf_knn_q(sf_dir: str):
+        import hashlib
         import ray.data
         from brdrq_ray.functions.similarity import ivf_knn
-        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        path = f"{sf_dir}/embeddings.parquet"
+        tbl = pq.read_table(path)
         Q = np.asarray(tbl.column("embedding").to_pylist()[:3])
-        df = ivf_knn(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), Q, k=5)
+        with open(path, "rb") as f:
+            ckey = hashlib.sha1(f.read()).hexdigest()[:12]
+        df = ivf_knn(ray.data.read_parquet(path), Q, k=5, cache_key=ckey)
         df["cosine"] = df["cosine"].round(5)
         return df
 

@@ -29,15 +29,21 @@ def _content_hash(texts) -> list[str]:
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: hash-partition on content hash, keep the row with the
     minimal id per group (deterministic winner). Returns the surviving rows.
-    Oracle: row_number() over (partition by col order by id)."""
+    Oracle: row_number() over (partition by col order by id).
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        return batch.append_column("_h", pa.array(_content_hash(batch.column(col).to_pylist())))
+    Combiner pattern: each batch pre-dedupes locally (min-id per hash within
+    the batch) BEFORE the shuffle, so a high-duplication corpus ships at most
+    one row per (batch, hash) through the exchange instead of every copy."""
+
+    def add_hash_and_combine(batch: pa.Table) -> pa.Table:
+        t = batch.append_column("_h", pa.array(_content_hash(batch.column(col).to_pylist())))
+        df = t.to_pandas().sort_values(id_col).drop_duplicates("_h", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(id_col).head(1)
 
-    return (ds.map_batches(add_hash, batch_format="pyarrow")
+    return (ds.map_batches(add_hash_and_combine, batch_format="pyarrow")
               .groupby("_h").map_groups(first_per_group, batch_format="pandas")
               .drop_columns(["_h"]))
 

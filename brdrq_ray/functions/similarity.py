@@ -194,10 +194,22 @@ def ivf_probe(index: dict, queries: np.ndarray, k: int = 10, n_probe: int = 4,
 
 def ivf_knn(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
             n_probe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
-            train_sample: int = 2048, index_dir: str | None = None) -> pd.DataFrame:
+            train_sample: int = 2048, index_dir: str | None = None,
+            cache_key: str | None = None) -> pd.DataFrame:
     """IVF ANN, build + probe in one call (ad-hoc use; production keeps the
-    ivf_build index and probes it repeatedly)."""
+    ivf_build index and probes it repeatedly). ``cache_key`` (a content hash
+    of the input the CALLER vouches for) persists the inverted file under
+    /tmp/brdrq_ivf_cache so repeated queries skip the build entirely."""
+    import os
     import shutil
+
+    if cache_key and index_dir is None:
+        index_dir = f"/tmp/brdrq_ivf_cache/{cache_key}-c{n_clusters}-t{train_sample}"
+        if os.path.exists(os.path.join(index_dir, "_codebook.npy")):
+            return ivf_probe(ivf_load(index_dir), queries, k, n_probe,
+                             vec_col, id_col)
+        index = ivf_build(ds, n_clusters, vec_col, id_col, train_sample, index_dir)
+        return ivf_probe(index, queries, k, n_probe, vec_col, id_col)
 
     own_index = index_dir is None
     index = ivf_build(ds, n_clusters, vec_col, id_col, train_sample, index_dir)
