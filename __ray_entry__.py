@@ -391,6 +391,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from brdrq_ray.functions.windows import sliding_session_gap
         return sliding_session_gap(sf_dir, 30)
 
+    def window_hopping(sf_dir: str):
+        from brdrq_ray.functions.windows import hopping_window_agg
+        return hopping_window_agg(sf_dir, 60, 15)
+
+    def range_join_band(sf_dir: str):
+        from brdrq_ray.functions.windows import range_join_events
+        return range_join_events(sf_dir, 30)
+
     def spatial_semi_join(sf_dir: str):
         import ray.data
         from brdrq_ray.functions.spatial_join import intersects_semi_join
@@ -472,6 +480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "listing_top1000": listing_top1000,
         "window_tumbling": window_tumbling,
         "window_sessions": window_sessions,
+        "window_hopping": window_hopping,
+        "range_join_band": range_join_band,
         "spatial_semi_join": spatial_semi_join,
         "knn_reference": knn_reference,
         "rasterize": rasterize_features,
@@ -652,6 +662,24 @@ _BASE_ORACLE_SQL = {
                        AS window_start,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY user_id, window_start
+        """,
+        "window_hopping": """
+            SELECT user_id,
+                   make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                                  - CAST(i.i AS BIGINT) * 900000000) AS window_start,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS i(i)
+            GROUP BY user_id, window_start
+        """,
+        "range_join_band": """
+            SELECT e.event_id AS click_id, e.user_id, v.event_id AS view_id,
+                   round(CAST(epoch_us(e.ts) - epoch_us(v.ts) AS DOUBLE)
+                         / 1000000.0, 6) AS gap_sec
+            FROM (SELECT * FROM events WHERE event_type = 'click') e
+            JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON e.user_id = v.user_id
+             AND v.ts < e.ts
+             AND v.ts >= e.ts - INTERVAL '30 minutes'
         """,
         "global_revenue": """
             SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)) / 1000.0)

@@ -47,6 +47,87 @@ def tumbling_window_agg(sf_dir: str, window_minutes: int = 60) -> ray.data.Datas
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def hopping_window_agg(sf_dir: str, window_minutes: int = 60,
+                       hop_minutes: int = 15) -> ray.data.Dataset:
+    """Hopping (sliding) windows: each event lands in window_minutes/hop
+    overlapping windows. Vectorized explode inside map_batches (one output
+    row per (event, covering window) partial) then the tumbling combiner —
+    no per-row Python, one groupby shuffle of pre-aggregated partials."""
+    assert window_minutes % hop_minutes == 0
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    w_us = np.int64(window_minutes) * 60 * 1_000_000
+    h_us = np.int64(hop_minutes) * 60 * 1_000_000
+    k = int(window_minutes // hop_minutes)
+
+    def explode_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        epoch = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        base = (epoch // h_us) * h_us          # last hop boundary <= ts
+        offs = (np.arange(k, dtype=np.int64) * h_us)[None, :]
+        starts = (base[:, None] - offs).ravel()           # k windows per event
+        users = np.repeat(df["user_id"].to_numpy(), k)
+        vals = np.repeat(df["value"].to_numpy(), k)
+        # partial per (user, window) within the batch — the combiner pattern
+        part = (pd.DataFrame({"user_id": users, "window_start": starts,
+                              "value": vals})
+                .groupby(["user_id", "window_start"], as_index=False)
+                .agg(n_events=("value", "size"), sum_value=("value", "sum")))
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = ds.map_batches(explode_partial, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "window_start": pd.to_datetime([g["window_start"].iloc[0]],
+                                           unit="us").astype("datetime64[us]"),
+            "n_events": [int(g["n_events"].sum())],
+            "sum_value": [round(g["sum_value"].sum(), 6)],
+        })
+
+    return partials.groupby(["user_id", "window_start"]).map_groups(
+        combine, batch_format="pandas")
+
+
+def range_join_events(sf_dir: str, band_minutes: int = 30) -> ray.data.Dataset:
+    """Banded range join (the brief's 'range join' custom operator): for every
+    click, ALL views of the same user within the preceding ``band_minutes``
+    (not just the latest — that is the as-of join). Partition by user (one
+    shuffle), then a vectorized searchsorted interval match per group."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "event_type", "ts"])
+    band_us = np.int64(band_minutes) * 60 * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values("ts")
+        views = g[g["event_type"] == "view"].sort_values("ts")
+        if clicks.empty or views.empty:
+            return pd.DataFrame({"click_id": [], "user_id": [], "view_id": [],
+                                 "gap_sec": []})
+        ce = clicks["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        ve = views["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        vid = views["event_id"].to_numpy()
+        lo = np.searchsorted(ve, ce - band_us, side="left")
+        hi = np.searchsorted(ve, ce, side="left")  # strictly earlier views
+        counts = hi - lo
+        keep = counts > 0
+        reps = counts[keep]
+        click_id = np.repeat(clicks["event_id"].to_numpy()[keep], reps)
+        click_e = np.repeat(ce[keep], reps)
+        view_pos = np.concatenate([np.arange(a, b) for a, b in
+                                   zip(lo[keep], hi[keep])]) if keep.any() else \
+            np.array([], dtype=np.int64)
+        return pd.DataFrame({
+            "click_id": click_id.astype("int64"),
+            "user_id": g["user_id"].iloc[0],
+            "view_id": vid[view_pos].astype("int64"),
+            "gap_sec": ((click_e - ve[view_pos]) / 1_000_000.0).round(6),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def sliding_session_gap(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """Session windows: per user, events closer than `gap` belong to one
     session; emits (user_id, session_start, n_events, duration_sec)."""
