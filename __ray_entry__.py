@@ -265,6 +265,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(lambda b: simhash_batch(b).select(["doc_id", "simhash"]),
                               batch_format="pyarrow")
 
+    def simhash_neardup(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.dedup import simhash_neardup_pairs
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        return simhash_neardup_pairs(ds, max_hamming=3)
+
     def embedding_neardup(sf_dir: str):
         import ray.data
         from brdrq_ray.functions.dedup import embedding_neardup_pairs
@@ -495,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": minhash_pairs,
         "neardup_clusters": neardup_clusters,
         "simhash_values": simhash_values,
+        "simhash_neardup": simhash_neardup,
         "embedding_neardup": embedding_neardup,
         "knn_top5": knn_top5,
         "ivf_knn": ivf_knn_q,

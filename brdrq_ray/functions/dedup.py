@@ -393,6 +393,62 @@ def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(sh64, pa.int64()))
 
 
+def simhash_neardup_pairs(ds, col: str = "text", id_col: str = "doc_id",
+                          max_hamming: int = 3):
+    """SimHash near-dup pairs within Hamming distance ``max_hamming`` — the
+    classic pigeonhole banding (Manku et al., WWW'07): split the 64-bit
+    fingerprint into max_hamming+1 blocks; two hashes within distance k must
+    agree on at least one block, so docs bucket by (block_id, block_value),
+    candidate pairs form inside buckets (one shuffle of the tiny sketch
+    table), and an exact XOR-popcount verify filters them. Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
+    n_blocks = max_hamming + 1
+    bits = 64 // n_blocks
+    masks = [(np.uint64((1 << bits) - 1), np.uint64(i * bits))
+             for i in range(n_blocks)]
+
+    def sketch_and_band(batch: pa.Table) -> pa.Table:
+        t = simhash_batch(batch.select([id_col, col]), col)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sh = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_id = np.tile(ids, n_blocks)
+        out_sh = np.tile(sh, n_blocks)
+        out_block = np.repeat(np.arange(n_blocks, dtype=np.int32), len(ids))
+        vals = np.concatenate([((sh >> off) & m).astype(np.int64)
+                               for m, off in masks])
+        return pa.table({
+            id_col: pa.array(out_id),
+            "simhash": pa.array(out_sh.astype(np.int64), pa.int64()),
+            "block_id": pa.array(out_block, pa.int32()),
+            "block_val": pa.array(vals, pa.int64()),
+        })
+
+    banded = ds.map_batches(sketch_and_band, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(g), k=1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "hamming": ham[keep].astype(np.int64)})
+
+    cand = banded.groupby(["block_id", "block_val"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    # the same pair surfaces from every agreeing block -> one dedupe
+    def pair_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["id_a", "id_b"]).map_groups(pair_first,
+                                                     batch_format="pandas")
+
+
 def simhash_dedup_groups(ds, col: str = "text", id_col: str = "doc_id"):
     """Docs sharing an identical 64-bit simhash = near-dup groups; returns
     (simhash, n, ids) for groups with n > 1."""

@@ -382,3 +382,29 @@ def test_multimodal_resize_and_audio(ray_session):
     with pytest.raises(NotImplementedError):
         ImageResizeStage()(synthesize_media_table(
             ["media://img/x.jpg"], real=False))
+
+
+def test_simhash_neardup_pairs(ray_session):
+    """Pigeonhole-banded simhash near-dup: finds pairs within Hamming<=k and
+    matches the brute-force all-pairs oracle exactly."""
+    import itertools
+    import ray.data
+    from brdrq_ray.functions.dedup import simhash64, simhash_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the old barn"
+    texts = {1: base, 2: base + " x", 3: base.replace("quick", "slow"),
+             4: "an entirely different document about rivers and boats",
+             5: base + " x", 6: "another unrelated piece of text entirely here"}
+    t = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+    got = simhash_neardup_pairs(ray.data.from_arrow(t), max_hamming=3).to_pandas()
+    got_pairs = {(a, b): h for a, b, h in
+                 zip(got["id_a"], got["id_b"], got["hamming"])}
+    # brute-force oracle
+    sh = {k: simhash64(v) for k, v in texts.items()}
+    expect = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        h = bin(sh[a] ^ sh[b]).count("1")
+        if h <= 3:
+            expect[(a, b)] = h
+    assert got_pairs == expect
+    assert (2, 5) in got_pairs and got_pairs[(2, 5)] == 0  # identical twins
