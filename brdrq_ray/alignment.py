@@ -270,6 +270,9 @@ def snap_open_domain(od_parts, ref_parts_list, rd: float, cfg: AlignConfig):
                 new_rings.append(snapped)
         if new_rings and abs(g.geom_area(g.GEOM_POLYGON, [new_rings])) > 1e-9:
             out_parts.append(new_rings)
+    if out_parts:
+        # vertex snapping can fold a ring into a bowtie — repair before use
+        _, out_parts = g.make_valid(g.GEOM_POLYGON, out_parts)
     if cfg.od_strategy == OD_SNAP_ALL_SIDE and out_parts:
         out_parts = _dilate(_erode(out_parts, rd / 2.0), rd / 2.0)
     return out_parts
