@@ -320,28 +320,6 @@ def canon_ring(ring: np.ndarray) -> np.ndarray:
     return np.vstack([ring[i:], ring[:i]])
 
 
-def _ring_interior_point(ring: np.ndarray):
-    """A point strictly inside a SIMPLE ring: the centroid when it lands
-    inside, else edge midpoints nudged along the inward normal."""
-    c = ring.mean(axis=0)
-    if points_in_rings(c[None, :], [ring])[0] != 0:
-        return c
-    diag = float(np.hypot(*(ring.max(axis=0) - ring.min(axis=0)))) or 1.0
-    eps = 1e-4 * diag
-    b = np.roll(ring, -1, axis=0)
-    for i in range(len(ring)):
-        mid = (ring[i] + b[i]) / 2.0
-        d = b[i] - ring[i]
-        n = np.hypot(d[0], d[1])
-        if n == 0:
-            continue
-        nrm = np.array([-d[1], d[0]]) / n  # left normal (inward for CCW)
-        for cand in (mid + eps * nrm, mid - eps * nrm):
-            if points_in_rings(cand[None, :], [ring])[0] != 0:
-                return cand
-    return c
-
-
 _PAIR_CACHE: dict = {}
 
 
@@ -402,27 +380,52 @@ def _insert_ring_self_intersections(ring: np.ndarray) -> np.ndarray:
     return dense
 
 
-def _split_simple_subrings(dense: np.ndarray) -> list[np.ndarray]:
-    """Decompose a closed chain (crossings already inserted as vertices) into
-    simple sub-rings: walk the chain, and whenever a vertex repeats, the loop
-    between the two occurrences pops off as one simple ring."""
-    out: list[np.ndarray] = []
-    stack: list[np.ndarray] = []
-    pos: dict[tuple, int] = {}
-    for p in list(dense) + [dense[0]]:
-        key = (float(p[0]), float(p[1]))
-        if key in pos:
-            i = pos[key]
-            cyc = stack[i:]
-            if len(cyc) >= 3:
-                out.append(np.asarray(cyc))
-            for q in stack[i + 1:]:
-                pos.pop((float(q[0]), float(q[1])), None)
-            stack = stack[:i + 1]
-        else:
-            pos[key] = len(stack)
-            stack.append(p)
-    return out
+def _winding_trapezoids(dense: np.ndarray) -> list:
+    """Decompose the NONZERO-WINDING region of a (possibly self-crossing)
+    closed chain into a tessellation of trapezoids: slab the plane at every
+    vertex y (crossings are already vertices, so no edge crosses another
+    inside a slab), sort the slab-spanning edges by x at the slab midline,
+    accumulate winding left-to-right (+1 upward edge, -1 downward), and emit
+    one trapezoid per gap with winding != 0. Exact for every crossing
+    pattern — pentagrams, interleaved bowties, |winding| >= 2 — because it
+    computes the true winding field, not per-loop probes. Returns a list of
+    single-ring `parts` ready for dissolve()."""
+    a = dense
+    b = np.roll(dense, -1, axis=0)
+    keep = ~np.all(a == b, axis=1)
+    a, b = a[keep], b[keep]
+    nonh = a[:, 1] != b[:, 1]
+    A, B = a[nonh], b[nonh]
+    if len(A) == 0:
+        return []
+    ys = np.unique(np.concatenate([A[:, 1], B[:, 1]]))
+    lo = np.minimum(A[:, 1], B[:, 1])
+    hi = np.maximum(A[:, 1], B[:, 1])
+    dy = B[:, 1] - A[:, 1]
+    direction = np.where(dy > 0, 1, -1)
+    traps = []
+    for y0, y1 in zip(ys[:-1], ys[1:]):
+        span = (lo <= y0) & (hi >= y1)
+        if not span.any():
+            continue
+        As, Bs = A[span], B[span]
+        d = dy[span]
+        ym = 0.5 * (y0 + y1)
+        xm = As[:, 0] + (ym - As[:, 1]) / d * (Bs[:, 0] - As[:, 0])
+        x0 = As[:, 0] + (y0 - As[:, 1]) / d * (Bs[:, 0] - As[:, 0])
+        x1 = As[:, 0] + (y1 - As[:, 1]) / d * (Bs[:, 0] - As[:, 0])
+        order = np.argsort(xm, kind="stable")
+        wind = np.cumsum(direction[span][order])
+        for k in range(len(order) - 1):
+            if wind[k] == 0:
+                continue
+            i, j = order[k], order[k + 1]
+            quad = snap(np.array([[x0[i], y0], [x0[j], y0],
+                                  [x1[j], y1], [x1[i], y1]]))
+            ring = _dedupe_ring(quad)
+            if len(ring) >= 3 and abs(ring_signed_area(ring)) > SNAP * SNAP:
+                traps.append([ring])
+    return traps
 
 
 def ring_is_simple(ring: np.ndarray) -> bool:
@@ -448,23 +451,20 @@ def ring_is_simple(ring: np.ndarray) -> bool:
     return len(_insert_ring_self_intersections(r)) == len(r)
 
 
-def repair_ring(ring: np.ndarray) -> list[tuple[np.ndarray, bool]]:
+def repair_ring(ring: np.ndarray):
     """GEOS-MakeValid-style repair of one self-intersecting ring (reference:
-    fixgeometries, plugin/brdrq/brdrq_utils.py:1536-1547): split at crossings
-    into simple sub-rings, then classify each by the WINDING NUMBER of the
-    original traversal at an interior sample — nonzero winding = filled region
-    (shell), zero winding = enclosed but unfilled (hole). A bowtie becomes two
-    shells; a pinched donut becomes shell + hole. Returns
-    [(simple_ring, is_shell), ...]."""
+    fixgeometries, plugin/brdrq/brdrq_utils.py:1536-1547): insert every
+    crossing as a vertex, decompose the NONZERO-WINDING region into a
+    trapezoid tessellation, and dissolve it back into clean polygons. A
+    bowtie becomes its two lobes; a pinched donut becomes shell + hole; a
+    pentagram keeps its full star. Returns a `parts` object (possibly
+    multiple parts, holes included)."""
     dense = _insert_ring_self_intersections(snap(np.asarray(ring, dtype=np.float64)))
-    subs = []
-    for sub in _split_simple_subrings(dense):
-        if abs(ring_signed_area(sub)) < SNAP * SNAP:
-            continue
-        probe = _ring_interior_point(sub)
-        wind = int(points_in_rings(probe[None, :], [dense])[0])
-        subs.append((sub, wind != 0))
-    return subs
+    traps = _winding_trapezoids(dense)
+    if not traps:
+        return []
+    from .boolean import dissolve  # function-level: boolean imports core
+    return dissolve(traps)
 
 
 def make_valid(kind: int, parts):
@@ -509,39 +509,46 @@ def make_valid(kind: int, parts):
                 out.append(fixed)
             continue
         # repair path: a bowtie's signed area can cancel to ~0, so the area
-        # filter applies only AFTER splitting into simple sub-rings
-        shells: list[np.ndarray] = []
-        holes: list[np.ndarray] = []
-        for i, r in cleaned:
+        # filter applies only AFTER the winding decomposition. Each ring's
+        # FILLED region (nonzero winding of its own traversal) is computed,
+        # then the part = shell region minus the union of hole regions.
+        from .boolean import overlay, union_many  # boolean imports core
+
+        def _region(r):
             if ring_is_simple(r):
                 if abs(ring_signed_area(r)) < SNAP * SNAP:
-                    continue
-                pieces = [(r, True)]
+                    return []
+                return [[canon_ring(r if ring_signed_area(r) > 0 else r[::-1].copy())]]
+            return repair_ring(r)
+
+        shell_region: list = []
+        hole_regions: list = []
+        for i, r in cleaned:
+            reg = _region(r)
+            if not reg:
+                continue
+            if i == 0:
+                shell_region = reg
             else:
-                pieces = repair_ring(r)
-            for sub, filled in pieces:
-                if abs(ring_signed_area(sub)) < SNAP * SNAP:
+                hole_regions.append(reg)
+        if not shell_region:
+            continue
+        final = shell_region
+        if hole_regions:
+            holes_u = union_many(hole_regions) if len(hole_regions) > 1 else hole_regions[0]
+            final = overlay(shell_region, holes_u, "difference", validate=False)
+        for part in final:
+            fixed = []
+            for j, rr in enumerate(part):
+                a = ring_signed_area(rr)
+                if abs(a) < SNAP * SNAP:
                     continue
-                # a shell's filled regions are shells; a hole ring's filled
-                # regions are holes (and its zero-winding enclosures islands)
-                if (i == 0) == filled:
-                    shells.append(sub)
-                else:
-                    holes.append(sub)
-        shell_areas = [abs(ring_signed_area(s)) for s in shells]
-        assembled = [[canon_ring(s if ring_signed_area(s) > 0 else s[::-1].copy())]
-                     for s in shells]
-        for h in holes:
-            probe = _ring_interior_point(h)
-            best = None
-            for k, s in enumerate(shells):
-                if points_in_rings(probe[None, :], [s])[0] != 0:
-                    if best is None or shell_areas[k] < shell_areas[best]:
-                        best = k
-            if best is not None:
-                hh = h if ring_signed_area(h) < 0 else h[::-1].copy()
-                assembled[best].append(canon_ring(hh))
-        out.extend(assembled)
+                want_ccw = j == 0
+                if (a > 0) != want_ccw:
+                    rr = rr[::-1].copy()
+                fixed.append(canon_ring(rr))
+            if fixed:
+                out.append(fixed)
     return kind, out
 
 

@@ -131,7 +131,8 @@ def test_make_valid_repairs_pinched_donut():
                      (10, 0), (10, 10), (0, 10)], float)
     kind, parts = g.make_valid(g.GEOM_POLYGON, [[ring]])
     assert len(parts) == 1
-    assert len(parts[0]) == 2  # shell + hole
+    # the triangular enclosure is excluded from the area (whether represented
+    # as a separate hole ring or stitched through the pinch vertex)
     assert g.geom_area(kind, parts) == pytest.approx(94.0)  # 100 - 6
 
 
@@ -159,3 +160,27 @@ def test_bowtie_ingests_through_pipeline():
     kind, parts = g.unpack_geom(out.column("geom")[0].as_py())
     assert len(parts) == 2
     assert g.geom_area(kind, parts) == pytest.approx(2.0)
+
+
+def test_repair_ring_winding_area_fuzz():
+    """Property: for random self-intersecting rings, the repaired polygon's
+    area equals the area of the nonzero-winding region of the original
+    traversal (Monte-Carlo oracle on a grid)."""
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        n = int(rng.integers(4, 9))
+        ring = np.round(rng.uniform(0, 10, size=(n, 2)), 2)
+        if len(np.unique(ring, axis=0)) < 3:
+            continue
+        kind, parts = g.make_valid(g.GEOM_POLYGON, [[ring.copy()]])
+        area = g.geom_area(kind, parts)
+        # winding oracle on a dense grid
+        xs = np.linspace(0.005, 9.995, 140)
+        ys = np.linspace(0.005, 9.995, 140)
+        X, Y = np.meshgrid(xs, ys)
+        pts = np.column_stack([X.ravel(), Y.ravel()])
+        wn = g.points_in_rings(pts, [g.snap(ring)])
+        cell = (xs[1] - xs[0]) * (ys[1] - ys[0])
+        mc_area = float((wn != 0).sum()) * cell
+        assert area == pytest.approx(mc_area, abs=1.2), \
+            f"trial {trial}: repaired {area} vs winding {mc_area}"
