@@ -184,3 +184,12 @@ def test_repair_ring_winding_area_fuzz():
         mc_area = float((wn != 0).sum()) * cell
         assert area == pytest.approx(mc_area, abs=1.2), \
             f"trial {trial}: repaired {area} vs winding {mc_area}"
+
+
+def test_make_valid_repairs_self_intersecting_hole():
+    """A valid shell with a bowtie HOLE: the hole's winding region (both
+    lobes) is subtracted from the shell."""
+    shell = sq(0, 0, 10, 10)
+    bow_hole = np.array([(2, 2), (4, 4), (4, 2), (2, 4)], float)  # area 2
+    kind, parts = g.make_valid(g.GEOM_POLYGON, [[shell, bow_hole]])
+    assert g.geom_area(kind, parts) == pytest.approx(98.0)
