@@ -155,28 +155,64 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
     import ray
     import ray.data
 
+    n_shuffle_buckets = 64
+
     banded = ds.map_batches(MinHashBandStage,
                             fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
                                                        shingle_k=shingle_k, col=col,
                                                        id_col=id_col),
                             batch_format="pyarrow", concurrency=(1, 8))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())
-        if len(ids) < 2:
+    # shuffle by a HASH BUCKET of the band key, not the key itself: the band
+    # table has ~rows*bands near-singleton keys, and one Python map_groups
+    # call per key dominates wall time. Within a bucket, pair formation is
+    # vectorized over all collision groups at once.
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        bi = t.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = ((bh ^ (bi * np.int64(0x9E3779B9))) % n_shuffle_buckets).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def bulk_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band_id", "band_hash", id_col])
+        bi = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        # exact group boundaries on the sorted frame (no hashed key: a
+        # truncated/fused key would create spurious candidate groups)
+        new_grp = np.ones(len(g), dtype=bool)
+        new_grp[1:] = (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])
+        codes = np.cumsum(new_grp) - 1
+        counts = np.bincount(codes)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ids = g[id_col].to_numpy()
+        out_a, out_b = [], []
+        for ci in np.nonzero(counts >= 2)[0]:  # collision groups only (rare)
+            s, c = starts[ci], counts[ci]
+            ia, ib = np.triu_indices(c, k=1)
+            out_a.append(ids[s + ia])
+            out_b.append(ids[s + ib])
+        if not out_a:
             return pd.DataFrame({"id_a": [], "id_b": []})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        return pd.DataFrame({"id_a": [p[0] for p in pairs], "id_b": [p[1] for p in pairs]})
+        df = pd.DataFrame({"id_a": np.concatenate(out_a),
+                           "id_b": np.concatenate(out_b)})
+        return df.drop_duplicates(["id_a", "id_b"])  # partial dedupe per bucket
 
-    cand = banded.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    cand = (banded.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(bulk_pairs, batch_format="pandas"))
 
-    # the same pair surfaces from every band that collides -> one global
-    # dedup of the (tiny) candidate set before verification
-    def pair_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # the same pair can still surface from bands in DIFFERENT buckets -> one
+    # global dedupe, again hash-bucketed and vectorized
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t.column("id_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = ((a * np.int64(1_000_003) + b) % n_shuffle_buckets).astype(np.int32)
+        return t.append_column("pbucket", pa.array(bucket, pa.int32()))
 
-    cand = cand.groupby(["id_a", "id_b"]).map_groups(pair_first, batch_format="pandas")
+    def pair_dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    cand = (cand.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("pbucket").map_groups(pair_dedupe, batch_format="pandas"))
 
     EMPTY = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
@@ -222,7 +258,7 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
             return batch.select([id_col, col]).filter(keep)
 
     texts = ds.map_batches(KeepCandidateTexts, batch_format="pyarrow",
-                           concurrency=(1, 8)).materialize()
+                           concurrency=(1, 8))
 
     if len(ids) <= broadcast_texts_limit:
         # the filtered candidate texts are small: broadcast THEM (never the
