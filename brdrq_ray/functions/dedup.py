@@ -26,26 +26,32 @@ def _content_hash(texts) -> list[str]:
     return [hashlib.sha1((t or "").encode()).hexdigest() for t in texts]
 
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 256):
     """Exact dedup: hash-partition on content hash, keep the row with the
     minimal id per group (deterministic winner). Returns the surviving rows.
     Oracle: row_number() over (partition by col order by id).
 
-    Combiner pattern: each batch pre-dedupes locally (min-id per hash within
-    the batch) BEFORE the shuffle, so a high-duplication corpus ships at most
-    one row per (batch, hash) through the exchange instead of every copy."""
+    Two scale patterns: each batch pre-dedupes locally BEFORE the shuffle
+    (combiner — a high-duplication corpus ships one row per batch+hash), and
+    the shuffle keys on a HASH BUCKET of the content hash, not the hash
+    itself (hash-many groups = one Python map_groups call per unique text;
+    within a bucket the winner selection is one vectorized drop_duplicates)."""
 
     def add_hash_and_combine(batch: pa.Table) -> pa.Table:
-        t = batch.append_column("_h", pa.array(_content_hash(batch.column(col).to_pylist())))
+        hashes = _content_hash(batch.column(col).to_pylist())
+        t = (batch.append_column("_h", pa.array(hashes))
+             .append_column("_hb", pa.array(
+                 [int(h[:8], 16) % n_buckets for h in hashes], pa.int32())))
         df = t.to_pandas().sort_values(id_col).drop_duplicates("_h", keep="first")
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).drop_duplicates("_h", keep="first")
 
     return (ds.map_batches(add_hash_and_combine, batch_format="pyarrow")
-              .groupby("_h").map_groups(first_per_group, batch_format="pandas")
-              .drop_columns(["_h"]))
+              .groupby("_hb").map_groups(first_per_hash, batch_format="pandas")
+              .drop_columns(["_h", "_hb"]))
 
 
 # ---------------------------------------------------------------------------
@@ -370,35 +376,59 @@ def duplicate_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b",
     labels = (edges.map_batches(seed_labels, batch_format="pyarrow")
               .groupby("lnode").aggregate(Min("label", alias_name="label")))
 
+    n_shuffle_buckets = 64
+
     def edge_side(batch: pa.Table) -> pa.Table:
-        return pa.table({"key": batch.column("nbr"),
+        key = batch.column("nbr")
+        bucket = (np.abs(key.to_numpy(zero_copy_only=False))
+                  % n_shuffle_buckets).astype(np.int32)
+        return pa.table({"bucket": pa.array(bucket, pa.int32()),
+                         "key": key,
                          "node": batch.column("node"),
                          "label": pa.nulls(batch.num_rows, pa.int64())})
 
     def label_side(batch: pa.Table) -> pa.Table:
-        return pa.table({"key": batch.column("lnode"),
+        key = batch.column("lnode")
+        bucket = (np.abs(key.to_numpy(zero_copy_only=False))
+                  % n_shuffle_buckets).astype(np.int32)
+        return pa.table({"bucket": pa.array(bucket, pa.int32()),
+                         "key": key,
                          "node": pa.nulls(batch.num_rows, pa.int64()),
                          "label": batch.column("label")})
 
-    def propagate(g: pd.DataFrame) -> pd.DataFrame:
-        # group = one key: its current label + edges wanting that label
-        labs = g["label"].dropna()
+    def propagate_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # many keys per bucket (shuffling per node key = one Python call per
+        # node); the per-key min-label delivery is vectorized pandas
+        labs = g.loc[g["label"].notna()].groupby("key")["label"].min()
         if labs.empty:
             return pd.DataFrame({"lnode": [], "label": []})
-        lab = int(labs.min())
-        nodes = g["node"].dropna().astype("int64").tolist()
-        nodes.append(int(g["key"].iloc[0]))  # keep own label too
-        return pd.DataFrame({"lnode": nodes, "label": lab})
+        edges_g = g.loc[g["node"].notna()]
+        lab_of_key = edges_g["key"].map(labs)
+        ok = lab_of_key.notna()
+        return pd.concat([
+            pd.DataFrame({"lnode": edges_g.loc[ok, "node"].astype("int64").to_numpy(),
+                          "label": lab_of_key[ok].astype("int64").to_numpy()}),
+            pd.DataFrame({"lnode": labs.index.to_numpy().astype("int64"),
+                          "label": labs.to_numpy().astype("int64")}),
+        ], ignore_index=True)
 
+    prev_sum = None
     for _ in range(rounds):
         # message passing: each edge (node, nbr) delivers label(nbr) to node —
         # expressed as the tagged-union groupby join (no native join: its hash
         # partitioner trips on empty partitions in iterated pipelines)
         tagged = (edges.map_batches(edge_side, batch_format="pyarrow")
                   .union(labels.map_batches(label_side, batch_format="pyarrow")))
-        msgs = tagged.groupby("key").map_groups(propagate, batch_format="pandas")
+        msgs = tagged.groupby("bucket").map_groups(propagate_bucket,
+                                                   batch_format="pandas")
         labels = (msgs.groupby("lnode").aggregate(Min("label", alias_name="label"))
                   .materialize())
+        # labels only ever DECREASE, so an unchanged label sum = converged —
+        # near-dup graphs usually settle in 2-3 rounds, not the worst case
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
 
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow")
@@ -459,30 +489,61 @@ def simhash_neardup_pairs(ds, col: str = "text", id_col: str = "doc_id",
             "block_val": pa.array(vals, pa.int64()),
         })
 
-    banded = ds.map_batches(sketch_and_band, batch_format="pyarrow")
+    n_shuffle_buckets = 64
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values(id_col)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bv = t.column("block_val").to_numpy(zero_copy_only=False)
+        bi = t.column("block_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = ((bv ^ (bi * np.int64(0x9E3779B9))) % n_shuffle_buckets).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    banded = (ds.map_batches(sketch_and_band, batch_format="pyarrow")
+              .map_batches(add_bucket, batch_format="pyarrow"))
+
+    def bulk_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over ALL collision groups in the bucket (shuffling by
+        # the block key itself would mean one Python call per singleton key)
+        g = g.sort_values(["block_id", "block_val", id_col])
+        bi = g["block_id"].to_numpy()
+        bv = g["block_val"].to_numpy()
+        new_grp = np.ones(len(g), dtype=bool)
+        new_grp[1:] = (bi[1:] != bi[:-1]) | (bv[1:] != bv[:-1])
+        codes = np.cumsum(new_grp) - 1
+        counts = np.bincount(codes)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(len(g), k=1)
-        x = sh[ia] ^ sh[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
-                             "hamming": ham[keep].astype(np.int64)})
+        out_a, out_b, out_h = [], [], []
+        for ci in np.nonzero(counts >= 2)[0]:
+            s, c = starts[ci], counts[ci]
+            ia, ib = np.triu_indices(c, k=1)
+            x = sh[s + ia] ^ sh[s + ib]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            keep = ham <= max_hamming
+            out_a.append(ids[s + ia[keep]])
+            out_b.append(ids[s + ib[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        df = pd.DataFrame({"id_a": np.concatenate(out_a),
+                           "id_b": np.concatenate(out_b),
+                           "hamming": np.concatenate(out_h).astype(np.int64)})
+        return df.drop_duplicates(["id_a", "id_b"])
 
-    cand = banded.groupby(["block_id", "block_val"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    cand = banded.groupby("bucket").map_groups(bulk_pairs, batch_format="pandas")
 
-    # the same pair surfaces from every agreeing block -> one dedupe
-    def pair_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # the same pair surfaces from agreeing blocks in DIFFERENT buckets
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t.column("id_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = ((a * np.int64(1_000_003) + b) % n_shuffle_buckets).astype(np.int32)
+        return t.append_column("pbucket", pa.array(bucket, pa.int32()))
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(pair_first,
-                                                     batch_format="pandas")
+    def pair_dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b", "hamming"]]
+
+    return (cand.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("pbucket").map_groups(pair_dedupe, batch_format="pandas"))
 
 
 def simhash_dedup_groups(ds, col: str = "text", id_col: str = "doc_id"):
