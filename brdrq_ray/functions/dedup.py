@@ -584,28 +584,51 @@ class CosineBucketStage:
 
 def embedding_neardup_pairs(ds, dim: int, threshold: float = 0.95,
                             id_col: str = "vec_id", vec_col: str = "embedding",
-                            n_planes: int = 12):
-    """Near-duplicate embedding pairs: LSH-bucket (one shuffle on the bucket
-    id) then exact cosine within buckets. Pairs above threshold, id_a < id_b.
-    n_planes trades recall for bucket size (hot-bucket analog of tile salting)."""
+                            n_planes: int = 12, n_shuffle_buckets: int = 64):
+    """Near-duplicate embedding pairs: LSH-bucket then exact cosine within
+    buckets. Pairs above threshold, id_a < id_b. n_planes trades recall for
+    bucket size (hot-bucket analog of tile salting). The shuffle keys on a
+    hash of the LSH bucket (2^n_planes near-empty buckets would cost one
+    Python group call each); the exact cosine runs per LSH bucket inside,
+    vectorized."""
 
-    def bucket_cosine(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    def shard_cosine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket", id_col])
+        bk = g["bucket"].to_numpy()
+        new_grp = np.ones(len(g), dtype=bool)
+        new_grp[1:] = bk[1:] != bk[:-1]
+        codes = np.cumsum(new_grp) - 1
+        counts = np.bincount(codes)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         ids = g[id_col].to_numpy()
         V = np.asarray(g[vec_col].tolist(), dtype=np.float64)
         norms = np.linalg.norm(V, axis=1, keepdims=True)
         norms[norms == 0] = 1
         Vn = V / norms
-        sim = Vn @ Vn.T
-        ia, ib = np.triu_indices(len(g), k=1)
-        keep = sim[ia, ib] >= threshold
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sim[ia, ib][keep]})
+        out_a, out_b, out_c = [], [], []
+        for ci in np.nonzero(counts >= 2)[0]:
+            s, c = starts[ci], counts[ci]
+            sim = Vn[s:s + c] @ Vn[s:s + c].T
+            ia, ib = np.triu_indices(c, k=1)
+            keep = sim[ia, ib] >= threshold
+            a, b = ids[s + ia[keep]], ids[s + ib[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_c.append(sim[ia, ib][keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        return t.append_column("shard", pa.array(
+            (b % n_shuffle_buckets).astype(np.int32), pa.int32()))
 
     return (ds.map_batches(CosineBucketStage,
                            fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
                                                       vec_col=vec_col),
                            batch_format="pyarrow", concurrency=(1, 8))
-              .groupby("bucket").map_groups(bucket_cosine, batch_format="pandas"))
+              .map_batches(add_shard, batch_format="pyarrow")
+              .groupby("shard").map_groups(shard_cosine, batch_format="pandas"))

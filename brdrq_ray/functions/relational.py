@@ -106,17 +106,27 @@ def filter_state(sf_dir: str):
 
 # --- grouped top-k (O1) and argmax (G5) -------------------------------------
 
-def grouped_topk_orders(sf_dir: str, k: int = 3):
+def grouped_topk_orders(sf_dir: str, k: int = 3, n_buckets: int = 64):
     """O1: per-customer top-k orders by (totalprice desc, orderkey asc) — a
-    grouped top-k, never a global sort."""
+    grouped top-k, never a global sort. Shuffled by a hash bucket of the
+    customer key; the per-customer head(k) is one vectorized pandas groupby
+    per bucket (n_buckets Python calls, not n_customers)."""
     ds = read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
-        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t.column("o_custkey").cast(pa.int64())
+             .to_numpy(zero_copy_only=False) % n_buckets).astype(np.int32)
+        return t.append_column("b", pa.array(b, pa.int32()))
 
-    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True])
+        g = g.groupby("o_custkey", group_keys=False).head(k).copy()
+        g["rk"] = g.groupby("o_custkey").cumcount() + 1
+        return g.drop(columns=["b"])
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("b").map_groups(topk_bucket, batch_format="pandas"))
 
 
 def grouped_argmax_orders(sf_dir: str):
@@ -151,20 +161,26 @@ def broadcast_hash_join(sf_dir: str):
     return ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 4))
 
 
-def partitioned_hash_join(sf_dir: str):
-    """J3 at scale (both sides large): tagged-union + groupby(key) +
-    per-group join — the explicit partitioned hash join."""
+def partitioned_hash_join(sf_dir: str, n_buckets: int = 64):
+    """J3 at scale (both sides large): tagged-union + groupby(HASH BUCKET of
+    the key) + one vectorized pandas merge per bucket — the explicit
+    partitioned hash join. Bucketing (not the raw key) keeps the Python
+    per-group overhead at n_buckets, not n_keys."""
     orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
 
     def o_side(t: pa.Table) -> pa.Table:
-        return pa.table({"k": t.column("o_custkey").cast(pa.int64()),
+        k = t.column("o_custkey").cast(pa.int64())
+        b = (k.to_numpy(zero_copy_only=False) % n_buckets).astype(np.int32)
+        return pa.table({"b": pa.array(b, pa.int32()), "k": k,
                          "o_orderkey": t.column("o_orderkey"),
                          "o_totalprice": t.column("o_totalprice"),
                          "c_name": pa.nulls(t.num_rows, pa.string())})
 
     def c_side(t: pa.Table) -> pa.Table:
-        return pa.table({"k": t.column("c_custkey").cast(pa.int64()),
+        k = t.column("c_custkey").cast(pa.int64())
+        b = (k.to_numpy(zero_copy_only=False) % n_buckets).astype(np.int32)
+        return pa.table({"b": pa.array(b, pa.int32()), "k": k,
                          "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
                          "o_totalprice": pa.nulls(t.num_rows, pa.float64()),
                          "c_name": t.column("c_name")})
@@ -172,17 +188,20 @@ def partitioned_hash_join(sf_dir: str):
     tagged = (orders.map_batches(o_side, batch_format="pyarrow")
               .union(cust.map_batches(c_side, batch_format="pyarrow")))
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        names = g["c_name"].dropna()
-        o = g[g["o_orderkey"].notna()]
-        if names.empty or o.empty:
-            return pd.DataFrame({"o_orderkey": [], "o_custkey": [], "o_totalprice": [], "c_name": []})
-        return pd.DataFrame({"o_orderkey": o["o_orderkey"].astype("int64"),
-                             "o_custkey": o["k"].astype("int64"),
-                             "o_totalprice": o["o_totalprice"],
-                             "c_name": names.iloc[0]})
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        build = g.loc[g["c_name"].notna(), ["k", "c_name"]]
+        probe = g.loc[g["o_orderkey"].notna(),
+                      ["k", "o_orderkey", "o_totalprice"]]
+        if build.empty or probe.empty:
+            return pd.DataFrame({"o_orderkey": [], "o_custkey": [],
+                                 "o_totalprice": [], "c_name": []})
+        m = probe.merge(build, on="k", how="inner")
+        return pd.DataFrame({"o_orderkey": m["o_orderkey"].astype("int64"),
+                             "o_custkey": m["k"].astype("int64"),
+                             "o_totalprice": m["o_totalprice"],
+                             "c_name": m["c_name"]})
 
-    return tagged.groupby("k").map_groups(join_group, batch_format="pandas")
+    return tagged.groupby("b").map_groups(join_bucket, batch_format="pandas")
 
 
 def native_hash_join(sf_dir: str):
@@ -281,26 +300,36 @@ def duplicate_key_detection(sf_dir: str):
         batch_format="pyarrow")
 
 
-def asof_join_events(sf_dir: str):
+def asof_join_events(sf_dir: str, n_buckets: int = 64):
     """J4: for each click, the latest strictly-earlier view of the same user
-    (as-of backward join) — partition by user, merge_asof within the group
-    (sorted by ts). The reference's changed-since/version join analog."""
+    (as-of backward join). Shuffled by a hash bucket of the user; inside a
+    bucket ONE pd.merge_asof(by='user_id') handles every user vectorized —
+    the reference's changed-since/version join analog."""
     ds = read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        clicks = g[g["event_type"] == "click"][["event_id", "user_id", "ts"]].sort_values("ts")
-        views = g[g["event_type"] == "view"][["ts"]].sort_values("ts").rename(
-            columns={"ts": "prev_view_ts"})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t.column("user_id").cast(pa.int64())
+             .to_numpy(zero_copy_only=False) % n_buckets).astype(np.int32)
+        return t.append_column("b", pa.array(b, pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = (g[g["event_type"] == "click"][["event_id", "user_id", "ts"]]
+                  .sort_values("ts"))
+        views = (g[g["event_type"] == "view"][["user_id", "ts"]]
+                 .rename(columns={"ts": "prev_view_ts"})
+                 .sort_values("prev_view_ts"))
         if clicks.empty:
-            return pd.DataFrame({"event_id": [], "user_id": [], "ts": [], "prev_view_ts": []})
+            return pd.DataFrame({"event_id": [], "user_id": [], "ts": [],
+                                 "prev_view_ts": []})
         if views.empty:
             clicks["prev_view_ts"] = pd.NaT
             return clicks
-        out = pd.merge_asof(clicks, views, left_on="ts", right_on="prev_view_ts",
-                            allow_exact_matches=False)
-        return out
+        return pd.merge_asof(clicks, views, left_on="ts",
+                             right_on="prev_view_ts", by="user_id",
+                             allow_exact_matches=False)
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("b").map_groups(per_bucket, batch_format="pandas"))
 
 
 # --- classification (G6) and global aggregates (G1/G2) ----------------------

@@ -18,33 +18,41 @@ import pyarrow as pa
 import ray.data
 
 
+def _user_bucket(t: pa.Table, n_buckets: int = 64) -> pa.Table:
+    b = (t.column("user_id").cast(pa.int64())
+         .to_numpy(zero_copy_only=False) % n_buckets).astype(np.int32)
+    return t.append_column("b", pa.array(b, pa.int32()))
+
+
 def tumbling_window_agg(sf_dir: str, window_minutes: int = 60) -> ray.data.Dataset:
-    """Per (user_id, tumbling window): event count + value sum. One groupby
-    on user_id; the window fold is vectorized floor-division on the sorted
-    group."""
+    """Per (user_id, tumbling window): event count + value sum. Shuffled by a
+    hash bucket of the user (one Python call per bucket, not per user); the
+    window fold is one vectorized pandas groupby per bucket."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts", "value"])
     w_us = np.int64(window_minutes) * 60 * 1_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
         # force microsecond resolution: pandas may hold ns or us depending on
         # version — epoch arithmetic must not depend on it
         epoch = g["ts"].astype("datetime64[us]").astype("int64")
         win = (epoch // w_us) * w_us
         # emit microsecond-resolution timestamps (matches the parquet/DuckDB
         # timestamp[us] type; pandas' default ns would drift the schema)
-        out = g.assign(window_start=pd.to_datetime(win, unit="us")
-                       .astype("datetime64[us]")).groupby(
-            "window_start", as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum"))
-        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out = (g.assign(window_start=pd.to_datetime(win, unit="us")
+                        .astype("datetime64[us]"))
+               .groupby(["user_id", "window_start"], as_index=False)
+               .agg(n_events=("value", "size"), sum_value=("value", "sum")))
         out["n_events"] = out["n_events"].astype("int64")
         # fixed decimals so float summation order can't flip a bit vs oracle
         out["sum_value"] = out["sum_value"].round(6)
         return out
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (ds.map_batches(_user_bucket, batch_format="pyarrow")
+            .groupby("b").map_groups(
+                lambda g: per_bucket(g.drop(columns=["b"])),
+                batch_format="pandas"))
 
 
 def hopping_window_agg(sf_dir: str, window_minutes: int = 60,
@@ -77,24 +85,33 @@ def hopping_window_agg(sf_dir: str, window_minutes: int = 60,
 
     partials = ds.map_batches(explode_partial, batch_format="pyarrow")
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "window_start": pd.to_datetime([g["window_start"].iloc[0]],
-                                           unit="us").astype("datetime64[us]"),
-            "n_events": [int(g["n_events"].sum())],
-            "sum_value": [round(g["sum_value"].sum(), 6)],
-        })
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = t.column("window_start").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = (np.abs(u * np.int64(1_000_003) + w) % 64).astype(np.int32)
+        return t.append_column("b", pa.array(b, pa.int32()))
 
-    return partials.groupby(["user_id", "window_start"]).map_groups(
-        combine, batch_format="pandas")
+    def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["user_id", "window_start"], as_index=False)
+               .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum")))
+        out["window_start"] = (pd.to_datetime(out["window_start"], unit="us")
+                               .astype("datetime64[us]"))
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(6)
+        return out
+
+    return (partials.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("b").map_groups(
+                lambda g: combine_bucket(g.drop(columns=["b"])),
+                batch_format="pandas"))
 
 
 def range_join_events(sf_dir: str, band_minutes: int = 30) -> ray.data.Dataset:
     """Banded range join (the brief's 'range join' custom operator): for every
     click, ALL views of the same user within the preceding ``band_minutes``
-    (not just the latest — that is the as-of join). Partition by user (one
-    shuffle), then a vectorized searchsorted interval match per group."""
+    (not just the latest — that is the as-of join). One shuffle on a hash
+    bucket of the user; the searchsorted interval match runs per user inside
+    the bucket (in-process loop, no Ray per-group overhead)."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "event_type", "ts"])
     band_us = np.int64(band_minutes) * 60 * 1_000_000
@@ -125,7 +142,17 @@ def range_join_events(sf_dir: str, band_minutes: int = 30) -> ray.data.Dataset:
             "gap_sec": ((click_e - ve[view_pos]) / 1_000_000.0).round(6),
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [per_user(u) for _, u in g.groupby("user_id", sort=False)]
+        if not outs:
+            return pd.DataFrame({"click_id": [], "user_id": [], "view_id": [],
+                                 "gap_sec": []})
+        return pd.concat(outs, ignore_index=True)
+
+    return (ds.map_batches(_user_bucket, batch_format="pyarrow")
+            .groupby("b").map_groups(
+                lambda g: per_bucket(g.drop(columns=["b"])),
+                batch_format="pandas"))
 
 
 def sliding_session_gap(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
@@ -135,21 +162,27 @@ def sliding_session_gap(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
                                columns=["user_id", "ts"])
     gap_us = np.int64(gap_minutes) * 60 * 1_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        users = g["user_id"].to_numpy()
         epoch = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         new_session = np.ones(len(g), dtype=bool)
         if len(g) > 1:
-            new_session[1:] = np.diff(epoch) > gap_us
+            new_session[1:] = ((np.diff(epoch) > gap_us)
+                               | (users[1:] != users[:-1]))
         sid = np.cumsum(new_session)
-        df = pd.DataFrame({"sid": sid, "epoch": epoch})
-        agg = df.groupby("sid").agg(start=("epoch", "min"), end=("epoch", "max"),
-                                    n_events=("epoch", "size")).reset_index(drop=True)
+        df = pd.DataFrame({"user_id": users, "sid": sid, "epoch": epoch})
+        agg = (df.groupby(["user_id", "sid"], as_index=False)
+               .agg(start=("epoch", "min"), end=("epoch", "max"),
+                    n_events=("epoch", "size")))
         return pd.DataFrame({
-            "user_id": g["user_id"].iloc[0],
+            "user_id": agg["user_id"],
             "session_start": pd.to_datetime(agg["start"], unit="us").astype("datetime64[us]"),
             "n_events": agg["n_events"].astype("int64"),
             "duration_sec": ((agg["end"] - agg["start"]) / 1_000_000).astype("float64"),
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (ds.map_batches(_user_bucket, batch_format="pyarrow")
+            .groupby("b").map_groups(
+                lambda g: per_bucket(g.drop(columns=["b"])),
+                batch_format="pandas"))
