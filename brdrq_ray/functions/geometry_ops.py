@@ -124,17 +124,30 @@ def difference_metrics(results: ray.data.Dataset) -> ray.data.Dataset:
     call site plugin/brdrq/brdrq_dockwidget_featurealigner.py:1690-1692;
     plotted by plot_series, brdrq_utils.py:1084-1102)."""
 
-    def per_feature(gdf: pd.DataFrame) -> pd.DataFrame:
-        gdf = gdf.sort_values("brdr_relevant_distance")
-        return pd.DataFrame({
-            "theme_id": [gdf["theme_id"].iloc[0]],
-            "distances": [gdf["brdr_relevant_distance"].round(1).tolist()],
-            "sym_diff_areas": [gdf["brdr_sym_diff_area_index"].round(6).tolist()],
-        })
+    import zlib
+
+    import pyarrow as pa
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = [zlib.crc32(str(t).encode()) % 64
+             for t in batch.column("theme_id").to_pylist()]
+        return batch.append_column("b", pa.array(b, pa.int32()))
+
+    def per_bucket(gdf: pd.DataFrame) -> pd.DataFrame:
+        gdf = gdf.sort_values(["theme_id", "brdr_relevant_distance"])
+        agg = (gdf.assign(
+                   d=gdf["brdr_relevant_distance"].round(1),
+                   s=gdf["brdr_sym_diff_area_index"].round(6))
+               .groupby("theme_id", as_index=False)
+               .agg(distances=("d", list), sym_diff_areas=("s", list)))
+        return agg
 
     cols = results.select_columns(["theme_id", "brdr_relevant_distance",
                                    "brdr_sym_diff_area_index"])
-    return cols.groupby("theme_id").map_groups(per_feature, batch_format="pandas")
+    return (cols.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("b").map_groups(
+                lambda g: per_bucket(g.drop(columns=["b"])),
+                batch_format="pandas"))
 
 
 # --- O2/O3: listing cap + presentation sort ---------------------------------

@@ -64,18 +64,23 @@ def apply_patches(source: ray.data.Dataset, patches: ray.data.Dataset) -> ray.da
             "op": batch.column("op"),
         })
 
-    tagged = (source.map_batches(src_side, batch_format="pyarrow")
-              .union(patches.map_batches(patch_side, batch_format="pyarrow")))
+    import zlib
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        src = g[g["side"] == "src"]
-        if src.empty:
-            return pd.DataFrame(columns=["theme_id", "geometry_wkt",
-                                         "brdrq_original_wkt", "brdrq_state",
-                                         "brdr_metadata"])
-        row = src.iloc[0].copy()
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = [zlib.crc32(str(v).encode()) % 64
+             for v in t.column("theme_id").to_pylist()]
+        return t.append_column("b", pa.array(b, pa.int32()))
+
+    tagged = (source.map_batches(src_side, batch_format="pyarrow")
+              .union(patches.map_batches(patch_side, batch_format="pyarrow"))
+              .map_batches(add_bucket, batch_format="pyarrow"))
+
+    OUT_COLS = ["theme_id", "geometry_wkt", "brdrq_original_wkt",
+                "brdrq_state", "brdr_metadata"]
+
+    def merge_one(row: pd.Series, ps: pd.DataFrame) -> dict:
+        row = row.copy()
         original = row["brdrq_original_wkt"] or row["geometry_wkt"]
-        ps = g[g["side"] == "patch"].sort_values("seq")
         for _, p in ps.iterrows():   # replay in order; last writer wins
             if p["op"] == "reset":
                 row["geometry_wkt"] = original
@@ -88,12 +93,40 @@ def apply_patches(source: ray.data.Dataset, patches: ray.data.Dataset) -> ray.da
                     row["brdrq_state"] = p["brdrq_state"]
                 if p["brdr_metadata"]:
                     row["brdr_metadata"] = p["brdr_metadata"]
-        return pd.DataFrame([{
-            "theme_id": row["theme_id"],
-            "geometry_wkt": row["geometry_wkt"],
-            "brdrq_original_wkt": original,
-            "brdrq_state": row["brdrq_state"],
-            "brdr_metadata": row["brdr_metadata"],
-        }])
+        return {"theme_id": row["theme_id"],
+                "geometry_wkt": row["geometry_wkt"],
+                "brdrq_original_wkt": original,
+                "brdrq_state": row["brdrq_state"],
+                "brdr_metadata": row["brdr_metadata"]}
 
-    return tagged.groupby("theme_id").map_groups(merge, batch_format="pandas")
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        src = g[g["side"] == "src"].drop_duplicates("theme_id", keep="first")
+        if src.empty:
+            return pd.DataFrame(columns=OUT_COLS)
+        ps = g[g["side"] == "patch"]
+        patched_ids = set(ps["theme_id"])
+        # unpatched rows pass through vectorized (patches are tiny next to
+        # the source — the Python replay loop runs only for patched ids)
+        plain = src[~src["theme_id"].isin(patched_ids)]
+        out_plain = pd.DataFrame({
+            "theme_id": plain["theme_id"],
+            "geometry_wkt": plain["geometry_wkt"],
+            "brdrq_original_wkt": plain["brdrq_original_wkt"].where(
+                plain["brdrq_original_wkt"].notna() & (plain["brdrq_original_wkt"] != ""),
+                plain["geometry_wkt"]),
+            "brdrq_state": plain["brdrq_state"],
+            "brdr_metadata": plain["brdr_metadata"],
+        })
+        rows = []
+        if patched_ids:
+            ps_sorted = ps.sort_values(["theme_id", "seq"])
+            src_by_id = src.set_index("theme_id", drop=False)
+            for tid, pgrp in ps_sorted.groupby("theme_id", sort=False):
+                if tid in src_by_id.index:
+                    rows.append(merge_one(src_by_id.loc[tid], pgrp))
+        out = pd.concat([out_plain, pd.DataFrame(rows, columns=OUT_COLS)],
+                        ignore_index=True)
+        return out[OUT_COLS]
+
+    return tagged.groupby("b").map_groups(
+        lambda g: merge_bucket(g.drop(columns=["b"])), batch_format="pandas")

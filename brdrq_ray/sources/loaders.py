@@ -90,14 +90,24 @@ def _fiscal_loader(spec):
         years = pc.year(vd)
         return batch.filter(pc.less_equal(years, year))
 
-    # latest version per ref_id with version_year <= y (as-of semantics)
+    # latest version per ref_id with version_year <= y (as-of semantics) —
+    # shuffled by a hash bucket of ref_id (one Python call per bucket, not
+    # per parcel — reference tables are the big side), vectorized inside
     import pandas as pd
+    import zlib
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("version_date").tail(1)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = [zlib.crc32(str(r).encode()) % 64
+             for r in batch.column("ref_id").to_pylist()]
+        return batch.append_column("b", pa.array(b, pa.int32()))
+
+    def latest_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["ref_id", "version_date"])
+                .drop_duplicates("ref_id", keep="last").drop(columns=["b"]))
 
     return (ds.map_batches(for_year, batch_format="pyarrow")
-            .groupby("ref_id").map_groups(latest, batch_format="pandas"))
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("b").map_groups(latest_bucket, batch_format="pandas"))
 
 
 # --- S4: OSM-style nodes + ways assembly ------------------------------------
