@@ -123,6 +123,21 @@ def test_align_job_end_to_end(ray_session, tmp_path):
     res_all = ray.data.read_parquet(stats_all["outputs"]["result"]).to_pandas()
     assert len(res_all) >= 10
 
+    # predictions-BEST: exactly one scored prediction per feature, with a
+    # checkpointed run (evaluate mode through the resume machinery)
+    job_best = AlignJob(input_thematic=tpath,
+                        reference={"loader": "parquet", "path": rpath},
+                        predictions="BEST", max_relevant_distance=2.0,
+                        od_strategy="EXCLUDE", checkpoint=True,
+                        workfolder=str(tmp_path / "out_best"))
+    stats_best = run_job(job_best)
+    res_best = ray.data.read_parquet(stats_best["outputs"]["result"]).to_pandas()
+    assert len(res_best) == 10
+    assert (res_best["brdr_prediction_score"] > 0).all()
+    assert res_best["theme_id"].is_unique
+    corr_best = ray.data.read_parquet(stats_best["outputs"]["correction"]).to_pandas()
+    assert len(corr_best) == 10
+
 
 def test_admission_guard(ray_session, tmp_path):
     from brdrq_ray.config import AlignJob, run_job
