@@ -41,6 +41,9 @@ class AlignJob:
     cell_level: int | None = None
     hot_threshold: int = 256
     checkpoint: bool = True
+    #: < 1 plans tiles from a seeded sample (cheaper ingest at 100 TB);
+    #: sample-missed oversized features route through an exact-plan fallback
+    plan_sample: float = 1.0
     # admission guard (reference cap 550_000_000 m2,
     # brdrq_algorithm_autocorrectborders.py:195) — kept as a sanity check
     max_union_area_m2: float | None = None
@@ -109,13 +112,14 @@ def run_job(job: AlignJob) -> dict:
         stats = run_alignment_checkpointed(
             thematic, reference, ck, cfg, mode=mode,
             max_rd=job.max_relevant_distance if mode == "evaluate" else None,
-            cell_level=job.cell_level)
+            cell_level=job.cell_level, plan_sample=job.plan_sample)
         results = read_results(ck, phash=stats["params_hash"])
     else:
         results = run_alignment(thematic, reference, cfg, mode=mode,
                                 max_rd=job.max_relevant_distance if mode == "evaluate" else None,
                                 cell_level=job.cell_level,
-                                hot_threshold=job.hot_threshold)
+                                hot_threshold=job.hot_threshold,
+                                plan_sample=job.plan_sample)
 
     # one parquet sink per result type (reference writes one gpkg per FC,
     # overwrite semantics D5)

@@ -31,9 +31,11 @@ import pyarrow.parquet as pq
 import ray.data
 
 
-def params_hash(cfg, mode: str, max_rd: float) -> str:
+def params_hash(cfg, mode: str, max_rd: float, plan_sample: float = 1.0) -> str:
     from dataclasses import asdict
     doc = {"cfg": asdict(cfg), "mode": mode, "max_rd": max_rd}
+    if plan_sample != 1.0:  # sampled plans produce different partition keys
+        doc["plan_sample"] = plan_sample
     return hashlib.sha1(json.dumps(doc, sort_keys=True).encode()).hexdigest()[:16]
 
 
@@ -166,16 +168,24 @@ class CellWriter:
 
 def run_alignment_checkpointed(thematic, reference, out_dir: str, cfg=None,
                                mode: str = "predict", max_rd: float | None = None,
-                               cell_level: int | None = None) -> dict:
+                               cell_level: int | None = None,
+                               plan_sample: float = 1.0) -> dict:
     """Checkpointed flagship run. Returns {'processed_cells': [...],
-    'skipped_cells': [...], 'rows': int}. Call again after a kill to resume."""
+    'skipped_cells': [...], 'rows': int}. Call again after a kill to resume.
+
+    With ``plan_sample`` < 1 the tile plan comes from a seeded sample and
+    features the sample missed are ROUTED through their own exact-plan
+    fallback DAG (run_alignment semantics), checkpointed into the SAME
+    out_dir: fallback partition keys embed the coarser cell level, so they
+    never collide with main keys, and a resume replays only unfinished tiles
+    of either DAG."""
     from ..alignment import AlignConfig
     from ..pipelines.autocorrect import prepare_aligned_inputs
     from ..stages.align_stage import AlignGroupFn
 
     cfg = cfg or AlignConfig()
     max_rd = max_rd if max_rd is not None else cfg.relevant_distance
-    phash = params_hash(cfg, mode, max_rd)
+    phash = params_hash(cfg, mode, max_rd, plan_sample)
     os.makedirs(out_dir, exist_ok=True)
     purge_stale_parts(out_dir, phash)  # changed params -> old part dirs go
     done = read_manifest(out_dir, phash)
@@ -195,9 +205,10 @@ def run_alignment_checkpointed(thematic, reference, out_dir: str, cfg=None,
                                      max_extent=doc["max_extent"],
                                      n_features=doc["n_features"])
 
-    unified, plan, ref_handle, _ = prepare_aligned_inputs(
+    unified, plan, ref_handle, oversized = prepare_aligned_inputs(
         thematic, reference, max_rd, cell_level=cell_level,
-        plan_override=plan_override)
+        plan_override=plan_override, plan_sample=plan_sample,
+        oversize_policy="route" if plan_sample < 1.0 else "fail")
     if plan_override is None:
         with open(plan_path, "w") as f:
             json.dump({"params_hash": phash, "level": plan.level,
@@ -226,6 +237,34 @@ def run_alignment_checkpointed(thematic, reference, out_dir: str, cfg=None,
     manifest_rows = (unified.groupby("part_key")
                      .map_groups(align_and_write, batch_format="pyarrow")
                      .to_pandas())
+
+    if oversized is not None:
+        # sampled-plan fallback: the oversized subset (tiny) gets its own
+        # EXACT plan — its keys embed the coarser level, so they are disjoint
+        # from the main DAG's keys and checkpoint into the same out_dir
+        oversized = oversized.materialize()
+        if oversized.count() > 0:
+            over_unified, _, over_handle, _ = prepare_aligned_inputs(
+                oversized, reference, max_rd, cell_level=None, pre_parsed=True)
+            if done_keys:
+                over_unified = over_unified.map_batches(drop_done,
+                                                        batch_format="pyarrow")
+            align_fb = AlignGroupFn(cfg, mode=mode, max_rd=max_rd,
+                                    ref_broadcast=over_handle)
+
+            def align_and_write_fb(group: pa.Table) -> pa.Table:
+                if group.num_rows == 0:
+                    return CellWriter.EMPTY.empty_table()
+                part_key = int(group.column("part_key")[0].as_py())
+                return writer(part_key, align_fb(group))
+
+            fb_rows = (over_unified.groupby("part_key")
+                       .map_groups(align_and_write_fb, batch_format="pyarrow")
+                       .to_pandas())
+            import pandas as _pd
+            manifest_rows = _pd.concat([manifest_rows, fb_rows],
+                                       ignore_index=True)
+
     records = manifest_rows.to_dict("records")
     for r in records:
         r["cell"] = int(r["cell"])

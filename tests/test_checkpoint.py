@@ -120,3 +120,61 @@ def test_checkpoint_midrun_kill_without_driver_manifest(ray_session, tmp_path):
     assert sorted(again["theme_id"]) == sorted(full["theme_id"])
     assert (again.set_index("theme_id")["brdr_area"].round(6)
             == full.set_index("theme_id")["brdr_area"].round(6)).all()
+
+
+def test_checkpoint_sampled_plan_with_oversized_routing(ray_session, tmp_path):
+    """A checkpointed run with a sampled plan routes sample-missed giants
+    through the exact-plan fallback DAG into the SAME checkpoint dir (keys
+    disjoint via the level bits), resumes either DAG's tiles, and matches the
+    exact-plan run row for row."""
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.state.checkpoint import (
+        read_results, run_alignment_checkpointed)
+
+    ref = fx.make_reference_table(nx=12, ny=12, seed=42)
+    theme = fx.make_thematic_table(nx=12, ny=12, seed=42, n_features=25)
+    giant_wkt = ("POLYGON ((100000 150000, 105000 150000, 105000 155000, "
+                 "100000 155000, 100000 150000))")
+    theme_g = pa.table({
+        "theme_id": theme.column("theme_id").to_pylist() + ["GIANT"],
+        "geometry_wkt": theme.column("geometry_wkt").to_pylist() + [giant_wkt],
+    })
+    cfg = al.AlignConfig(relevant_distance=2.0, od_strategy=al.OD_EXCLUDE)
+
+    exact_dir = str(tmp_path / "exact")
+    se = run_alignment_checkpointed(ray.data.from_arrow(theme_g),
+                                    ray.data.from_arrow(ref), exact_dir, cfg)
+    exact = (read_results(exact_dir, phash=se["params_hash"]).to_pandas()
+             .sort_values("theme_id").reset_index(drop=True))
+
+    out = str(tmp_path / "sampled")
+    s1 = run_alignment_checkpointed(ray.data.from_arrow(theme_g),
+                                    ray.data.from_arrow(ref), out, cfg,
+                                    plan_sample=0.5)
+    got = (read_results(out, phash=s1["params_hash"]).to_pandas()
+           .sort_values("theme_id").reset_index(drop=True))
+    assert sorted(got["theme_id"]) == sorted(exact["theme_id"])
+    assert (got.set_index("theme_id")["brdr_area"].round(6)
+            == exact.set_index("theme_id")["brdr_area"].round(6)).all()
+
+    # find the GIANT's partition; kill it; resume must replay only that part
+    import os
+    import shutil
+
+    import pyarrow.parquet as ppq
+    giant_part = None
+    for pk in s1["processed_parts"]:
+        t = ppq.read_table(os.path.join(out, f"part={pk}", "part.parquet"),
+                           columns=["theme_id"])
+        if "GIANT" in t.column("theme_id").to_pylist():
+            giant_part = pk
+    if giant_part is not None:  # sampling may have caught the giant (coarse plan)
+        shutil.rmtree(os.path.join(out, f"part={giant_part}"))
+        s2 = run_alignment_checkpointed(ray.data.from_arrow(theme_g),
+                                        ray.data.from_arrow(ref), out, cfg,
+                                        plan_sample=0.5)
+        assert s2["processed_parts"] == [giant_part]
+        again = (read_results(out, phash=s2["params_hash"]).to_pandas()
+                 .sort_values("theme_id").reset_index(drop=True))
+        assert sorted(again["theme_id"]) == sorted(exact["theme_id"])
