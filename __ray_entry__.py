@@ -239,6 +239,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "quality_score", "lang_pred"]),
             ["quality_score"], 6)
 
+    def normalize_text(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.text import normalize_text_batch
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        return ds.map_batches(
+            lambda b: normalize_text_batch(b).select(["doc_id", "text_norm"]),
+            batch_format="pyarrow")
+
+    def hash_split(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.text import hash_split_batch
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id"])
+        return ds.map_batches(
+            lambda b: hash_split_batch(b).select(["doc_id", "split_bucket", "split"]),
+            batch_format="pyarrow")
+
     def minhash_pairs(sf_dir: str):
         import ray.data
         from brdrq_ray.functions.dedup import minhash_lsh_pairs
@@ -496,6 +514,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diff_metrics_series": diff_metrics_series,
         # text / dedup / similarity
         "exact_dedup_documents": exact_dedup_documents,
+        "normalize_text": normalize_text,
+        "hash_split": hash_split,
         "token_count": token_count,
         "fingerprint_md5": fingerprint_md5,
         "text_quality": text_quality,
@@ -698,6 +718,21 @@ _BASE_ORACLE_SQL = {
         "exact_dedup_documents": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm
+            FROM documents
+        """,
+        "hash_split": """
+            SELECT doc_id, split_bucket,
+                   CASE WHEN split_bucket < 10 THEN 'test'
+                        WHEN split_bucket < 20 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM (SELECT doc_id,
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                              AS BIGINT) % 100 AS split_bucket
+                  FROM documents)
         """,
         "token_count": """
             SELECT doc_id,

@@ -135,3 +135,33 @@ def analyze_documents(ds, col: str = "text"):
              .map_batches(lambda b: fingerprint_batch(b, col), batch_format="pyarrow")
              .map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4)))
     return out
+
+
+def normalize_text_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Canonical text normalization (training-data cleaning staple):
+    lowercase, collapse whitespace runs to single spaces, strip. Vectorized
+    pyarrow compute — no per-row Python."""
+    import pyarrow.compute as pc
+
+    t = pc.utf8_lower(batch.column(col))
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    return batch.append_column("text_norm", t)
+
+
+def hash_split_batch(batch: pa.Table, id_col: str = "doc_id",
+                     val_pct: int = 10, test_pct: int = 10) -> pa.Table:
+    """Deterministic train/val/test assignment by content hash of the id —
+    the split is a pure function of the row (stable across runs, machines
+    and partitionings; no RNG, no shuffle). Bucket = first 8 hex chars of
+    md5(id) mod 100; [0, test) -> test, [test, test+val) -> val, rest train."""
+    import hashlib
+
+    ids = batch.column(id_col).to_pylist()
+    buckets = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+               for i in ids]
+    split = ["test" if b < test_pct
+             else "val" if b < test_pct + val_pct
+             else "train" for b in buckets]
+    return (batch.append_column("split_bucket", pa.array(buckets, pa.int64()))
+                 .append_column("split", pa.array(split, pa.string())))
