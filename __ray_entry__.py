@@ -257,6 +257,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: hash_split_batch(b).select(["doc_id", "split_bucket", "split"]),
             batch_format="pyarrow")
 
+    def pack_sequences_q(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.text import pack_sequences
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        return pack_sequences(ds, token_budget=512)
+
     def minhash_pairs(sf_dir: str):
         import ray.data
         from brdrq_ray.functions.dedup import minhash_lsh_pairs
@@ -516,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_documents": exact_dedup_documents,
         "normalize_text": normalize_text,
         "hash_split": hash_split,
+        "pack_sequences": pack_sequences_q,
         "token_count": token_count,
         "fingerprint_md5": fingerprint_md5,
         "text_quality": text_quality,

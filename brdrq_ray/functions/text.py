@@ -165,3 +165,51 @@ def hash_split_batch(batch: pa.Table, id_col: str = "doc_id",
              else "train" for b in buckets]
     return (batch.append_column("split_bucket", pa.array(buckets, pa.int64()))
                  .append_column("split", pa.array(split, pa.string())))
+
+
+def pack_sequences(ds, token_budget: int = 2048, id_col: str = "doc_id",
+                   col: str = "text", n_buckets: int = 64):
+    """Greedy sequence packing (LLM-pretraining staple): assign documents to
+    fixed token-budget training sequences. Distributed shape: hash-bucket the
+    corpus (one shuffle), sort by id within the bucket (deterministic — no
+    dependence on block order), then first-fit-decreasing-free greedy pack in
+    arrival order. Documents longer than the budget get a sequence of their
+    own (the trainer chunks them downstream). Returns
+    (doc_id, ws_tokens, seq_id, seq_offset) — seq_id is globally unique
+    ('<bucket>-<k>') and seq_offset is the document's token start inside it."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def add_tokens_and_bucket(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.utf8_split_whitespace(batch.column(col)))
+        b = [zlib.crc32(str(v).encode()) % n_buckets
+             for v in batch.column(id_col).to_pylist()]
+        return (batch.select([id_col])
+                .append_column("ws_tokens", pc.cast(toks, pa.int64()))
+                .append_column("b", pa.array(b, pa.int32())))
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        bucket = int(g["b"].iloc[0])
+        seq_ids, offsets = [], []
+        k, fill = 0, 0
+        for t in g["ws_tokens"].to_numpy():
+            t = int(t)
+            if fill > 0 and fill + t > token_budget:
+                k += 1
+                fill = 0
+            seq_ids.append(f"{bucket}-{k}")
+            offsets.append(fill)
+            fill += t
+            if fill >= token_budget:
+                k += 1
+                fill = 0
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "ws_tokens": g["ws_tokens"].to_numpy(),
+                             "seq_id": seq_ids,
+                             "seq_offset": pd.array(offsets, dtype="int64")})
+
+    return (ds.map_batches(add_tokens_and_bucket, batch_format="pyarrow")
+            .groupby("b").map_groups(pack_bucket, batch_format="pandas"))

@@ -408,3 +408,34 @@ def test_simhash_neardup_pairs(ray_session):
             expect[(a, b)] = h
     assert got_pairs == expect
     assert (2, 5) in got_pairs and got_pairs[(2, 5)] == 0  # identical twins
+
+
+def test_pack_sequences(ray_session):
+    """Greedy packing invariants: every doc appears once; within a sequence
+    documents are contiguous (offset = running token sum); no sequence except
+    oversized single-doc ones exceeds the budget."""
+    import ray.data
+    from brdrq_ray.functions.text import pack_sequences
+
+    texts = {i: " ".join(["w"] * n) for i, n in
+             enumerate([100, 200, 300, 50, 500, 120, 80, 999, 10, 40])}
+    t = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+    out = pack_sequences(ray.data.from_arrow(t), token_budget=512,
+                         n_buckets=2).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(texts)
+    assert (out.groupby("doc_id").size() == 1).all()
+    for _, seq in out.groupby("seq_id"):
+        seq = seq.sort_values("seq_offset")
+        # contiguity: offsets are the running sum of earlier docs' tokens
+        run = 0
+        for _, r in seq.iterrows():
+            assert r["seq_offset"] == run
+            run += r["ws_tokens"]
+        if len(seq) > 1:
+            assert run <= 512  # only single oversized docs may exceed
+    # deterministic across runs
+    out2 = pack_sequences(ray.data.from_arrow(t), token_budget=512,
+                          n_buckets=2).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
