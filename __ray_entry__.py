@@ -257,6 +257,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: hash_split_batch(b).select(["doc_id", "split_bucket", "split"]),
             batch_format="pyarrow")
 
+    def hll_distinct(sf_dir: str):
+        import pandas as pd
+        import ray.data
+        from brdrq_ray.functions.sketches import hll_count_distinct
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["user_id"])
+        got = hll_count_distinct(ds, "user_id", p=12)
+        return pd.DataFrame({"estimate_rounded": [int(round(got["estimate"]))],
+                             "p": [got["p"]]})
+
     def pack_sequences_q(sf_dir: str):
         import ray.data
         from brdrq_ray.functions.text import pack_sequences
@@ -487,8 +497,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_totalprice"])
-        return ds.sort(["o_totalprice", "o_orderkey"],
-                       descending=[True, False]).limit(1000)
+        # global top-k WITHOUT a global sort: per-batch partial top-k (each
+        # batch keeps at most k rows), then one tiny driver-side merge —
+        # at 100 TB a full sort shuffle for a 1000-row listing is the wrong
+        # shape (O2/O3 presentation cap)
+        k = 1000
+
+        def partial_topk(t: pa.Table) -> pa.Table:
+            import pandas as pd
+            df = t.to_pandas().sort_values(["o_totalprice", "o_orderkey"],
+                                           ascending=[False, True]).head(k)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+        return (parts.sort_values(["o_totalprice", "o_orderkey"],
+                                  ascending=[False, True]).head(k)
+                .reset_index(drop=True))
 
     return {
         # relational / SQL-checkable (SURVEY section 2 operator ids in docstrings)
@@ -524,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": normalize_text,
         "hash_split": hash_split,
         "pack_sequences": pack_sequences_q,
+        "hll_distinct": hll_distinct,
         "token_count": token_count,
         "fingerprint_md5": fingerprint_md5,
         "text_quality": text_quality,

@@ -439,3 +439,21 @@ def test_pack_sequences(ray_session):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_hll_count_distinct(ray_session):
+    """HLL estimate within ~3x its standard error of the exact distinct
+    count, and identical no matter how the data is batched (mergeable)."""
+    import ray.data
+    from brdrq_ray.functions.sketches import hll_count_distinct
+
+    n, dups = 3000, 3
+    ids = [f"user-{i}" for i in range(n)] * dups
+    t = pa.table({"u": ids})
+    got = hll_count_distinct(ray.data.from_arrow(t), "u", p=12)
+    se = 1.04 / (2 ** 6)  # 1/sqrt(2^12)
+    assert abs(got["estimate"] - n) / n < 3 * se + 0.01
+    # batching-invariant (max-merge of register sketches)
+    got2 = hll_count_distinct(
+        ray.data.from_arrow(t).repartition(7), "u", p=12)
+    assert round(got["estimate"], 6) == round(got2["estimate"], 6)
