@@ -267,6 +267,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame({"estimate_rounded": [int(round(got["estimate"]))],
                              "p": [got["p"]]})
 
+    def heavy_hitters_q(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.sketches import heavy_hitters
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["user_id"])
+        # candidates_per_batch >= distinct users at this scale: the candidate
+        # set is then batching-independent (deterministic golden)
+        return heavy_hitters(ds, "user_id", k=10, candidates_per_batch=512)
+
     def pack_sequences_q(sf_dir: str):
         import ray.data
         from brdrq_ray.functions.text import pack_sequences
@@ -549,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": hash_split,
         "pack_sequences": pack_sequences_q,
         "hll_distinct": hll_distinct,
+        "heavy_hitters": heavy_hitters_q,
         "token_count": token_count,
         "fingerprint_md5": fingerprint_md5,
         "text_quality": text_quality,

@@ -59,3 +59,55 @@ def hll_count_distinct(ds, col: str, p: int = 12) -> dict:
         for buf in b.column("regs").to_pylist():
             merged = np.maximum(merged, np.frombuffer(buf, dtype=np.uint8))
     return {"estimate": _hll_estimate(merged), "p": p}
+
+
+def _cms_rows(values, counts, d: int, w: int) -> np.ndarray:
+    """Count-min sketch matrix (d x w) for value:count pairs."""
+    M = np.zeros((d, w), dtype=np.int64)
+    for v, c in zip(values, counts):
+        for r in range(d):
+            h = int.from_bytes(hashlib.blake2b(f"{r}:{v}".encode(),
+                                               digest_size=8).digest(), "little")
+            M[r, h % w] += int(c)
+    return M
+
+
+def heavy_hitters(ds, col: str, k: int = 10, d: int = 4, w: int = 2048,
+                  candidates_per_batch: int = 64) -> "object":
+    """Approximate top-k heavy hitters (count-min sketch, Cormode &
+    Muthukrishnan 2005): each batch emits a d*w count matrix plus its local
+    top candidates; sketches merge by elementwise SUM (mergeable like HLL),
+    and the merged sketch scores the union of candidates. Rows never shuffle
+    — per batch only the sketch + <=candidates_per_batch keys move. Returns a
+    pandas DataFrame (value, est_count) sorted desc, ties by value."""
+    import pandas as pd
+
+    def batch_sketch(t: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(np.asarray(t.column(col).to_pylist(), dtype=object),
+                               return_counts=True)
+        order = np.argsort(-cnts, kind="stable")[:candidates_per_batch]
+        M = _cms_rows(vals, cnts, d, w)
+        return pa.table({
+            "cms": pa.array([M.tobytes()], pa.binary()),
+            "cands": pa.array([[str(v) for v in vals[order]]],
+                              pa.list_(pa.string())),
+        })
+
+    merged = np.zeros((d, w), dtype=np.int64)
+    cands: set = set()
+    for b in (ds.map_batches(batch_sketch, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for buf, cl in zip(b.column("cms").to_pylist(),
+                           b.column("cands").to_pylist()):
+            merged += np.frombuffer(buf, dtype=np.int64).reshape(d, w)
+            cands.update(cl)
+
+    rows = []
+    for v in cands:
+        est = min(merged[r, int.from_bytes(
+            hashlib.blake2b(f"{r}:{v}".encode(), digest_size=8).digest(),
+            "little") % w] for r in range(d))
+        rows.append((v, int(est)))
+    df = pd.DataFrame(rows, columns=["value", "est_count"])
+    return (df.sort_values(["est_count", "value"], ascending=[False, True])
+            .head(k).reset_index(drop=True))

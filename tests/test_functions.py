@@ -457,3 +457,20 @@ def test_hll_count_distinct(ray_session):
     got2 = hll_count_distinct(
         ray.data.from_arrow(t).repartition(7), "u", p=12)
     assert round(got["estimate"], 6) == round(got2["estimate"], 6)
+
+
+def test_heavy_hitters(ray_session):
+    """Count-min heavy hitters find the true top keys with counts >= truth
+    (CMS never underestimates) and close to exact on a skewed stream."""
+    import ray.data
+    from brdrq_ray.functions.sketches import heavy_hitters
+
+    vals = (["hot"] * 500 + ["warm"] * 200 + ["mild"] * 80
+            + [f"cold-{i}" for i in range(300)])
+    t = pa.table({"v": vals})
+    top = heavy_hitters(ray.data.from_arrow(t).repartition(5), "v", k=3)
+    assert top["value"].tolist()[:3] == ["hot", "warm", "mild"]
+    truth = {"hot": 500, "warm": 200, "mild": 80}
+    for _, r in top.iterrows():
+        assert r["est_count"] >= truth[r["value"]]          # never under
+        assert r["est_count"] <= truth[r["value"]] + 30     # tight at this w
