@@ -333,20 +333,35 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
     halves = tagged.groupby("key").map_groups(attach_text, batch_format="pandas")
 
     # stage 2: reunite the two halves of each pair and verify with the true
-    # n-gram Jaccard (one shuffle of the candidate pair table)
-    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
-        ta = g.loc[g["role"] == 1, "text"]
-        tb = g.loc[g["role"] == 2, "text"]
-        jac = ngram_jaccard(ta.iloc[0] if len(ta) else "",
-                            tb.iloc[0] if len(tb) else "", shingle_k)
-        if jac < jaccard_threshold:
+    # n-gram Jaccard (one shuffle of the candidate pair table, bucketed —
+    # one Python call per bucket, not per pair)
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a_half = g[g["role"] == 1][["id_a", "id_b", "text"]].rename(
+            columns={"text": "text_a"})
+        b_half = g[g["role"] == 2][["id_a", "id_b", "text"]].rename(
+            columns={"text": "text_b"})
+        m = a_half.merge(b_half, on=["id_a", "id_b"], how="outer")
+        if m.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        return pd.DataFrame({"id_a": [int(g["id_a"].iloc[0])],
-                             "id_b": [int(g["id_b"].iloc[0])],
-                             "jaccard": [jac]})
+        jac = [ngram_jaccard(ta if isinstance(ta, str) else "",
+                             tb if isinstance(tb, str) else "", shingle_k)
+               for ta, tb in zip(m["text_a"], m["text_b"])]
+        m["jaccard"] = jac
+        m = m[m["jaccard"] >= jaccard_threshold]
+        return pd.DataFrame({"id_a": m["id_a"].astype("int64"),
+                             "id_b": m["id_b"].astype("int64"),
+                             "jaccard": m["jaccard"]})
 
-    return halves.groupby(["id_a", "id_b"]).map_groups(verify_pair,
-                                                       batch_format="pandas")
+    def pair_bucket2(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t.column("id_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = ((a * np.int64(1_000_003) + b) % 64).astype(np.int32)
+        return t.append_column("vb", pa.array(bucket, pa.int32()))
+
+    return (halves.map_batches(pair_bucket2, batch_format="pyarrow")
+            .groupby("vb").map_groups(
+                lambda g: verify_bucket(g.drop(columns=["vb"])),
+                batch_format="pandas"))
 
 
 def duplicate_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b",

@@ -69,17 +69,27 @@ def detect_affected(thematic_meta: ray.data.Dataset,
     exploded = thematic_meta.map_batches(explode_metadata_refs,
                                          batch_format="pyarrow")
 
+    import zlib
+
+    def _bucket(ids) -> pa.Array:
+        return pa.array([zlib.crc32(str(v).encode()) % 64 for v in ids],
+                        pa.int32())
+
     def rec_side(t: pa.Table) -> pa.Table:
+        rid = t.column("ref_id")
         return pa.table({
-            "ref_id": t.column("ref_id"),
+            "b": _bucket(rid.to_pylist()),
+            "ref_id": rid,
             "theme_id": t.column("theme_id"),
             "recorded_version": t.column("recorded_version"),
             "current_version": pa.nulls(t.num_rows, pa.string()),
         })
 
     def cur_side(t: pa.Table) -> pa.Table:
+        rid = t.column("ref_id").cast(pa.string())
         return pa.table({
-            "ref_id": t.column("ref_id").cast(pa.string()),
+            "b": _bucket(rid.to_pylist()),
+            "ref_id": rid,
             "theme_id": pa.nulls(t.num_rows, pa.string()),
             "recorded_version": pa.nulls(t.num_rows, pa.string()),
             "current_version": t.column("version_date").cast(pa.string()),
@@ -89,21 +99,30 @@ def detect_affected(thematic_meta: ray.data.Dataset,
               .union(reference.select_columns(["ref_id", "version_date"])
                      .map_batches(cur_side, batch_format="pyarrow")))
 
-    def stale_in_group(g: pa.Table) -> pa.Table:
-        cur = [v for v in g.column("current_version").to_pylist() if v]
-        if not cur:
-            return pa.table({"theme_id": pa.array([], pa.string())})
-        cur10 = max(c[:10] for c in cur)
-        tids = g.column("theme_id").to_pylist()
-        recs = g.column("recorded_version").to_pylist()
-        out = [t for t, r in zip(tids, recs) if t and r and cur10 > r[:10]]
-        return pa.table({"theme_id": pa.array(out, pa.string())})
+    def stale_in_bucket(g) -> "object":
+        # one hash bucket of parcels (shuffling per ref_id would cost one
+        # Python call per parcel): vectorized pandas join of the per-parcel
+        # max current version against the recorded rows
+        import pandas as pd
+        cur = g.loc[g["current_version"].notna(),
+                    ["ref_id", "current_version"]].copy()
+        recs = g.loc[g["theme_id"].notna()]
+        if cur.empty or recs.empty:
+            return pd.DataFrame({"theme_id": pd.Series([], dtype="object")})
+        cur["cur10"] = cur["current_version"].str[:10]
+        latest = cur.groupby("ref_id", as_index=True)["cur10"].max()
+        cur10 = recs["ref_id"].map(latest)
+        rec10 = recs["recorded_version"].str[:10]
+        stale = cur10.notna() & (rec10 != "") & (cur10 > rec10)
+        return pd.DataFrame({"theme_id": recs.loc[stale, "theme_id"]
+                             .astype("object")})
 
     # NOTE: theme_ids may repeat (several stale parcels per feature) — the
     # consumers dedupe for free (broadcast set / semi-join groups), so no
     # extra distinct shuffle here
-    return tagged.groupby("ref_id").map_groups(stale_in_group,
-                                               batch_format="pyarrow")
+    return tagged.groupby("b").map_groups(
+        lambda g: stale_in_bucket(g.drop(columns=["b"])),
+        batch_format="pandas")
 
 
 def run_autoupdate(thematic: ray.data.Dataset, reference: ray.data.Dataset,
