@@ -80,13 +80,16 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24-bit BMP -> HxWx3 uint8 (RGB)."""
     if not payload.startswith(b"BM"):
         raise ValueError("not a BMP")
-    data_off = struct.unpack_from("<I", payload, 10)[0]
-    hdr_size = struct.unpack_from("<I", payload, 14)[0]
-    if hdr_size < 40:
-        raise ValueError("BMP core header unsupported")
-    w, h = struct.unpack_from("<ii", payload, 18)
-    planes, bpp = struct.unpack_from("<HH", payload, 26)
-    comp = struct.unpack_from("<I", payload, 30)[0]
+    try:
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:
+            raise ValueError("BMP core header unsupported")
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        comp = struct.unpack_from("<I", payload, 30)[0]
+    except struct.error as e:
+        raise ValueError(f"truncated BMP header: {e}") from e
     if bpp != 24 or comp != 0:
         raise ValueError("only uncompressed 24-bit BMP supported")
     flip = h > 0
@@ -155,13 +158,16 @@ def decode_video_frames(payload: bytes):
     if not payload.startswith(VIDEO_MAGIC):
         raise ValueError("not a BRDRVID1 frame sequence (compressed video "
                          "needs ffmpeg)")
-    n = struct.unpack_from("<I", payload, len(VIDEO_MAGIC))[0]
-    pos = len(VIDEO_MAGIC) + 4
-    for i in range(n):
-        ln = struct.unpack_from("<I", payload, pos)[0]
-        pos += 4
-        yield i, payload[pos:pos + ln]
-        pos += ln
+    try:
+        n = struct.unpack_from("<I", payload, len(VIDEO_MAGIC))[0]
+        pos = len(VIDEO_MAGIC) + 4
+        for i in range(n):
+            ln = struct.unpack_from("<I", payload, pos)[0]
+            pos += 4
+            yield i, payload[pos:pos + ln]
+            pos += ln
+    except struct.error as e:
+        raise ValueError(f"truncated BRDRVID1 container: {e}") from e
 
 
 # ---------------------------------------------------------------------------

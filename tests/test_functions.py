@@ -303,6 +303,31 @@ def test_multimodal_real_codecs():
     assert small.dtype == np.uint8
 
 
+def test_multimodal_truncated_payloads_raise_value_error():
+    """Malformed payloads that pass the magic-prefix check must surface as
+    ValueError (caught by the decode stages), never struct.error."""
+    import numpy as np
+    import pytest
+    from brdrq_ray.functions.multimodal import (
+        ImageDecodeStage, decode_bmp, decode_video_frames, encode_video,
+        VIDEO_MAGIC)
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM\x01\x02")  # truncated after the magic
+    with pytest.raises(ValueError):
+        list(decode_video_frames(VIDEO_MAGIC + b"\x07"))  # truncated count
+    rng = np.random.default_rng(7)
+    full = encode_video([rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)])
+    with pytest.raises(ValueError):
+        list(decode_video_frames(full[:len(VIDEO_MAGIC) + 6]))
+    # and the actor stage converts it to the documented NotImplementedError
+    import pyarrow as pa
+    stage = ImageDecodeStage()
+    bad = pa.table({"media_ref": ["x"], "payload": pa.array([b"BM\x00"], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        stage(bad)
+
+
 def test_analyze_documents_on_testdata(ray_session):
     import ray.data
     from brdrq_ray.functions.text import analyze_documents
