@@ -5,14 +5,22 @@ Reference: ``generate_correction_layer`` (plugin/brdrq/brdrq_utils.py:
 1210-1365) — builds theme_id -> (geometry, metrics, evaluation, metadata) maps
 from the result layer, walks the source layer and joins by id, with:
 
-* duplicate join keys (multiple predictions for one id) -> state TO_REVIEW
+* duplicate join keys (multiple predictions for one id) -> at least TO_REVIEW
   (brdrq_utils.py:1251-1254);
-* evaluation in {equality_by_id, equality_by_full_reference} -> auto update
-  (brdrq_utils.py:1264-1271);
-* change % > review threshold -> TO_REVIEW, then absolute
-  SYMMETRICAL_AREA_CHANGE < 0.01 m2 -> NOT_CHANGED (brdrq_utils.py:1288-1291
-  — the review check runs first, and the no-change test is the ABSOLUTE
-  symmetric-difference area, not a percentage).
+* a per-result elif chain (brdrq_utils.py:1259-1291): evaluation no_change ->
+  NOT_CHANGED; equality evaluations -> bypass (AUTO_UPDATED); empty result
+  geometry or stability == False -> TO_UPDATE; change % > review threshold ->
+  TO_REVIEW; absolute SYMMETRICAL_AREA_CHANGE < 0.01 m2 -> NOT_CHANGED;
+  otherwise AUTO_UPDATED;
+* a final override cascade (brdrq_utils.py:1332-1347) with priority
+  TO_UPDATE > TO_REVIEW > NOT_CHANGED > AUTO_UPDATED > NONE; TO_UPDATE keeps
+  the original geometry and reports diff values of -1; every other state with
+  a result adopts the result geometry.
+
+Deliberate deviation (SEMANTICS.md): where the reference reports the LAST
+result-layer occurrence's attributes/geometry for a duplicated key (QGIS
+iteration order), this engine reports the BEST prediction (max score, ties to
+the smaller relevant distance) — deterministic under distributed execution.
 
 Ray-Data-first: Ray Data has no native keyed join, so the correction join is
 the tagged-union-groupby pattern (SURVEY.md J3) — but grouped by a HASH BUCKET
@@ -40,7 +48,10 @@ ST_TO_REVIEW = "to_review"
 ST_TO_UPDATE = "to_update"
 ST_NONE = "none"
 
-AUTO_EVALS = {"equality_by_id", "equality_by_full_reference", "no_change"}
+#: evaluations that bypass the chain straight to AUTO_UPDATED (reference
+#: brdrq_utils.py:1266-1271)
+EQUALITY_EVALS = ("equality_by_id", "equality_by_full_reference",
+                  "equality_by_id_and_full_reference")
 
 #: absolute symmetric-difference area below which a feature is NOT_CHANGED
 #: (reference SYMMETRICAL_AREA_CHANGE threshold, brdrq_utils.py:1290: 0.01 m2)
@@ -69,14 +80,41 @@ def _correct_bucket(group: pd.DataFrame, review_percentage: float) -> pa.Table:
     if len(src) == 0:
         return CORRECTION_SCHEMA.empty_table()
 
-    n_res = res.groupby("theme_id").size() if len(res) else pd.Series(dtype=np.int64)
-    # best result per theme: max score, ties to the SMALLER relevant distance
     if len(res):
+        n_res = res.groupby("theme_id").size()
+        # per-result-row chain classification (reference elif chain over the
+        # whole results layer, brdrq_utils.py:1259-1291) — over ALL result
+        # rows, not just the best: a duplicated key's other predictions still
+        # contribute list membership in the reference.
+        ev = res["brdr_evaluation"].fillna("not_evaluated").to_numpy(dtype=object)
+        stab = res["brdr_stability"].where(res["brdr_stability"].notna(),
+                                           False).to_numpy(dtype=bool)
+        wkts = res["result_wkt"].fillna("")
+        is_empty = ((wkts.str.len() == 0) | wkts.str.endswith("EMPTY")).to_numpy()
+        perc_r = res["brdr_sym_diff_area_index_perc"].fillna(0.0).to_numpy(dtype=np.float64)
+        abs_r = res["brdr_sym_diff_area_index"].fillna(0.0).to_numpy(dtype=np.float64)
+        cls = np.select(
+            [ev == "no_change",
+             np.isin(ev, EQUALITY_EVALS),
+             is_empty,
+             ~stab,
+             perc_r > review_percentage,
+             abs_r < NO_CHANGE_AREA_M2],
+            ["nc", "ok", "al", "al", "rv", "nc"],
+            default="ok")
+        flags = (pd.DataFrame({"theme_id": res["theme_id"].to_numpy(),
+                               "al": cls == "al", "rv": cls == "rv",
+                               "nc": cls == "nc"})
+                 .groupby("theme_id").any())
+        # best result per theme: max score, ties to the SMALLER relevant
+        # distance (deterministic stand-in for the reference's last-occurrence)
         best = (res.sort_values(["theme_id", "brdr_prediction_score",
                                  "brdr_relevant_distance"],
                                 ascending=[True, False, True])
                 .groupby("theme_id", as_index=False).head(1))
     else:
+        n_res = pd.Series(dtype=np.int64)
+        flags = pd.DataFrame(columns=["al", "rv", "nc"])
         best = res
     m = src[["theme_id", "geometry_wkt", "props"]].merge(
         best[["theme_id", "result_wkt", "brdr_evaluation",
@@ -87,32 +125,33 @@ def _correct_bucket(group: pd.DataFrame, review_percentage: float) -> pa.Table:
     nres = m["theme_id"].map(n_res).fillna(0).to_numpy(dtype=np.int64)
     has = nres >= 1
     multi = nres > 1
-    single = nres == 1
 
-    sym_abs = m["brdr_sym_diff_area_index"].fillna(0.0).to_numpy(dtype=np.float64)
-    sym_perc = m["brdr_sym_diff_area_index_perc"].fillna(0.0).to_numpy(dtype=np.float64)
-    stability = m["brdr_stability"].where(m["brdr_stability"].notna(),
-                                          False).to_numpy(dtype=bool)
-    evaluation = m["brdr_evaluation"].fillna("not_evaluated").to_numpy(dtype=object)
-    auto_ok = np.isin(evaluation, list(AUTO_EVALS)) | stability
+    def _flag(col: str) -> np.ndarray:
+        if len(flags) == 0:
+            return np.zeros(len(m), dtype=bool)
+        return m["theme_id"].map(flags[col]).fillna(False).to_numpy(dtype=bool)
 
-    # reference order (brdrq_utils.py:1288-1291): review-percentage first,
-    # then the ABSOLUTE no-change area, then the auto-update gate
+    al, rv, nc = _flag("al"), _flag("rv"), _flag("nc")
+
+    # final override cascade (brdrq_utils.py:1332-1347): TO_UPDATE beats
+    # TO_REVIEW beats NOT_CHANGED beats AUTO_UPDATED; a duplicated key is
+    # always at least TO_REVIEW (brdrq_utils.py:1251-1254)
     state = np.select(
-        [multi,
-         single & (sym_perc > review_percentage),
-         single & (sym_abs < NO_CHANGE_AREA_M2),
-         single & auto_ok,
-         single],
-        [ST_TO_REVIEW, ST_TO_REVIEW, ST_NOT_CHANGED, ST_AUTO_UPDATED,
-         ST_TO_REVIEW],
+        [has & al, has & (rv | multi), has & nc, has],
+        [ST_TO_UPDATE, ST_TO_REVIEW, ST_NOT_CHANGED, ST_AUTO_UPDATED],
         default=ST_NONE)
+    to_update = state == ST_TO_UPDATE
 
     orig = m["geometry_wkt"].to_numpy(dtype=object)
     result_wkt = m["result_wkt"].to_numpy(dtype=object)
-    # multi-prediction keeps the ORIGINAL geometry (TO_REVIEW, reference
-    # brdrq_utils.py:1251-1254); a single prediction adopts the result
-    geometry = np.where(single, result_wkt, orig)
+    # every state with a result adopts the result geometry EXCEPT TO_UPDATE
+    # (reference: geometry_changes is set for any id not in ids_to_align,
+    # brdrq_utils.py:1337-1339)
+    geometry = np.where(has & ~al, result_wkt, orig)
+
+    sym_abs = m["brdr_sym_diff_area_index"].fillna(0.0).to_numpy(dtype=np.float64)
+    sym_perc = m["brdr_sym_diff_area_index_perc"].fillna(0.0).to_numpy(dtype=np.float64)
+    evaluation = m["brdr_evaluation"].fillna("not_evaluated").to_numpy(dtype=object)
 
     return pa.table({
         "theme_id": pa.array(m["theme_id"].astype(str), pa.string()),
@@ -127,12 +166,13 @@ def _correct_bucket(group: pd.DataFrame, review_percentage: float) -> pa.Table:
         "brdr_prediction_score": pa.array(
             np.where(has, m["brdr_prediction_score"].fillna(0.0), 0.0),
             pa.float64()),
-        "brdr_sym_diff_area_index": pa.array(np.where(single, sym_abs, 0.0),
-                                             pa.float64()),
-        "brdr_sym_diff_area_index_perc": pa.array(np.where(single, sym_perc, 0.0),
-                                                  pa.float64()),
+        # TO_UPDATE reports -1 diff values (reference brdrq_utils.py:1345-1347)
+        "brdr_sym_diff_area_index": pa.array(
+            np.where(to_update, -1.0, np.where(has, sym_abs, 0.0)), pa.float64()),
+        "brdr_sym_diff_area_index_perc": pa.array(
+            np.where(to_update, -1.0, np.where(has, sym_perc, 0.0)), pa.float64()),
         "brdr_metadata": pa.array(
-            np.where(single, m["brdr_metadata"].fillna(""), ""), pa.string()),
+            np.where(has, m["brdr_metadata"].fillna(""), ""), pa.string()),
         "props": pa.array(m["props"].fillna("").astype(str), pa.string()),
     }, schema=CORRECTION_SCHEMA)
 

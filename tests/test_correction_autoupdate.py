@@ -131,8 +131,11 @@ def _bucket_df(rows):
 
 
 def test_correction_multi_prediction_to_review():
-    """Duplicate join keys (multiple predictions for one id) force TO_REVIEW
-    and keep the original geometry (reference: brdrq_utils.py:1251-1254)."""
+    """Duplicate join keys (multiple predictions for one id) force at least
+    TO_REVIEW (reference: brdrq_utils.py:1251-1254); the result geometry is
+    still adopted (geometry_changes is set for any non-TO_UPDATE id,
+    brdrq_utils.py:1337-1339) — this engine picks the BEST prediction
+    deterministically where the reference takes the last iterated."""
     from brdrq_ray.pipelines.correction import _correct_bucket
 
     group = _bucket_df({
@@ -152,26 +155,35 @@ def test_correction_multi_prediction_to_review():
     out = _correct_bucket(group, review_percentage=10.0)
     assert out.num_rows == 1
     assert out.column("brdrq_state")[0].as_py() == "to_review"
-    assert out.column("geometry_wkt")[0].as_py() == "ORIG_WKT"  # original kept
-    # best prediction (max score) reported for review
+    # best prediction (max score) adopted + reported for review
+    assert out.column("geometry_wkt")[0].as_py() == "W2"
+    assert out.column("brdrq_original_wkt")[0].as_py() == "ORIG_WKT"
     assert out.column("brdr_prediction_score")[0].as_py() == 80.0
     assert out.column("brdr_relevant_distance")[0].as_py() == 2.0
+    # an unstable duplicate escalates the whole key to TO_UPDATE
+    group.loc[1, "brdr_stability"] = False
+    out2 = _correct_bucket(group, review_percentage=10.0)
+    assert out2.column("brdrq_state")[0].as_py() == "to_update"
+    assert out2.column("geometry_wkt")[0].as_py() == "ORIG_WKT"
+    assert out2.column("brdr_sym_diff_area_index")[0].as_py() == -1.0
 
 
 def test_correction_state_rule_matches_reference_order():
-    """The review-percentage gate runs BEFORE the no-change test, and
-    no-change uses the ABSOLUTE symmetric-difference area (< 0.01 m2), not a
-    percentage (reference: brdrq_utils.py:1288-1291)."""
+    """The per-result elif chain follows the reference exactly
+    (brdrq_utils.py:1259-1291): no_change/equality evaluations short-circuit
+    BEFORE the review-percentage gate; empty/unstable results go TO_UPDATE;
+    the no-change test is the ABSOLUTE symmetric-difference area (< 0.01 m2),
+    checked AFTER the review percentage."""
     from brdrq_ray.pipelines.correction import _correct_bucket
 
-    def one(sym_abs, sym_perc, evaluation="prediction_unique", stability=False,
-            review=10.0):
+    def one(sym_abs, sym_perc, evaluation="prediction_unique", stability=True,
+            review=10.0, result_wkt="RES"):
         group = _bucket_df({
             "side": ["source", "result"],
             "theme_id": ["T1"] * 2,
             "geometry_wkt": ["ORIG", None],
             "props": [None] * 2,
-            "result_wkt": [None, "RES"],
+            "result_wkt": [None, result_wkt],
             "brdr_evaluation": [None, evaluation],
             "brdr_relevant_distance": [None, 1.0],
             "brdr_prediction_score": [None, 50.0],
@@ -184,11 +196,20 @@ def test_correction_state_rule_matches_reference_order():
         return out.column("brdrq_state")[0].as_py()
 
     # large parcel, sizable absolute change but tiny percentage: NOT no-change
-    assert one(sym_abs=5.0, sym_perc=0.005) == "to_review"
-    # genuinely tiny absolute change -> not_changed (even with auto eval)
-    assert one(sym_abs=0.005, sym_perc=0.005, evaluation="equality_by_id") == "not_changed"
-    # percentage above the review threshold wins over everything else
+    assert one(sym_abs=5.0, sym_perc=0.005) == "auto_updated"  # perc<review, abs>=0.01
+    # genuinely tiny absolute change -> not_changed
+    assert one(sym_abs=0.005, sym_perc=0.005) == "not_changed"
+    # percentage above the review threshold wins for plain predictions
     assert one(sym_abs=0.005, sym_perc=60.0) == "to_review"
-    # auto path: single prediction, acceptable change, auto evaluation
-    assert one(sym_abs=5.0, sym_perc=2.0, evaluation="equality_by_id") == "auto_updated"
-    assert one(sym_abs=5.0, sym_perc=2.0, stability=True) == "auto_updated"
+    # ... but the no_change evaluation short-circuits BEFORE the review gate
+    assert one(sym_abs=0.005, sym_perc=60.0, evaluation="no_change") == "not_changed"
+    # ... and equality evaluations bypass straight to auto_updated
+    assert one(sym_abs=5.0, sym_perc=60.0, evaluation="equality_by_id") == "auto_updated"
+    assert one(sym_abs=5.0, sym_perc=2.0,
+               evaluation="equality_by_full_reference") == "auto_updated"
+    # unstable or empty results demand re-alignment: TO_UPDATE
+    assert one(sym_abs=5.0, sym_perc=2.0, stability=False) == "to_update"
+    assert one(sym_abs=5.0, sym_perc=2.0,
+               result_wkt="MULTIPOLYGON EMPTY") == "to_update"
+    # auto path: single stable prediction, acceptable change
+    assert one(sym_abs=5.0, sym_perc=2.0) == "auto_updated"
