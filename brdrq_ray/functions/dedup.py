@@ -242,31 +242,51 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
         return cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
 
     # ---- join-based verify (the 100 TB path) -------------------------------
+    import pyarrow.compute as pc
+
     cand = cand.materialize()  # candidate pairs: small by construction
-    ids: set = set()
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        ids.update(b.column("id_a").to_pylist())
-        ids.update(b.column("id_b").to_pylist())
-    if not ids:
+    n_pairs = cand.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(EMPTY)
-    ids_ref = ray.put(ids)
 
-    class KeepCandidateTexts:
-        """One column-pruned scan of the corpus; only candidate texts survive
-        (the id set is broadcast once per actor, never the texts)."""
+    def pair_keys(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").cast(pa.int64()).combine_chunks()
+        b = t.column("id_b").cast(pa.int64()).combine_chunks()
+        return pa.table({id_col: pa.concat_arrays([a, b])})
 
-        def __init__(self):
-            self.ids = ray.get(ids_ref)
+    key_ds = cand.map_batches(pair_keys, batch_format="pyarrow")
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = pa.array([v in self.ids
-                             for v in batch.column(id_col).to_pylist()])
-            return batch.select([id_col, col]).filter(keep)
+    if 2 * n_pairs > broadcast_texts_limit:
+        # candidate set too large for any driver-side structure: filter the
+        # corpus with the DISTRIBUTED bucketed semi-join against the pair-id
+        # projection — no id set ever lands on the driver
+        from .relational import semi_join
+        texts = semi_join(ds.select_columns([id_col, col]), key_ds, on=id_col)
+    else:
+        # bounded candidate set: collect the distinct ids ONCE (ids only,
+        # never texts) and filter the corpus with one vectorized pc.is_in
+        chunks = []
+        for b in key_ds.iter_batches(batch_format="pyarrow"):
+            chunks.extend(b.column(id_col).cast(pa.int64()).chunks)
+        uniq = pc.unique(pa.chunked_array(chunks, pa.int64()))
+        ids_ref = ray.put(uniq)
 
-    texts = ds.map_batches(KeepCandidateTexts, batch_format="pyarrow",
-                           concurrency=(1, 8))
+        class KeepCandidateTexts:
+            """One column-pruned scan of the corpus; only candidate texts
+            survive (the id ARRAY is broadcast once per actor, never texts;
+            membership is one Arrow is_in kernel per batch)."""
 
-    if len(ids) <= broadcast_texts_limit:
+            def __init__(self):
+                self.value_set = ray.get(ids_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                keep = pc.fill_null(
+                    pc.is_in(batch.column(id_col).cast(pa.int64()),
+                             value_set=self.value_set), False)
+                return batch.select([id_col, col]).filter(keep)
+
+        texts = ds.map_batches(KeepCandidateTexts, batch_format="pyarrow",
+                               concurrency=(1, 8))
         # the filtered candidate texts are small: broadcast THEM (never the
         # corpus) and verify with zero additional shuffles
         lookup = {}
@@ -294,10 +314,18 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
                                 concurrency=(1, 4))
 
     # stage 1: attach each candidate doc's text to every pair-half wanting it
-    # (tagged union on the doc id — one shuffle of candidate-sized data)
+    # (tagged union on the doc id — one shuffle of candidate-sized data,
+    # grouped by a HASH BUCKET of the id: one vectorized pandas merge per
+    # bucket, never one Python call per candidate doc)
+    def _key_bucket(keys_i64: np.ndarray) -> pa.Array:
+        mixed = (keys_i64.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        return pa.array((mixed % n_shuffle_buckets).astype(np.int32), pa.int32())
+
     def doc_side(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        return pa.table({"key": t.column(id_col),
+        key = t.column(id_col).cast(pa.int64())
+        return pa.table({"key": key,
+                         "kb": _key_bucket(key.to_numpy(zero_copy_only=False)),
                          "role": pa.array(np.zeros(n, np.int8)),
                          "id_a": pa.nulls(n, pa.int64()),
                          "id_b": pa.nulls(n, pa.int64()),
@@ -307,8 +335,10 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
         a = t.column("id_a").cast(pa.int64()).combine_chunks()
         b = t.column("id_b").cast(pa.int64()).combine_chunks()
         n = t.num_rows
+        key = pa.concat_arrays([a, b])
         return pa.table({
-            "key": pa.concat_arrays([a, b]),
+            "key": key,
+            "kb": _key_bucket(key.to_numpy(zero_copy_only=False)),
             "role": pa.array(np.concatenate([np.ones(n, np.int8),
                                              np.full(n, 2, np.int8)])),
             "id_a": pa.concat_arrays([a, a]),
@@ -319,18 +349,18 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
     tagged = (texts.map_batches(doc_side, batch_format="pyarrow")
               .union(cand.map_batches(pair_sides, batch_format="pyarrow")))
 
-    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
-        doc = g[g["role"] == 0]
-        halves = g[g["role"] != 0]
+    def attach_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g[g["role"] == 0][["key", "text"]]
+        halves = g[g["role"] != 0][["key", "id_a", "id_b", "role"]]
         if doc.empty or halves.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "role": [], "text": []})
-        text = doc["text"].iloc[0]
-        return pd.DataFrame({"id_a": halves["id_a"].astype("int64"),
-                             "id_b": halves["id_b"].astype("int64"),
-                             "role": halves["role"],
-                             "text": text})
+        m = halves.merge(doc, on="key", how="inner")
+        return pd.DataFrame({"id_a": m["id_a"].astype("int64"),
+                             "id_b": m["id_b"].astype("int64"),
+                             "role": m["role"],
+                             "text": m["text"]})
 
-    halves = tagged.groupby("key").map_groups(attach_text, batch_format="pandas")
+    halves = tagged.groupby("kb").map_groups(attach_bucket, batch_format="pandas")
 
     # stage 2: reunite the two halves of each pair and verify with the true
     # n-gram Jaccard (one shuffle of the candidate pair table, bucketed —

@@ -141,9 +141,12 @@ def assemble_ways(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     Hybrid join: below ``broadcast_limit`` nodes the node table broadcasts
     once (ray.put) and ways gather per batch; above it (a planet file's node
     table dwarfs the ways) the assembly is fully distributed — explode way
-    refs, one groupby(node_id) to attach coordinates, one groupby(way_id) to
-    reassemble in ref order. Nothing node-table-sized touches the driver on
-    that path."""
+    refs, one groupby over a HASH BUCKET of node_id to attach coordinates
+    (one vectorized pandas merge per bucket), one groupby over a hash bucket
+    of way_id to reassemble in ref order (the per-way WKT build loops only
+    over the ways in that bucket). Nothing node-table-sized touches the
+    driver on that path, and the shuffle granularity is per-bucket — never
+    one Python call per node/way (millions of calls at planet scale)."""
     import ray as _ray
 
     try:
@@ -177,6 +180,12 @@ def assemble_ways(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     # distributed path: explode refs -> attach coords on node_id -> reassemble
     import pandas as pd
 
+    n_buckets = 256
+
+    def _bucket(ids: np.ndarray) -> pa.Array:
+        mixed = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        return pa.array((mixed % n_buckets).astype(np.int32), pa.int32())
+
     def explode_refs(batch: pa.Table) -> pa.Table:
         refs = batch.column("node_refs")
         if isinstance(refs, pa.ChunkedArray):
@@ -188,6 +197,7 @@ def assemble_ways(nodes: ray.data.Dataset, ways: ray.data.Dataset,
         flat = refs.flatten().cast(pa.int64())
         seq = np.arange(len(flat)) - np.repeat(offsets[:-1], n_per)
         return pa.table({
+            "nb": _bucket(flat.to_numpy(zero_copy_only=False)),
             "node_id": flat,
             "way_id": pa.array(np.repeat(wid, n_per), pa.int64()),
             "seq": pa.array(seq, pa.int32()),
@@ -197,8 +207,10 @@ def assemble_ways(nodes: ray.data.Dataset, ways: ray.data.Dataset,
 
     def node_side(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        nid = batch.column("node_id").cast(pa.int64())
         return pa.table({
-            "node_id": batch.column("node_id").cast(pa.int64()),
+            "nb": _bucket(nid.to_numpy(zero_copy_only=False)),
+            "node_id": nid,
             "way_id": pa.nulls(n, pa.int64()),
             "seq": pa.nulls(n, pa.int32()),
             "x": batch.column("x").cast(pa.float64()),
@@ -209,33 +221,40 @@ def assemble_ways(nodes: ray.data.Dataset, ways: ray.data.Dataset,
               .union(nodes.map_batches(node_side, batch_format="pyarrow")))
 
     def attach(grp: pd.DataFrame) -> pd.DataFrame:
-        coords = grp[grp["way_id"].isna()]
-        refs = grp[grp["way_id"].notna()]
+        coords = grp[grp["way_id"].isna()][["node_id", "x", "y"]]
+        refs = grp[grp["way_id"].notna()][["node_id", "way_id", "seq"]]
         if refs.empty:
-            return pd.DataFrame({"way_id": [], "seq": [], "x": [], "y": []})
-        if coords.empty:
-            x = y = np.nan  # dangling ref: way will be dropped at assembly
-        else:
-            x, y = float(coords["x"].iloc[0]), float(coords["y"].iloc[0])
-        return pd.DataFrame({"way_id": refs["way_id"].astype("int64"),
-                             "seq": refs["seq"].astype("int64"),
-                             "x": x, "y": y})
+            return pd.DataFrame({"way_id": pd.Series(dtype="int64"),
+                                 "seq": pd.Series(dtype="int64"),
+                                 "x": pd.Series(dtype="float64"),
+                                 "y": pd.Series(dtype="float64")})
+        # dangling refs (no node row) keep NaN coords -> way dropped later
+        m = refs.merge(coords, on="node_id", how="left")
+        return pd.DataFrame({"way_id": m["way_id"].astype("int64"),
+                             "seq": m["seq"].astype("int64"),
+                             "x": m["x"], "y": m["y"]})
 
-    placed = tagged.groupby("node_id").map_groups(attach, batch_format="pandas")
+    placed = tagged.groupby("nb").map_groups(attach, batch_format="pandas")
+
+    def add_way_bucket(t: pa.Table) -> pa.Table:
+        w = t.column("way_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("wb", _bucket(w))
 
     def reassemble(grp: pd.DataFrame) -> pa.Table:
-        grp = grp.sort_values("seq")
-        wid = int(grp["way_id"].iloc[0])
-        coords = [None if (np.isnan(x) or np.isnan(y)) else (x, y)
-                  for x, y in zip(grp["x"], grp["y"])]
-        got = _way_to_wkt(wid, coords, closed_only)
-        if not got:
-            return pa.table({"ref_id": pa.array([], pa.string()),
-                             "geometry_wkt": pa.array([], pa.string())})
-        return pa.table({"ref_id": pa.array([got[0]], pa.string()),
-                         "geometry_wkt": pa.array([got[1]], pa.string())})
+        grp = grp.sort_values(["way_id", "seq"])
+        ids_out, wkts = [], []
+        for wid, g in grp.groupby("way_id", sort=False):
+            coords = [None if (np.isnan(x) or np.isnan(y)) else (x, y)
+                      for x, y in zip(g["x"], g["y"])]
+            got = _way_to_wkt(int(wid), coords, closed_only)
+            if got:
+                ids_out.append(got[0])
+                wkts.append(got[1])
+        return pa.table({"ref_id": pa.array(ids_out, pa.string()),
+                         "geometry_wkt": pa.array(wkts, pa.string())})
 
-    return placed.groupby("way_id").map_groups(reassemble, batch_format="pandas")
+    return (placed.map_batches(add_way_bucket, batch_format="pyarrow")
+            .groupby("wb").map_groups(reassemble, batch_format="pandas"))
 
 
 def _osm_loader(spec):
