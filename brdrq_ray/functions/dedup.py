@@ -98,8 +98,85 @@ class MinHasher:
         return vals.min(axis=0)
 
 
+def _shingle_hashes(texts, k: int):
+    """Vectorized word-shingle hashing for a batch of texts.
+
+    Returns (doc_idx, shingle_hash) for the DEDUPED shingle set of every doc,
+    sorted by doc — one pandas split/explode, one vectorized word hash, and
+    k-1 splitmix64 folds over the window array; no per-shingle Python. Docs
+    with 1 <= len < k words contribute one shingle over the whitespace-joined
+    text (the scalar fallback); empty docs contribute nothing."""
+    from .vhash import hash64, splitmix64
+
+    s = pd.Series(np.asarray(texts, dtype=object)).fillna("").astype(str)
+    split = s.str.lower().str.split()
+    lens = split.str.len().to_numpy(dtype=np.int64)
+    words = split.explode()
+    valid = words.notna().to_numpy()
+    wh = hash64(words.to_numpy(dtype=object)[valid])
+    doc_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+
+    # full k-word windows
+    n_win = np.maximum(lens - k + 1, 0)
+    total = int(n_win.sum())
+    win_doc = np.repeat(np.arange(len(s)), n_win)
+    if total:
+        off = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(n_win)[:-1]]), n_win)
+        ws = np.repeat(doc_start, n_win) + off
+        acc = wh[ws]
+        for j in range(1, k):
+            acc = splitmix64(acc ^ wh[ws + j])
+    else:
+        acc = np.empty(0, dtype=np.uint64)
+
+    # short docs: one shingle over the joined words
+    short = (lens >= 1) & (lens < k)
+    if short.any():
+        joined = split[short].str.join(" ")
+        sh = hash64(joined.to_numpy(dtype=object))
+        win_doc = np.concatenate([win_doc, np.nonzero(short)[0]])
+        acc = np.concatenate([acc, sh])
+
+    if len(acc) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    # set semantics: dedupe (doc, shingle)
+    order = np.lexsort((acc, win_doc))
+    d, a = win_doc[order], acc[order]
+    keep = np.ones(len(d), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (a[1:] != a[:-1])
+    return d[keep], a[keep]
+
+
+def _minhash_signatures(doc_idx: np.ndarray, shingles: np.ndarray, n_docs: int,
+                        mh: "MinHasher") -> np.ndarray:
+    """(n_docs, num_perm) uint64 signatures via segment-min over the sorted
+    (doc, shingle) rows; docs with no shingles get the all-MERSENNE row (the
+    scalar empty-set signature)."""
+    sig = np.full((n_docs, mh.num_perm), _MERSENNE, dtype=np.uint64)
+    if len(shingles) == 0:
+        return sig
+    counts = np.bincount(doc_idx, minlength=n_docs)
+    nonempty = counts > 0
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    x = (shingles >> np.uint64(1)).astype(np.uint64)  # keep below the prime
+    M = np.uint64(_MERSENNE)
+    # perm chunks bound the (n_shingles x chunk) temp to a few MB
+    with np.errstate(over="ignore"):
+        for c0 in range(0, mh.num_perm, 8):
+            c1 = min(c0 + 8, mh.num_perm)
+            vals = x[:, None] * mh.a[None, c0:c1] + mh.b[None, c0:c1]
+            # Mersenne fold == % (2^61-1) without the integer division
+            vals = (vals & M) + (vals >> np.uint64(61))
+            vals = np.where(vals >= M, vals - M, vals)
+            sig[nonempty, c0:c1] = np.minimum.reduceat(vals, starts[nonempty],
+                                                       axis=0)
+    return sig
+
+
 class MinHashBandStage:
-    """map_batches actor stage: text -> (band_id, band_hash, id) rows."""
+    """map_batches actor stage: text -> (band_id, band_hash, id) rows.
+    Fully vectorized per batch (shingle windows, signatures, band folds);
+    coefficient table built once per actor."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
                  col: str = "text", id_col: str = "doc_id"):
@@ -112,21 +189,26 @@ class MinHashBandStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.col).to_pylist()
-        out_ids, out_band, out_hash = [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.mh.signature(_word_shingles(t, self.shingle_k))
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                out_ids.append(i)
-                out_band.append(b)
-                out_hash.append(int.from_bytes(h, "little") & 0x7FFFFFFFFFFFFFFF)
+        from .vhash import splitmix64
+
+        ids = batch.column(self.id_col)
+        texts = batch.column(self.col).to_numpy(zero_copy_only=False)
+        doc_idx, shingles = _shingle_hashes(texts, self.shingle_k)
+        sig = _minhash_signatures(doc_idx, shingles, len(texts), self.mh)
+        band_hashes = np.empty((len(texts), self.bands), dtype=np.uint64)
+        for b in range(self.bands):
+            h = sig[:, b * self.rows_per_band]
+            for j in range(1, self.rows_per_band):
+                h = splitmix64(h ^ sig[:, b * self.rows_per_band + j])
+            band_hashes[:, b] = h
+        n = len(texts)
+        out_hash = (band_hashes & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        idx = np.repeat(np.arange(n), self.bands)
         return pa.table({
-            self.id_col: pa.array(out_ids),
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
+            self.id_col: ids.take(pa.array(idx, pa.int64())),
+            "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n),
+                                pa.int32()),
+            "band_hash": pa.array(out_hash.ravel(), pa.int64()),
         })
 
 
@@ -483,25 +565,56 @@ def duplicate_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b",
 # simhash
 # ---------------------------------------------------------------------------
 
+def simhash_u64(texts) -> np.ndarray:
+    """Vectorized 64-bit SimHash (classic Charikar construction) for a whole
+    batch: one pandas split/explode (C), one vectorized word hash
+    (vhash.hash64), one (n_words x 64) sign matrix, one segment-sum per doc —
+    no per-word Python. Word weight = occurrence count, as in the scalar
+    definition (repeated words vote repeatedly)."""
+    from .vhash import hash64
+
+    s = pd.Series(np.asarray(texts, dtype=object)).fillna("").astype(str)
+    words = s.str.lower().str.split().explode()
+    valid = words.notna().to_numpy()
+    n_docs = len(s)
+    if not valid.any():
+        return np.zeros(n_docs, dtype=np.uint64)
+    doc_idx = words.index.to_numpy()[valid]
+    h = hash64(words.to_numpy(dtype=object)[valid])
+    # (64, n_words) bit matrix, C-contiguous per BIT ROW so the cumsum runs
+    # on contiguous memory (axis-0 cumsum of an (n,64) matrix is ~40x
+    # slower). Little-endian order: bits[i, j] = (h[j] >> i) & 1.
+    # Per-doc ±1 vote sums via one cumsum + two gathers per bit row:
+    # sum(2b-1) = 2*sum(b) - n_words.
+    b8 = np.ascontiguousarray(h.view(np.uint8).reshape(-1, 8).T)   # (8, n)
+    bits = np.unpackbits(b8, axis=0, bitorder="little")            # (64, n)
+    # widen BEFORE cumsum: the mixed-dtype cumsum(dtype=...) path is ~13x
+    # slower than a same-dtype cumsum
+    cs = np.cumsum(bits.astype(np.int64), axis=1)
+    counts = np.bincount(doc_idx, minlength=n_docs)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    ends = starts + counts
+    acc = np.zeros((64, n_docs), dtype=np.int64)
+    nonempty = counts > 0
+    if nonempty.any():
+        hi = cs[:, ends[nonempty] - 1]
+        lo = np.where(starts[None, nonempty] > 0,
+                      cs[:, np.maximum(starts[nonempty] - 1, 0)], 0)
+        acc[:, nonempty] = 2 * (hi - lo) - counts[None, nonempty]
+    packed = np.packbits((acc > 0).astype(np.uint8), axis=0,
+                         bitorder="little")                        # (8, docs)
+    return np.ascontiguousarray(packed.T).view(np.uint64).ravel()
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (classic Charikar construction)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in (text or "").lower().split():
-        h = np.uint64(int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
-        bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= (1 << i)
-    return out
+    """Single-document SimHash (same kernel as the batch path)."""
+    return int(simhash_u64([text])[0])
 
 
 def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
-    sh = [simhash64(t) for t in batch.column(col).to_pylist()]
-    # store as int64 (wrap the top bit)
-    sh64 = [s - (1 << 64) if s >= (1 << 63) else s for s in sh]
-    return batch.append_column("simhash", pa.array(sh64, pa.int64()))
+    sh = simhash_u64(batch.column(col).to_numpy(zero_copy_only=False))
+    # store as int64 (reinterpret the top bit)
+    return batch.append_column("simhash", pa.array(sh.view(np.int64), pa.int64()))
 
 
 def simhash_neardup_pairs(ds, col: str = "text", id_col: str = "doc_id",
@@ -563,7 +676,8 @@ def simhash_neardup_pairs(ds, col: str = "text", id_col: str = "doc_id",
             s, c = starts[ci], counts[ci]
             ia, ib = np.triu_indices(c, k=1)
             x = sh[s + ia] ^ sh[s + ib]
-            ham = np.array([bin(int(v)).count("1") for v in x])
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                                axis=1).sum(axis=1).astype(np.int64)
             keep = ham <= max_hamming
             out_a.append(ids[s + ia[keep]])
             out_b.append(ids[s + ib[keep]])

@@ -5,28 +5,36 @@ construction with the HLL bias corrections): the per-batch sketch is a
 register array, merge is an elementwise max — the canonical combiner shape,
 so a 100 TB distinct-cardinality estimate moves only p*2^p bytes per batch
 through the cluster and never shuffles rows.
+
+Hashing is fully vectorized (see functions/vhash.py): one C-speed hash call
+per batch column plus numpy scatter ops — never one hashlib call per value.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
+
+from .vhash import bit_length_u64, hash64, splitmix64
 
 
 def _hll_registers(values, p: int) -> np.ndarray:
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
-    for v in values:
-        h = int.from_bytes(hashlib.blake2b(str(v).encode(),
-                                           digest_size=8).digest(), "little")
-        idx = h & (m - 1)
-        w = h >> p
-        # rank = position of the first 1-bit in the remaining 64-p bits
-        rank = (64 - p) - w.bit_length() + 1 if w else (64 - p) + 1
-        if rank > regs[idx]:
-            regs[idx] = rank
+    if len(values) == 0:
+        return regs
+    h = hash64(values, categorize=False)  # count-distinct input: unique-heavy
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    w = h >> np.uint64(p)
+    # rank = position of the first 1-bit in the remaining 64-p bits
+    rank = ((64 - p) - bit_length_u64(w) + 1).astype(np.uint8)
+    # grouped max via lexsort + last-per-key (np.maximum.at's buffered-ufunc
+    # path is ~20x slower)
+    order = np.lexsort((rank, idx))
+    idx_s, rank_s = idx[order], rank[order]
+    last = np.ones(len(idx_s), dtype=bool)
+    last[:-1] = idx_s[1:] != idx_s[:-1]
+    regs[idx_s[last]] = rank_s[last]
     return regs
 
 
@@ -50,7 +58,10 @@ def hll_count_distinct(ds, col: str, p: int = 12) -> dict:
     m = 1 << p
 
     def batch_sketch(t: pa.Table) -> pa.Table:
-        regs = _hll_registers(t.column(col).to_pylist(), p)
+        import pyarrow.compute as pc
+        # cast to string so the vectorized hash is type-stable for any column
+        vals = pc.cast(t.column(col), pa.string()).to_numpy(zero_copy_only=False)
+        regs = _hll_registers(vals, p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     merged = np.zeros(m, dtype=np.uint8)
@@ -61,14 +72,30 @@ def hll_count_distinct(ds, col: str, p: int = 12) -> dict:
     return {"estimate": _hll_estimate(merged), "p": p}
 
 
+def _cms_positions(values, d: int, w: int) -> np.ndarray:
+    """(d, n) column positions for values: d independent hash families derived
+    from one vectorized base hash via splitmix64 row seeds."""
+    base = hash64(values)
+    pos = np.empty((d, len(base)), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        seeds = (np.arange(1, d + 1, dtype=np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15))
+    for r in range(d):
+        pos[r] = (splitmix64(base ^ seeds[r]) % np.uint64(w)).astype(np.int64)
+    return pos
+
+
 def _cms_rows(values, counts, d: int, w: int) -> np.ndarray:
     """Count-min sketch matrix (d x w) for value:count pairs."""
     M = np.zeros((d, w), dtype=np.int64)
-    for v, c in zip(values, counts):
-        for r in range(d):
-            h = int.from_bytes(hashlib.blake2b(f"{r}:{v}".encode(),
-                                               digest_size=8).digest(), "little")
-            M[r, h % w] += int(c)
+    if len(values) == 0:
+        return M
+    pos = _cms_positions(values, d, w)
+    # bincount-with-weights == np.add.at without the slow buffered-ufunc path
+    # (counts are exact in float64 up to 2^53 per batch)
+    c = np.asarray(counts, dtype=np.float64)
+    for r in range(d):
+        M[r] = np.bincount(pos[r], weights=c, minlength=w).astype(np.int64)
     return M
 
 
@@ -83,14 +110,16 @@ def heavy_hitters(ds, col: str, k: int = 10, d: int = 4, w: int = 2048,
     import pandas as pd
 
     def batch_sketch(t: pa.Table) -> pa.Table:
-        vals, cnts = np.unique(np.asarray(t.column(col).to_pylist(), dtype=object),
-                               return_counts=True)
+        import pyarrow.compute as pc
+        # stringify ONCE (vectorized cast) so batch hashing and driver-side
+        # candidate scoring hash identical representations
+        col_s = pc.cast(t.column(col), pa.string()).to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(col_s.astype(str), return_counts=True)
         order = np.argsort(-cnts, kind="stable")[:candidates_per_batch]
         M = _cms_rows(vals, cnts, d, w)
         return pa.table({
             "cms": pa.array([M.tobytes()], pa.binary()),
-            "cands": pa.array([[str(v) for v in vals[order]]],
-                              pa.list_(pa.string())),
+            "cands": pa.array([list(vals[order])], pa.list_(pa.string())),
         })
 
     merged = np.zeros((d, w), dtype=np.int64)
@@ -102,12 +131,11 @@ def heavy_hitters(ds, col: str, k: int = 10, d: int = 4, w: int = 2048,
             merged += np.frombuffer(buf, dtype=np.int64).reshape(d, w)
             cands.update(cl)
 
-    rows = []
-    for v in cands:
-        est = min(merged[r, int.from_bytes(
-            hashlib.blake2b(f"{r}:{v}".encode(), digest_size=8).digest(),
-            "little") % w] for r in range(d))
-        rows.append((v, int(est)))
-    df = pd.DataFrame(rows, columns=["value", "est_count"])
+    cand_arr = np.array(sorted(cands), dtype=object)
+    if len(cand_arr) == 0:
+        return pd.DataFrame({"value": [], "est_count": []})
+    pos = _cms_positions(cand_arr.astype(str), d, w)
+    est = merged[np.arange(d)[:, None], pos].min(axis=0)
+    df = pd.DataFrame({"value": cand_arr, "est_count": est.astype(np.int64)})
     return (df.sort_values(["est_count", "value"], ascending=[False, True])
             .head(k).reset_index(drop=True))
