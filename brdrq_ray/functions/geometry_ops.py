@@ -124,14 +124,13 @@ def difference_metrics(results: ray.data.Dataset) -> ray.data.Dataset:
     call site plugin/brdrq/brdrq_dockwidget_featurealigner.py:1690-1692;
     plotted by plot_series, brdrq_utils.py:1084-1102)."""
 
-    import zlib
-
     import pyarrow as pa
 
+    from .vhash import bucket_i32
+
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = [zlib.crc32(str(t).encode()) % 64
-             for t in batch.column("theme_id").to_pylist()]
-        return batch.append_column("b", pa.array(b, pa.int32()))
+        return batch.append_column(
+            "b", bucket_i32(batch.column("theme_id").cast(pa.string()), 64))
 
     def per_bucket(gdf: pd.DataFrame) -> pd.DataFrame:
         gdf = gdf.sort_values(["theme_id", "brdr_relevant_distance"])

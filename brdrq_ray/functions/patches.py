@@ -64,12 +64,11 @@ def apply_patches(source: ray.data.Dataset, patches: ray.data.Dataset) -> ray.da
             "op": batch.column("op"),
         })
 
-    import zlib
+    from .vhash import bucket_i32
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = [zlib.crc32(str(v).encode()) % 64
-             for v in t.column("theme_id").to_pylist()]
-        return t.append_column("b", pa.array(b, pa.int32()))
+        return t.append_column(
+            "b", bucket_i32(t.column("theme_id").cast(pa.string()), 64))
 
     tagged = (source.map_batches(src_side, batch_format="pyarrow")
               .union(patches.map_batches(patch_side, batch_format="pyarrow"))

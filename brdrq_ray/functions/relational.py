@@ -223,7 +223,8 @@ def semi_join(data: ray.data.Dataset, keys: ray.data.Dataset, on: str,
     per bucket — not one Python call per key) — one shuffle, no driver-side
     key set, so the key side can be arbitrarily large (the autoupdate
     changed-since detection at reference-table scale)."""
-    import zlib
+    from .vhash import bucket_i32
+
     def _arrow_type(t):
         if isinstance(t, pa.DataType):
             return t
@@ -242,9 +243,12 @@ def semi_join(data: ray.data.Dataset, keys: ray.data.Dataset, on: str,
         schema = pa.schema([(n, _arrow_type(t))
                             for n, t in zip(sch.names, sch.types)])
 
+    key_type = schema.field(on).type
+
     def bucket_of(t: pa.Table) -> pa.Array:
-        return pa.array([zlib.crc32(str(v).encode()) % n_buckets
-                         for v in t.column(on).to_pylist()], pa.int32())
+        # cast both union sides to the data schema's key type so they hash
+        # identically (vectorized — no per-row Python)
+        return bucket_i32(t.column(on).cast(key_type), n_buckets)
 
     def data_side(t: pa.Table) -> pa.Table:
         return (t.append_column("__mark", pa.array(np.zeros(t.num_rows, np.int8)))

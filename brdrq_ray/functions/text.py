@@ -177,18 +177,19 @@ def pack_sequences(ds, token_budget: int = 2048, id_col: str = "doc_id",
     own (the trainer chunks them downstream). Returns
     (doc_id, ws_tokens, seq_id, seq_offset) — seq_id is globally unique
     ('<bucket>-<k>') and seq_offset is the document's token start inside it."""
-    import zlib
-
     import pandas as pd
     import pyarrow.compute as pc
 
+    from .vhash import bucket_i32
+
     def add_tokens_and_bucket(batch: pa.Table) -> pa.Table:
         toks = pc.list_value_length(pc.utf8_split_whitespace(batch.column(col)))
-        b = [zlib.crc32(str(v).encode()) % n_buckets
-             for v in batch.column(id_col).to_pylist()]
+        # NOTE the bucket id leaks into the output seq_id ('<bucket>-<k>'), so
+        # changing this hash changes seq ids (golden regenerated with it)
+        b = bucket_i32(batch.column(id_col).cast(pa.string()), n_buckets)
         return (batch.select([id_col])
                 .append_column("ws_tokens", pc.cast(toks, pa.int64()))
-                .append_column("b", pa.array(b, pa.int32())))
+                .append_column("b", b))
 
     def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)

@@ -49,6 +49,36 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+def bucket_i32(values, n_buckets: int) -> "object":
+    """Vectorized shuffle-bucket column: hash % n_buckets as a pyarrow int32
+    array. Accepts a pyarrow Array/ChunkedArray or any sequence. Integer
+    columns hash through splitmix64 directly (no object boxing); everything
+    else casts to string first so both sides of a tagged union agree.
+
+    Replaces the per-row ``zlib.crc32(str(v).encode()) % n`` comprehensions
+    on every shuffle-key path — the bucket is an internal shuffle key, so the
+    hash family is free to change (except where a bucket id leaks into
+    output, e.g. pack_sequences' seq_id, noted at the call site)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        if pa.types.is_integer(values.type):
+            x = pc.fill_null(values.cast(pa.int64()), 0).to_numpy(
+                zero_copy_only=False)
+            h = splitmix64(x.astype(np.uint64))
+        else:
+            s = pc.fill_null(values.cast(pa.string()), "")
+            h = hash64(s.to_numpy(zero_copy_only=False))
+    else:
+        arr = np.asarray(values)
+        if arr.dtype.kind in "iu":
+            h = splitmix64(arr.astype(np.uint64))
+        else:
+            h = hash64(arr.astype(object))
+    return pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32())
+
+
 def bit_length_u64(x: np.ndarray) -> np.ndarray:
     """Exact int.bit_length for a uint64 array (vectorized, 6 passes)."""
     x = x.astype(np.uint64, copy=True)

@@ -69,16 +69,16 @@ def detect_affected(thematic_meta: ray.data.Dataset,
     exploded = thematic_meta.map_batches(explode_metadata_refs,
                                          batch_format="pyarrow")
 
-    import zlib
+    from ..functions.vhash import bucket_i32
 
     def _bucket(ids) -> pa.Array:
-        return pa.array([zlib.crc32(str(v).encode()) % 64 for v in ids],
-                        pa.int32())
+        return bucket_i32(ids.cast(pa.string()) if isinstance(
+            ids, (pa.Array, pa.ChunkedArray)) else ids, 64)
 
     def rec_side(t: pa.Table) -> pa.Table:
         rid = t.column("ref_id")
         return pa.table({
-            "b": _bucket(rid.to_pylist()),
+            "b": _bucket(rid.cast(pa.string())),
             "ref_id": rid,
             "theme_id": t.column("theme_id"),
             "recorded_version": t.column("recorded_version"),
@@ -88,7 +88,7 @@ def detect_affected(thematic_meta: ray.data.Dataset,
     def cur_side(t: pa.Table) -> pa.Table:
         rid = t.column("ref_id").cast(pa.string())
         return pa.table({
-            "b": _bucket(rid.to_pylist()),
+            "b": _bucket(rid.cast(pa.string())),
             "ref_id": rid,
             "theme_id": pa.nulls(t.num_rows, pa.string()),
             "recorded_version": pa.nulls(t.num_rows, pa.string()),
@@ -145,20 +145,22 @@ def run_autoupdate(thematic: ray.data.Dataset, reference: ray.data.Dataset,
         return ray.data.from_arrow(RESULT_SCHEMA.empty_table())
 
     if n_affected <= broadcast_limit:
-        # the stale set is small: broadcast it once, filter in one scan
-        ids = set()
+        # the stale set is small: broadcast it once (as an Arrow array, not a
+        # Python set) and filter with one is_in kernel per batch
+        import pyarrow.compute as pc
+        chunks = []
         for b in affected.iter_batches(batch_format="pyarrow"):
-            ids.update(b.column("theme_id").to_pylist())
-        ids_ref = ray.put(ids)
+            chunks.extend(b.column("theme_id").cast(pa.string()).chunks)
+        ids_ref = ray.put(pc.unique(pa.chunked_array(chunks, pa.string())))
 
         class KeepAffected:
             def __init__(self):
-                self.ids = ray.get(ids_ref)
+                self.value_set = ray.get(ids_ref)
 
             def __call__(self, batch: pa.Table) -> pa.Table:
-                tid = batch.column("theme_id").to_pylist()
-                mask = pa.array([str(t) in self.ids for t in tid])
-                return batch.filter(mask)
+                hit = pc.is_in(batch.column("theme_id").cast(pa.string()),
+                               value_set=self.value_set)
+                return batch.filter(pc.fill_null(hit, False))
 
         survivors = thematic.map_batches(KeepAffected, batch_format="pyarrow",
                                          concurrency=(1, 4))

@@ -32,8 +32,6 @@ whole bucket at once.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -199,16 +197,17 @@ def build_correction_layer(source: ray.data.Dataset, results: ray.data.Dataset,
     results: the flat alignment result table. One output row per source row."""
     n_buckets = _buckets_for(source, n_buckets)
 
+    from ..functions.vhash import bucket_i32
+
     def bucket_col(ids) -> pa.Array:
-        return pa.array([zlib.crc32(str(t).encode()) % n_buckets for t in ids],
-                        pa.int32())
+        return bucket_i32(ids, n_buckets)
 
     def src_side(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         tid = batch.column("theme_id").cast(pa.string())
         return pa.table({
             "side": pa.array(["source"] * n),
-            "bucket": bucket_col(tid.to_pylist()),
+            "bucket": bucket_col(tid),
             "theme_id": tid,
             "geometry_wkt": batch.column("geometry_wkt"),
             "props": (batch.column("props").cast(pa.string()) if "props" in batch.column_names
@@ -230,7 +229,7 @@ def build_correction_layer(source: ray.data.Dataset, results: ray.data.Dataset,
         wkts = [g.to_wkt(*g.unpack_geom(buf)) for buf in batch.column("result_geom").to_pylist()]
         return pa.table({
             "side": pa.array(["result"] * n),
-            "bucket": bucket_col(tid.to_pylist()),
+            "bucket": bucket_col(tid),
             "theme_id": tid,
             "geometry_wkt": pa.nulls(n, pa.string()),
             "props": pa.nulls(n, pa.string()),

@@ -166,8 +166,10 @@ def align_documents(documents: ray.data.Dataset, reference: ray.data.Dataset,
         batch_format="pyarrow")
 
     def _bucket_of(doc_ids):
-        import zlib
-        return [zlib.crc32(d.encode()) % stitch_buckets for d in doc_ids]
+        from ..functions.vhash import bucket_i32
+        if isinstance(doc_ids, list):
+            doc_ids = np.asarray(doc_ids, dtype=object)
+        return bucket_i32(doc_ids, stitch_buckets)
 
     def split_key(batch: pa.Table) -> pa.Table:
         tid = batch.column("theme_id").to_pylist()
@@ -178,7 +180,7 @@ def align_documents(documents: ray.data.Dataset, reference: ray.data.Dataset,
             span_idx.append(int(i))
         return pa.table({
             "side": pa.array(["aligned"] * len(tid)),
-            "bucket": pa.array(_bucket_of(doc_ids), pa.int32()),
+            "bucket": _bucket_of(doc_ids),
             "doc_id": pa.array(doc_ids, pa.string()),
             "span_idx": pa.array(span_idx, pa.int32()),
             "aligned_wkt": batch.column("aligned_wkt"),
@@ -192,7 +194,7 @@ def align_documents(documents: ray.data.Dataset, reference: ray.data.Dataset,
         ids = batch.column("doc_id").cast(pa.string())
         return pa.table({
             "side": pa.array(["doc"] * n),
-            "bucket": pa.array(_bucket_of(ids.to_pylist()), pa.int32()),
+            "bucket": _bucket_of(ids),
             "doc_id": ids,
             "span_idx": pa.nulls(n, pa.int32()),
             "aligned_wkt": pa.nulls(n, pa.string()),

@@ -94,12 +94,12 @@ def _fiscal_loader(spec):
     # shuffled by a hash bucket of ref_id (one Python call per bucket, not
     # per parcel — reference tables are the big side), vectorized inside
     import pandas as pd
-    import zlib
+
+    from ..functions.vhash import bucket_i32
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = [zlib.crc32(str(r).encode()) % 64
-             for r in batch.column("ref_id").to_pylist()]
-        return batch.append_column("b", pa.array(b, pa.int32()))
+        return batch.append_column(
+            "b", bucket_i32(batch.column("ref_id").cast(pa.string()), 64))
 
     def latest_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values(["ref_id", "version_date"])
