@@ -89,3 +89,66 @@ def test_knn_reference_lookup(ray_session, spatial_tables):
         # rank-1 parcel contains or touches the feature -> distance 0-ish for
         # features derived from parcels
         assert grp["distance"].iloc[0] <= 50.0
+
+
+def test_spatial_join_salts_hot_cells(ray_session):
+    """A dense hot spot must be SALTED by the standalone spatial operators:
+    group sizes stay bounded (no one-giant-group cell) and results are
+    unaffected by the salt split (themes split across sub-keys, reference
+    replicated to each)."""
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.functions.spatial_join import (_tag_and_union,
+                                                  intersects_semi_join)
+    from brdrq_ray.stages.ingest import parse_geometries
+
+    # 600 tiny squares jittered inside ONE parcel-sized spot + a handful of
+    # reference parcels covering it
+    rng = np.random.default_rng(7)
+    t_ids, t_wkts = [], []
+    for i in range(600):
+        x = 100.0 + rng.uniform(0, 8)
+        y = 100.0 + rng.uniform(0, 8)
+        t_ids.append(f"H{i:04d}")
+        t_wkts.append(f"POLYGON (({x} {y}, {x+0.5} {y}, {x+0.5} {y+0.5}, "
+                      f"{x} {y+0.5}, {x} {y}))")
+    theme = pa.table({"theme_id": pa.array(t_ids, pa.string()),
+                      "geometry_wkt": pa.array(t_wkts, pa.string())})
+    r_ids, r_wkts = [], []
+    for j in range(4):
+        x0 = 98.0 + 3.5 * j
+        r_ids.append(f"P{j}")
+        r_wkts.append(f"POLYGON (({x0} 98, {x0+3.5} 98, {x0+3.5} 112, "
+                      f"{x0} 112, {x0} 98))")
+    ref = pa.table({"ref_id": pa.array(r_ids, pa.string()),
+                    "geometry_wkt": pa.array(r_wkts, pa.string())})
+
+    lt = ray.data.from_arrow(theme).map_batches(parse_geometries,
+                                                batch_format="pyarrow")
+    rt = ray.data.from_arrow(ref).map_batches(parse_geometries,
+                                              batch_format="pyarrow")
+    unified = _tag_and_union(lt, rt, reach=0.0, cell_level=None,
+                             hot_threshold=64).to_pandas()
+    themes = unified[unified["side"] == "l"]
+    per_key = themes.groupby("part_key").size()
+    per_cell = themes.groupby("cell").size()
+    # the hot cell was split: more part keys than cells, and every group is
+    # bounded well below the single-cell theme count
+    assert per_key.size > per_cell.size
+    assert per_key.max() < per_cell.max()
+    assert per_key.max() <= 2 * 64  # ~hot_threshold-bounded
+
+    # results identical to brute force despite the salt split
+    got = intersects_semi_join(ray.data.from_arrow(theme),
+                               ray.data.from_arrow(ref),
+                               hot_threshold=64).to_pandas()
+    from brdrq_ray.geom.boolean import overlay
+    expect = set()
+    rparts = {rid: g.make_valid(*g.parse_wkt(w))[1]
+              for rid, w in zip(r_ids, r_wkts)}
+    for tid, w in zip(t_ids, t_wkts):
+        _, tp = g.parse_wkt(w)
+        for rid, rp in rparts.items():
+            if g.geom_area(g.GEOM_POLYGON, overlay(tp, rp, "intersection")) > 0:
+                expect.add((tid, rid))
+    assert set(zip(got["theme_id"], got["ref_id"])) == expect
