@@ -255,23 +255,19 @@ def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Datas
                  .map_batches(lambda b: explode_cover(b, level, expand=cs), batch_format="pyarrow")
                  .map_batches(lambda b: _unify(b, "ref"), batch_format="pyarrow")
                  ).to_arrow_refs())]).combine_chunks()
-        slices: dict[int, dict] = {}
+        # broadcast ONE cell-sorted Arrow table + a cell -> (start, len) row
+        # range index: ray.put of the Arrow buffers (shared-memory zero-copy
+        # reads in every AlignGroupFn actor), never pickled Python lists of
+        # geometry bytes (several x the Arrow footprint)
         cells = ref_tbl.column("cell").to_numpy()
         order = np.argsort(cells, kind="stable")
-        import itertools
-        for cell, grp_idx in itertools.groupby(order.tolist(), key=lambda i: int(cells[i])):
-            idx = list(grp_idx)
-            sub = ref_tbl.take(pa.array(idx, pa.int64()))
-            slices[cell] = {
-                "ref_id": sub.column("ref_id").to_pylist(),
-                "geom": sub.column("geom").to_pylist(),
-                "version_date": sub.column("version_date").to_pylist(),
-                "xmin": sub.column("xmin").to_numpy(zero_copy_only=False),
-                "ymin": sub.column("ymin").to_numpy(zero_copy_only=False),
-                "xmax": sub.column("xmax").to_numpy(zero_copy_only=False),
-                "ymax": sub.column("ymax").to_numpy(zero_copy_only=False),
-            }
-        ref_handle = _ray.put(slices)
+        ref_sorted = ref_tbl.take(pa.array(order, pa.int64())).combine_chunks()
+        cells_sorted = cells[order]
+        uniq, starts, counts = np.unique(cells_sorted, return_index=True,
+                                         return_counts=True)
+        cell_index = {int(c): (int(s), int(n))
+                      for c, s, n in zip(uniq, starts, counts)}
+        ref_handle = _ray.put((ref_sorted, cell_index))
         unified = theme_keyed.map_batches(_part_key, batch_format="pyarrow")
         return unified, plan, ref_handle, oversized
 

@@ -128,18 +128,19 @@ class AlignGroupFn:
 
         if self.ref_broadcast is not None:
             # broadcast fast path: the reference slice for this group's cell
-            # comes from the object store (shipped once), not the shuffle
+            # is a zero-copy Arrow slice out of the shared-memory table
+            # (shipped once via ray.put), not the shuffle
             cell = int(group.column("cell")[int(np.nonzero(is_theme)[0][0])].as_py())
-            sl = self._broadcast_slices().get(cell)
-            if sl is None:
-                sl = {"ref_id": [], "geom": [], "version_date": [],
-                      "xmin": np.array([]), "ymin": np.array([]),
-                      "xmax": np.array([]), "ymax": np.array([])}
-            ref_ids = sl["ref_id"]
-            ref_geoms = sl["geom"]
-            ref_vers = sl["version_date"]
-            rxmin, rxmax = sl["xmin"], sl["xmax"]
-            rymin, rymax = sl["ymin"], sl["ymax"]
+            ref_tbl, cell_index = self._broadcast_slices()
+            start, n = cell_index.get(cell, (0, 0))
+            sub = ref_tbl.slice(start, n)
+            ref_ids = sub.column("ref_id").to_pylist()
+            ref_geoms = sub.column("geom").to_pylist()
+            ref_vers = sub.column("version_date").to_pylist()
+            rxmin = sub.column("xmin").to_numpy(zero_copy_only=False)
+            rxmax = sub.column("xmax").to_numpy(zero_copy_only=False)
+            rymin = sub.column("ymin").to_numpy(zero_copy_only=False)
+            rymax = sub.column("ymax").to_numpy(zero_copy_only=False)
         else:
             ref_idx = np.nonzero(is_ref)[0]
             ref_ids = group.column("ref_id").take(pa.array(ref_idx)).to_pylist()
