@@ -103,7 +103,12 @@ class AlignConfig:
     od_strategy: str = OD_AS_IS
     threshold_overlap_percentage: float = 50.0
     correction_distance: float = 0.01
-    apply_correction: bool = False      # closing() cleanup is opt-in (cost)
+    #: correction_distance closing applied to every result, like the
+    #: reference (brdrq_algorithm_autocorrectborders.py:192-193). Affordable
+    #: since r3: a provable-identity pre-check returns clean results
+    #: untouched (~0.25 ms) and crack-filling pays a mitered offset (~5 ms),
+    #: vs ~860 ms for the r2 capsule closing (SEMANTICS.md section 4).
+    apply_correction: bool = True
     full_reference_strategy: str = FRS_NO_FULL
     max_predictions: int = -1           # -1 = all
     multi_to_best_prediction: bool = True
@@ -338,7 +343,7 @@ def align_prepared(theme_parts, prepared, od_parts, rd: float, cfg: AlignConfig)
             contributions.append((c["ref_id"], "partial", part))
             remarks.append(f"partial:{c['ref_id']}")
 
-    pieces = [c[2] for c in contributions]
+    pieces = [c[2] for c in contributions if c[2]]
     od_used = False        # od geometry actually present in the result
     od_flag = False        # od admitted by the strategy (the fingerprint bit)
     if od_parts:

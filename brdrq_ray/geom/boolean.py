@@ -421,8 +421,11 @@ def dissolve(parts_list_or_parts):
     Edges are first split at other polygons' vertices lying on them so
     T-junctions cancel correctly.
     """
-    parts = list(parts_list_or_parts)
-    if parts and parts[0] and not isinstance(parts[0][0], np.ndarray):
+    # drop empties FIRST: an empty parts object at index 0 (e.g. a partial
+    # contribution whose opening vanished under erode) would defeat the
+    # nesting sniff below and make a list-of-parts read as one parts object
+    parts = [p for p in parts_list_or_parts if len(p)]
+    if parts and not isinstance(parts[0][0], np.ndarray):
         # list of parts objects -> concatenate
         flat = []
         for p in parts:

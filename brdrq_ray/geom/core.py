@@ -338,32 +338,64 @@ def _nonadjacent_pairs(n: int):
 
 def _insert_ring_self_intersections(ring: np.ndarray) -> np.ndarray:
     """Insert a vertex at every interior crossing between non-adjacent ring
-    segments (broadcast over all segment pairs)."""
+    segments (broadcast over all segment pairs). COLLINEAR OVERLAPPING pairs
+    (parallel, zero cross-denominator, lying on the same line with a shared
+    positive-length run) get each other's interior endpoints inserted
+    instead — vertex-aligning the shared run so ring_is_simple detects the
+    overlap and the winding/dissolve passes cancel it exactly."""
     n = len(ring)
     a = ring
     b = np.roll(ring, -1, axis=0)
     d = b - a
     # pairwise solve a_i + t*d_i == a_j + u*d_j
-    ii, jj = _nonadjacent_pairs(n)
-    if len(ii) == 0:
+    ii0, jj0 = _nonadjacent_pairs(n)
+    if len(ii0) == 0:
         return ring
-    denom = d[ii, 0] * d[jj, 1] - d[ii, 1] * d[jj, 0]
-    ok = np.abs(denom) > 1e-18
-    ii, jj, denom = ii[ok], jj[ok], denom[ok]
-    if len(ii) == 0:
-        return ring
-    w = a[jj] - a[ii]
-    t = (w[:, 0] * d[jj, 1] - w[:, 1] * d[jj, 0]) / denom
-    u = (w[:, 0] * d[ii, 1] - w[:, 1] * d[ii, 0]) / denom
-    tol = 1e-12
-    hit = (t >= -tol) & (t <= 1 + tol) & (u >= -tol) & (u <= 1 + tol)
-    interior_i = hit & (t > tol) & (t < 1 - tol)
-    interior_j = hit & (u > tol) & (u < 1 - tol)
+    denom0 = d[ii0, 0] * d[jj0, 1] - d[ii0, 1] * d[jj0, 0]
+    ok = np.abs(denom0) > 1e-18
     inserts: dict[int, list] = {}
-    pts = a[ii] + t[:, None] * d[ii]
-    for sel, segs, tt in ((interior_i, ii, t), (interior_j, jj, u)):
-        for s, tv, p in zip(segs[sel], tt[sel], pts[sel]):
-            inserts.setdefault(int(s), []).append((float(tv if segs is ii else tv), p))
+
+    # ---- parallel pairs: split collinear overlaps at interior endpoints ----
+    pii, pjj = ii0[~ok], jj0[~ok]
+    if len(pii):
+        L2i = (d[pii] ** 2).sum(axis=1)
+        nz = L2i > 1e-24
+        pii, pjj, L2i = pii[nz], pjj[nz], L2i[nz]
+        if len(pii):
+            # collinear iff a_j is on line(i) (parallel already guaranteed)
+            off = a[pjj] - a[pii]
+            perp = np.abs(d[pii, 0] * off[:, 1] - d[pii, 1] * off[:, 0])
+            col = perp <= 1e-9 * np.sqrt(L2i)
+            pii, pjj, L2i = pii[col], pjj[col], L2i[col]
+            eps = 1e-12
+            for pi, pj, l2i in zip(pii.tolist(), pjj.tolist(), L2i.tolist()):
+                l2j = float((d[pj] ** 2).sum())
+                if l2j <= 1e-24:
+                    continue
+                # project j's endpoints onto i and vice versa
+                for src, dst, l2 in ((pj, pi, l2i), (pi, pj, l2j)):
+                    for p in (a[src], b[src]):
+                        t = float((p - a[dst]) @ d[dst]) / l2
+                        if eps < t < 1.0 - eps:
+                            inserts.setdefault(int(dst), []).append(
+                                (t, a[dst] + t * d[dst]))
+
+    # ---- crossing pairs ----
+    ii, jj, denom = ii0[ok], jj0[ok], denom0[ok]
+    if len(ii) == 0 and not inserts:
+        return ring
+    if len(ii):
+        w = a[jj] - a[ii]
+        t = (w[:, 0] * d[jj, 1] - w[:, 1] * d[jj, 0]) / denom
+        u = (w[:, 0] * d[ii, 1] - w[:, 1] * d[ii, 0]) / denom
+        tol = 1e-12
+        hit = (t >= -tol) & (t <= 1 + tol) & (u >= -tol) & (u <= 1 + tol)
+        interior_i = hit & (t > tol) & (t < 1 - tol)
+        interior_j = hit & (u > tol) & (u < 1 - tol)
+        pts = a[ii] + t[:, None] * d[ii]
+        for sel, segs, tt in ((interior_i, ii, t), (interior_j, jj, u)):
+            for s, tv, p in zip(segs[sel], tt[sel], pts[sel]):
+                inserts.setdefault(int(s), []).append((float(tv), p))
     if not inserts:
         return ring
     out = []
@@ -380,16 +412,19 @@ def _insert_ring_self_intersections(ring: np.ndarray) -> np.ndarray:
     return dense
 
 
-def _winding_trapezoids(dense: np.ndarray) -> list:
-    """Decompose the NONZERO-WINDING region of a (possibly self-crossing)
-    closed chain into a tessellation of trapezoids: slab the plane at every
-    vertex y (crossings are already vertices, so no edge crosses another
-    inside a slab), sort the slab-spanning edges by x at the slab midline,
-    accumulate winding left-to-right (+1 upward edge, -1 downward), and emit
-    one trapezoid per gap with winding != 0. Exact for every crossing
-    pattern — pentagrams, interleaved bowties, |winding| >= 2 — because it
-    computes the true winding field, not per-loop probes. Returns a list of
-    single-ring `parts` ready for dissolve()."""
+def _winding_trapezoids(dense: np.ndarray, rule: str = "nonzero") -> list:
+    """Decompose the winding region of a (possibly self-crossing) closed
+    chain into a tessellation of trapezoids: slab the plane at every vertex y
+    (crossings are already vertices, so no edge crosses another inside a
+    slab), sort the slab-spanning edges by x at the slab midline, accumulate
+    winding left-to-right (+1 upward edge, -1 downward), and emit one
+    trapezoid per gap the rule keeps: ``nonzero`` (!= 0, the repair rule) or
+    ``positive`` (>= 1, the Chen-McMains raw-offset rule — negative
+    swallowtail loops of an inward offset must be DROPPED, which nonzero
+    would wrongly keep). Exact for every crossing pattern — pentagrams,
+    interleaved bowties, |winding| >= 2 — because it computes the true
+    winding field, not per-loop probes. Returns a list of single-ring
+    `parts` ready for dissolve()."""
     a = dense
     b = np.roll(dense, -1, axis=0)
     keep = ~np.all(a == b, axis=1)
@@ -402,7 +437,11 @@ def _winding_trapezoids(dense: np.ndarray) -> list:
     lo = np.minimum(A[:, 1], B[:, 1])
     hi = np.maximum(A[:, 1], B[:, 1])
     dy = B[:, 1] - A[:, 1]
-    direction = np.where(dy > 0, 1, -1)
+    # sign convention: accumulating left-to-right, a CCW interior must read
+    # +1 (the standard winding number) — an upward edge crossed by a ray
+    # from the LEFT contributes -1 there (the nonzero repair rule is
+    # sign-agnostic; the positive raw-offset rule is not)
+    direction = np.where(dy > 0, -1, 1)
     traps = []
     for y0, y1 in zip(ys[:-1], ys[1:]):
         span = (lo <= y0) & (hi >= y1)
@@ -417,13 +456,17 @@ def _winding_trapezoids(dense: np.ndarray) -> list:
         order = np.argsort(xm, kind="stable")
         wind = np.cumsum(direction[span][order])
         for k in range(len(order) - 1):
-            if wind[k] == 0:
+            if (wind[k] == 0) if rule == "nonzero" else (wind[k] < 1):
                 continue
             i, j = order[k], order[k + 1]
             quad = snap(np.array([[x0[i], y0], [x0[j], y0],
                                   [x1[j], y1], [x1[i], y1]]))
             ring = _dedupe_ring(quad)
-            if len(ring) >= 3 and abs(ring_signed_area(ring)) > SNAP * SNAP:
+            # a genuine trapezoid is CCW by construction (left edge i, right
+            # edge j, bottom y0); a NEGATIVE sliver is a snap artifact of two
+            # edges whose order flipped within the slab after rounding —
+            # keeping it would poison dissolve()'s directed-edge cancellation
+            if len(ring) >= 3 and ring_signed_area(ring) > SNAP * SNAP:
                 traps.append([ring])
     return traps
 
@@ -447,20 +490,27 @@ def ring_is_simple(ring: np.ndarray) -> bool:
     d2 = np.roll(d, -1, axis=0)
     cross = d[:, 0] * d2[:, 1] - d[:, 1] * d2[:, 0]
     if np.all(cross > 0) or np.all(cross < 0):
-        return True  # strictly convex
+        # all turns in one direction is necessary but NOT sufficient: a star
+        # polygon (pentagram, pinwheel offset chain) also qualifies yet
+        # self-intersects. Strict convexity additionally requires total
+        # turning of exactly one revolution (a star turns 2*pi*k, k >= 2).
+        dot = (d * d2).sum(axis=1)
+        total = float(np.abs(np.arctan2(cross, dot).sum()))
+        if abs(total - 2.0 * np.pi) < 1e-6:
+            return True  # strictly convex
     return len(_insert_ring_self_intersections(r)) == len(r)
 
 
-def repair_ring(ring: np.ndarray):
+def repair_ring(ring: np.ndarray, rule: str = "nonzero"):
     """GEOS-MakeValid-style repair of one self-intersecting ring (reference:
     fixgeometries, plugin/brdrq/brdrq_utils.py:1536-1547): insert every
-    crossing as a vertex, decompose the NONZERO-WINDING region into a
-    trapezoid tessellation, and dissolve it back into clean polygons. A
-    bowtie becomes its two lobes; a pinched donut becomes shell + hole; a
-    pentagram keeps its full star. Returns a `parts` object (possibly
-    multiple parts, holes included)."""
+    crossing as a vertex, decompose the winding region (``rule``: nonzero for
+    repair, positive for raw-offset curves) into a trapezoid tessellation,
+    and dissolve it back into clean polygons. A bowtie becomes its two lobes;
+    a pinched donut becomes shell + hole; a pentagram keeps its full star.
+    Returns a `parts` object (possibly multiple parts, holes included)."""
     dense = _insert_ring_self_intersections(snap(np.asarray(ring, dtype=np.float64)))
-    traps = _winding_trapezoids(dense)
+    traps = _winding_trapezoids(dense, rule=rule)
     if not traps:
         return []
     from .boolean import dissolve  # function-level: boolean imports core

@@ -110,3 +110,20 @@ def test_area_identities_holes_and_multi(seed_a, seed_b):
     assert ai + d1 + d2 == pytest.approx(au, rel=1e-6, abs=tol)
     assert ai + d1 == pytest.approx(area(A), rel=1e-6, abs=tol)
     assert ai + d2 == pytest.approx(area(B), rel=1e-6, abs=tol)
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=60, deadline=None)
+def test_collinear_spike_fuzz(seed):
+    """Random rectilinear ring with an injected zero-width collinear spike:
+    make_valid must recover the spike-free area exactly."""
+    rng = np.random.default_rng(seed)
+    w, h = rng.uniform(4, 12), rng.uniform(4, 12)
+    base = [(0.0, 0.0), (w, 0.0), (w, h), (0.0, h)]
+    # spike: out-and-back along an edge-aligned line from a point on the top
+    sx = float(rng.uniform(0.5, w - 0.5))
+    slen = float(rng.uniform(0.5, 3.0))
+    ring = np.array(base[:3] + [(sx, h), (sx, h + slen), (sx, h)] + base[3:],
+                    float)
+    k, parts = g.make_valid(g.GEOM_POLYGON, [[g.snap(ring)]])
+    assert area(parts) == pytest.approx(w * h, rel=1e-6)

@@ -193,3 +193,71 @@ def test_make_valid_repairs_self_intersecting_hole():
     bow_hole = np.array([(2, 2), (4, 4), (4, 2), (2, 4)], float)  # area 2
     kind, parts = g.make_valid(g.GEOM_POLYGON, [[shell, bow_hole]])
     assert g.geom_area(kind, parts) == pytest.approx(98.0)
+
+
+def test_ring_is_simple_rejects_star_polygons():
+    """All-same-sign turns is not sufficient for simplicity: a pentagram
+    turns uniformly left but self-intersects (total turning 4*pi). The
+    convexity fast path must not claim it simple — make_valid must repair
+    it into the full star region."""
+    import numpy as np
+    from brdrq_ray.geom import core as g
+
+    ang = np.pi / 2 + np.arange(5) * (4 * np.pi / 5)  # visit every 2nd vertex
+    penta = np.column_stack([10 + 5 * np.cos(ang), 10 + 5 * np.sin(ang)])
+    assert not g.ring_is_simple(penta)
+    k, parts = g.make_valid(g.GEOM_POLYGON, [[penta]])
+    a = g.geom_area(g.GEOM_POLYGON, parts)
+    # pentagram (nonzero rule keeps the core): area strictly between the
+    # inner pentagon and the convex hull pentagon
+    assert 7.0 < a < 60.0
+    # an actually convex ring still takes the fast path
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    assert g.ring_is_simple(sq)
+
+
+def test_closing_identity_and_crack_fill():
+    """Default-on correction closing: provable no-op on clean geometry
+    (byte-identical return), crack-fill on sub-2r gaps."""
+    import numpy as np
+    from brdrq_ray.geom import core as g
+    from brdrq_ray.geom.buffer import closing
+
+    def sq(x0, y0, w, h):
+        return np.array([[x0, y0], [x0+w, y0], [x0+w, y0+h], [x0, y0+h]], float)
+
+    clean = [[sq(0, 0, 10, 10)], [sq(20, 0, 5, 5)]]
+    assert closing(clean, 0.01) is clean  # identity fast path
+    cracked = [[sq(0, 0, 10, 10)], [sq(10.005, 0, 10, 10)]]
+    out = closing(cracked, 0.01)
+    assert len(out) == 1  # bridged
+    a = g.geom_area(g.GEOM_POLYGON, out)
+    assert abs(a - 200.05) < 1e-6
+
+
+def test_make_valid_repairs_collinear_overlaps():
+    """Collinear overlapping segments (zero-width spikes, boundary runs
+    traversed twice, pinches along a segment) are split at each other's
+    interior endpoints and cancelled exactly — the r2 known limitation."""
+    import numpy as np
+    from brdrq_ray.geom import core as g
+
+    # zero-width vertical spike off the top edge
+    spike = np.array([(0, 0), (10, 0), (10, 10), (5, 10), (5, 14),
+                      (5, 10), (0, 10)], float)
+    k, parts = g.make_valid(g.GEOM_POLYGON, [[spike]])
+    assert g.geom_area(k, parts) == pytest.approx(100.0)
+
+    # pinch along a SEGMENT: two boxes joined through a doubly-traversed
+    # run of the shared x=10 line
+    pinched = np.array([(0, 0), (10, 0), (10, 4), (10, 2), (20, 2),
+                        (20, 8), (10, 8), (10, 6), (10, 10), (0, 10)], float)
+    assert not g.ring_is_simple(pinched)
+    k, parts = g.make_valid(g.GEOM_POLYGON, [[pinched]])
+    assert g.geom_area(k, parts) == pytest.approx(160.0)
+
+    # boundary run traversed twice in opposite directions (up-down-up)
+    dbl = np.array([(0, 0), (10, 0), (10, 6), (10, 3), (10, 8), (0, 8)], float)
+    assert not g.ring_is_simple(dbl)
+    k, parts = g.make_valid(g.GEOM_POLYGON, [[dbl]])
+    assert g.geom_area(k, parts) == pytest.approx(80.0)
