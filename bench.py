@@ -115,10 +115,10 @@ def run_queries() -> dict:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
-    names = ["metrics_agg", "grouped_topk", "hash_join_broadcast", "asof_join",
+    names = ["metrics_agg", "grouped_topk", "hash_join", "asof_join",
              "exact_dedup_documents", "token_count", "knn_top5", "minhash_pairs",
              "align_predict", "align_evaluate", "autoupdate", "spatial_semi_join",
-             "semi_join", "correction", "media_decode"]
+             "semi_anti_join", "correction", "media_decode"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -306,6 +306,50 @@ def anti_join_customers(sf_dir: str):
     return semi_join(cust, big, on="c_custkey", anti=True)
 
 
+def hash_join_strategies(sf_dir: str):
+    """J3 driver gate for ALL THREE join forms in one row: run the broadcast,
+    explicit-partitioned, and native ``Dataset.join`` variants of
+    orders x customer over the same input, assert they agree row-for-row on
+    the common columns, and return the broadcast result. A disagreement
+    raises, so one green CORRECTNESS row gates all three implementations.
+    (Correctness probe — runs at the driver's sf0.01 scale; production
+    pipelines call the individual forms directly.)"""
+    import pandas as pd
+
+    bro = broadcast_hash_join(sf_dir).to_pandas()
+    par = partitioned_hash_join(sf_dir).to_pandas()
+    nat = native_hash_join(sf_dir).to_pandas()
+    common = ["o_orderkey", "o_custkey", "o_totalprice", "c_name"]
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[common].sort_values(common, kind="mergesort")
+                .reset_index(drop=True))
+
+    a = canon(bro)
+    for name, other in (("partitioned", par), ("native", nat)):
+        if not a.equals(canon(other)):
+            raise AssertionError(f"hash join strategies disagree: "
+                                 f"broadcast vs {name}")
+    return bro
+
+
+def semi_anti_join_customers(sf_dir: str):
+    """J-semi/anti driver gate in one row: the semi-join (orders > 300k) and
+    anti-join (no order > 400k) over customer, labeled and unioned (oracle:
+    UNION ALL of the IN / NOT IN subqueries)."""
+    def label(side: str):
+        def add(t: pa.Table) -> pa.Table:
+            return t.select(["c_custkey", "c_name"]).append_column(
+                "side", pa.array([side] * len(t), pa.string()))
+        return add
+
+    s = semi_join_customers(sf_dir).map_batches(label("semi"),
+                                                batch_format="pyarrow")
+    a = anti_join_customers(sf_dir).map_batches(label("anti"),
+                                                batch_format="pyarrow")
+    return s.union(a)
+
+
 def duplicate_key_detection(sf_dir: str):
     """D3: keys with more than one row (the reference's multi-prediction ->
     TO_REVIEW trigger, plugin/brdrq/brdrq_utils.py:1251-1254)."""
