@@ -14,7 +14,10 @@ Manifest lines carry lineage + metrics: part_key, owner cell, row count,
 params hash (the alignment config + grid), wall time. Resume = read the
 manifest, drop finished partitions from the keyed input BEFORE the shuffle
 (the groupby never sees them — skipped partitions cost zero compute), run the
-remainder, append to the manifest.
+remainder. The driver consumes the write DAG as a STREAM (iter_batches) and
+appends manifest lines as partitions finish — the jsonl grows during the run,
+so a mid-run kill keeps every finished partition's driver-side lineage (the
+per-partition _rec.json files cover the in-flight remainder).
 """
 
 from __future__ import annotations
@@ -234,9 +237,27 @@ def run_alignment_checkpointed(thematic, reference, out_dir: str, cfg=None,
         part_key = int(group.column("part_key")[0].as_py())
         return writer(part_key, align(group))
 
-    manifest_rows = (unified.groupby("part_key")
-                     .map_groups(align_and_write, batch_format="pyarrow")
-                     .to_pandas())
+    def stream_manifest(ds) -> list[dict]:
+        """Consume the write DAG as a stream, appending each batch of
+        manifest records to the driver jsonl AS PARTITIONS FINISH — a kill
+        mid-run loses only the in-flight partitions' driver records (and the
+        per-partition _rec.json files cover even those), instead of losing
+        the whole run's lineage to a post-hoc append."""
+        out: list[dict] = []
+        # batch_size=None = one batch per arriving block: append granularity
+        # follows task completion instead of a 256-row coalescing buffer
+        for batch in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            recs = batch.to_pylist()
+            for r in recs:
+                r["cell"] = int(r["cell"])
+                r["part_key"] = int(r["part_key"])
+            append_manifest(out_dir, recs)
+            out.extend(recs)
+        return out
+
+    records = stream_manifest(unified.groupby("part_key")
+                              .map_groups(align_and_write,
+                                          batch_format="pyarrow"))
 
     if oversized is not None:
         # sampled-plan fallback: the oversized subset (tiny) gets its own
@@ -258,22 +279,14 @@ def run_alignment_checkpointed(thematic, reference, out_dir: str, cfg=None,
                 part_key = int(group.column("part_key")[0].as_py())
                 return writer(part_key, align_fb(group))
 
-            fb_rows = (over_unified.groupby("part_key")
-                       .map_groups(align_and_write_fb, batch_format="pyarrow")
-                       .to_pandas())
-            import pandas as _pd
-            manifest_rows = _pd.concat([manifest_rows, fb_rows],
-                                       ignore_index=True)
+            records.extend(stream_manifest(
+                over_unified.groupby("part_key")
+                .map_groups(align_and_write_fb, batch_format="pyarrow")))
 
-    records = manifest_rows.to_dict("records")
-    for r in records:
-        r["cell"] = int(r["cell"])
-        r["part_key"] = int(r["part_key"])
-    append_manifest(out_dir, records)
     return {
         "processed_parts": sorted({r["part_key"] for r in records}),
         "skipped_parts": sorted(done_keys),
-        "rows": int(manifest_rows["rows"].sum()) if len(manifest_rows) else 0,
+        "rows": int(sum(r["rows"] for r in records)),
         "level": plan.level,
         "params_hash": phash,
     }

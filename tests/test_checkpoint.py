@@ -178,3 +178,33 @@ def test_checkpoint_sampled_plan_with_oversized_routing(ray_session, tmp_path):
         again = (read_results(out, phash=s2["params_hash"]).to_pandas()
                  .sort_values("theme_id").reset_index(drop=True))
         assert sorted(again["theme_id"]) == sorted(exact["theme_id"])
+
+
+def test_manifest_appends_stream_during_run(ray_session, tmp_path, monkeypatch):
+    """The driver jsonl must GROW during the run (one append per finished
+    batch of partitions), not arrive as a single post-hoc append — a mid-run
+    kill then keeps every finished partition's driver-side lineage."""
+    import ray.data
+    from brdrq_ray.state import checkpoint as ck
+
+    ref = fx.make_reference_table(nx=12, ny=12, seed=7)
+    theme = fx.make_thematic_table(nx=12, ny=12, seed=7, n_features=25)
+    out = str(tmp_path / "ckpt_stream")
+    cfg = al.AlignConfig(relevant_distance=2.0, od_strategy=al.OD_EXCLUDE)
+
+    calls = []
+    real_append = ck.append_manifest
+    monkeypatch.setattr(ck, "append_manifest",
+                        lambda d, recs: (calls.append(len(recs)),
+                                         real_append(d, recs)))
+    # several input blocks -> several shuffle output blocks -> the stream
+    # yields (and appends) more than once
+    stats = ck.run_alignment_checkpointed(
+        ray.data.from_arrow(theme).repartition(6),
+        ray.data.from_arrow(ref), out, cfg)
+    n_parts = len(stats["processed_parts"])
+    assert n_parts > 1
+    # streamed: multiple incremental appends, none carrying the whole run
+    assert len(calls) > 1
+    assert sum(calls) >= n_parts
+    assert max(calls) < n_parts or len(calls) > 1
