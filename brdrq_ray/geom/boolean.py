@@ -411,6 +411,52 @@ def _overlay_once(a_parts, b_parts, op: str, validate: bool = True):
     return _stitch(sel)
 
 
+def _vertex_edge_candidates(verts, ax, ay, bx, by):
+    """(vertex, edge) index pairs whose bboxes come within the T-junction
+    tolerance — a uniform bbox grid sized at the median edge extent, so the
+    dense V x E proximity matrix never materializes. Edges spanning many
+    cells go on a short 'always check' list instead of flooding the grid."""
+    tol = SNAP * 4
+    ex0 = np.minimum(ax, bx) - tol
+    ex1 = np.maximum(ax, bx) + tol
+    ey0 = np.minimum(ay, by) - tol
+    ey1 = np.maximum(ay, by) + tol
+    ne, nv = len(ax), len(verts)
+    if ne == 0 or nv == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    med = float(np.median(np.maximum(ex1 - ex0, ey1 - ey0)))
+    cell = max(med, 1e-9)
+    inv = 1.0 / cell
+    gx0 = np.floor(ex0 * inv).astype(np.int64)
+    gx1 = np.floor(ex1 * inv).astype(np.int64)
+    gy0 = np.floor(ey0 * inv).astype(np.int64)
+    gy1 = np.floor(ey1 * inv).astype(np.int64)
+    span = (gx1 - gx0 + 1) * (gy1 - gy0 + 1)
+    grid: dict = {}
+    always: list = []
+    for e in range(ne):
+        if span[e] > 32:
+            always.append(e)
+            continue
+        for cx in range(gx0[e], gx1[e] + 1):
+            for cy in range(gy0[e], gy1[e] + 1):
+                grid.setdefault((cx, cy), []).append(e)
+    vgx = np.floor(verts[:, 0] * inv).astype(np.int64)
+    vgy = np.floor(verts[:, 1] * inv).astype(np.int64)
+    vi_list: list = []
+    ei_list: list = []
+    for v in range(nv):
+        es = grid.get((vgx[v], vgy[v]))
+        if es:
+            vi_list.extend([v] * len(es))
+            ei_list.extend(es)
+    if always:
+        al = np.array(always, np.int64)
+        vi_list.extend(np.repeat(np.arange(nv), len(al)).tolist())
+        ei_list.extend(np.tile(al, nv).tolist())
+    return np.array(vi_list, np.int64), np.array(ei_list, np.int64)
+
+
 def dissolve(parts_list_or_parts):
     """Union of polygons with DISJOINT interiors that may share boundary edges
     (a tessellation — e.g. adjacent cadastral parcels): cancel opposite
@@ -442,19 +488,20 @@ def dissolve(parts_list_or_parts):
     rx, ry = bx - ax, by - ay
     len2 = rx * rx + ry * ry
     len2[len2 == 0] = 1e-300
-    chunk = max(1, int(4e6 / max(len(edges), 1)))
-    for s in range(0, len(verts), chunk):
-        V = verts[s:s + chunk]
-        apx = V[:, None, 0] - ax[None, :]
-        apy = V[:, None, 1] - ay[None, :]
-        t = (apx * rx[None, :] + apy * ry[None, :]) / len2[None, :]
-        px = ax[None, :] + t * rx[None, :]
-        py = ay[None, :] + t * ry[None, :]
-        d = np.hypot(V[:, None, 0] - px, V[:, None, 1] - py)
+    # candidate (vertex, edge) pairs from a bbox grid instead of the dense
+    # V x E matrix: dissolve is the alignment hot path's inner kernel, and
+    # the tessellations it unions are local — near-linear beats O(V*E)
+    vi_a, ei_a = _vertex_edge_candidates(verts, ax, ay, bx, by)
+    if len(vi_a):
+        Vx, Vy = verts[vi_a, 0], verts[vi_a, 1]
+        t = ((Vx - ax[ei_a]) * rx[ei_a] + (Vy - ay[ei_a]) * ry[ei_a]) / len2[ei_a]
+        px = ax[ei_a] + t * rx[ei_a]
+        py = ay[ei_a] + t * ry[ei_a]
+        d = np.hypot(Vx - px, Vy - py)
         hit = (d <= SNAP * 4) & (t > 1e-9) & (t < 1 - 1e-9)
-        vi, ei = np.nonzero(hit)
-        for v, e in zip(vi.tolist(), ei.tolist()):
-            cuts[e].append((float(t[v, e]), float(verts[s + v, 0]), float(verts[s + v, 1])))
+        for v, e, tv in zip(vi_a[hit].tolist(), ei_a[hit].tolist(),
+                            t[hit].tolist()):
+            cuts[e].append((tv, float(verts[v, 0]), float(verts[v, 1])))
     sub = _apply_cuts([list(e) + [c] for e, c in zip(edges, cuts)])
     # cancel opposite directed pairs: for key (u,v), net survivors =
     # count[(u,v)] - count[(v,u)] copies (if positive)

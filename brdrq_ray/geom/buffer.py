@@ -294,17 +294,21 @@ def _perimeter(parts) -> float:
     return total
 
 
-def _closing_is_identity(parts, r: float) -> bool:
-    """True when closing(parts, r) provably equals parts: no two NON-ADJACENT
-    boundary edges (across all rings/parts) come within 2r of each other, and
-    no vertex folds sharper than the miter cap. A mitered closing only alters
-    geometry where opposing boundary sections trap a crack thinner than 2r or
-    a corner exceeds the cap — absent both, dilate-then-erode round-trips
-    exactly, so we can skip it entirely (the dominant case: clean results)."""
+def _dirty_parts(parts, r: float) -> set:
+    """Indices of parts that closing(., r) could ALTER: a part is dirty when
+    it has a vertex fold sharper than the miter cap, or any NON-ADJACENT
+    boundary edge (its own or another part's) within 2r of one of its edges.
+    A mitered closing only changes geometry where opposing boundary sections
+    trap a crack thinner than 2r or a corner exceeds the cap, and a part more
+    than 2r from everything cannot be touched by the others' dilations — so
+    clean parts pass through byte-identical and only the dirty subset pays
+    the offset construction. Empty set = provable global identity (the
+    dominant case: clean results)."""
     lim = 2.0 * r
-    A_list, B_list, ring_id, idx_in_ring, ring_len = [], [], [], [], []
+    A_list, B_list, ring_id, idx_in_ring, ring_len, part_id = [], [], [], [], [], []
+    dirty: set = set()
     rid = 0
-    for rings in parts:
+    for pid, rings in enumerate(parts):
         for ring in rings:
             n = len(ring)
             nxt = np.roll(ring, -1, axis=0)
@@ -313,6 +317,7 @@ def _closing_is_identity(parts, r: float) -> bool:
             ring_id.append(np.full(n, rid))
             idx_in_ring.append(np.arange(n))
             ring_len.append(np.full(n, n))
+            part_id.append(np.full(n, pid))
             # adjacent fold sharper than the miter cap (denom < 0.5)
             d = nxt - ring
             L = np.hypot(d[:, 0], d[:, 1])
@@ -321,16 +326,17 @@ def _closing_is_identity(parts, r: float) -> bool:
             u[ok] = d[ok] / L[ok, None]
             dots = (u * np.roll(u, -1, axis=0)).sum(axis=1)
             if (dots < -0.5).any():
-                return False
+                dirty.add(pid)
             rid += 1
     A = np.vstack(A_list)
     B = np.vstack(B_list)
     rI = np.concatenate(ring_id)
     iI = np.concatenate(idx_in_ring)
     nI = np.concatenate(ring_len)
+    pI = np.concatenate(part_id)
     E = len(A)
-    if E > 2048:        # bbox-pair matrix would be big; just run the offsets
-        return False
+    if E > 4096:        # bbox-pair matrix would be big; close everything
+        return set(range(len(parts)))
     x0 = np.minimum(A[:, 0], B[:, 0]) - lim
     x1 = np.maximum(A[:, 0], B[:, 0]) + lim
     y0 = np.minimum(A[:, 1], B[:, 1]) - lim
@@ -343,8 +349,9 @@ def _closing_is_identity(parts, r: float) -> bool:
     ii, jj = np.nonzero(np.triu(near & ~adjacent, k=1))
     for i, j in zip(ii.tolist(), jj.tolist()):
         if _seg_dist(A[i], B[i], A[j], B[j]) < lim:
-            return False
-    return True
+            dirty.add(int(pI[i]))
+            dirty.add(int(pI[j]))
+    return dirty
 
 
 def _seg_dist(a1, b1, a2, b2) -> float:
@@ -387,15 +394,21 @@ def closing(parts, r: float):
     falls back to the exact capsule-subtraction erosion."""
     if not parts or r <= 0:
         return parts
-    if _closing_is_identity(parts, r):
+    dirty = _dirty_parts(parts, r)
+    if not dirty:
         return parts
-    a_in = _area(parts)
-    tol = 2e-6 * _perimeter(parts) + r * r * sum(len(rg) for p in parts for rg in p)
-    d = _simplify_parts(dilate(parts, r, join="miter"))
+    # only the dirty subset pays the offset construction: a clean part is
+    # > 2r from every other edge, so no dilation can reach it — it passes
+    # through byte-identical
+    clean = [p for i, p in enumerate(parts) if i not in dirty]
+    sub = [p for i, p in enumerate(parts) if i in dirty]
+    a_in = _area(sub)
+    tol = 2e-6 * _perimeter(sub) + r * r * sum(len(rg) for p in sub for rg in p)
+    d = _simplify_parts(dilate(sub, r, join="miter"))
     if _area(d) + tol < a_in:           # dilation must also be extensive
-        d = _dilate_capsules(parts, r)
+        d = _dilate_capsules(sub, r)
     e = erode(d, r, join="miter")
     a_out = _area(e)
-    if a_out + tol >= a_in and a_out <= _area(d) + tol:
-        return e
-    return _erode_capsules(d, r)
+    if not (a_out + tol >= a_in and a_out <= _area(d) + tol):
+        e = _erode_capsules(d, r)
+    return clean + e

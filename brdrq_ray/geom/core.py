@@ -455,10 +455,22 @@ def _winding_trapezoids(dense: np.ndarray, rule: str = "nonzero") -> list:
         x1 = As[:, 0] + (y1 - As[:, 1]) / d * (Bs[:, 0] - As[:, 0])
         order = np.argsort(xm, kind="stable")
         wind = np.cumsum(direction[span][order])
-        for k in range(len(order) - 1):
-            if (wind[k] == 0) if rule == "nonzero" else (wind[k] < 1):
+        kept = (wind[:-1] != 0) if rule == "nonzero" else (wind[:-1] >= 1)
+        # merge MAXIMAL RUNS of kept gaps: the edge between two adjacent kept
+        # gaps has winding != 0 on both sides, i.e. it is interior to the
+        # union — emitting one trapezoid per run (left edge of the first gap,
+        # right edge of the last) is exact and cuts the trapezoid count (and
+        # dissolve()'s edge work) drastically on dense offset chains
+        k = 0
+        n_gaps = len(kept)
+        while k < n_gaps:
+            if not kept[k]:
+                k += 1
                 continue
-            i, j = order[k], order[k + 1]
+            k2 = k
+            while k2 + 1 < n_gaps and kept[k2 + 1]:
+                k2 += 1
+            i, j = order[k], order[k2 + 1]
             quad = snap(np.array([[x0[i], y0], [x0[j], y0],
                                   [x1[j], y1], [x1[i], y1]]))
             ring = _dedupe_ring(quad)
@@ -468,6 +480,7 @@ def _winding_trapezoids(dense: np.ndarray, rule: str = "nonzero") -> list:
             # keeping it would poison dissolve()'s directed-edge cancellation
             if len(ring) >= 3 and ring_signed_area(ring) > SNAP * SNAP:
                 traps.append([ring])
+            k = k2 + 1
     return traps
 
 
