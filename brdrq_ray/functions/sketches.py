@@ -17,6 +17,10 @@ import pyarrow as pa
 
 from .vhash import bit_length_u64, hash64, splitmix64
 
+#: cluster-side tree-merge fan-in: per-batch sketches are coalesced into this
+#: many blocks and merged inside the cluster before the driver touches them
+_MERGE_FANIN = 16
+
 
 def _hll_registers(values, p: int) -> np.ndarray:
     m = 1 << p
@@ -64,8 +68,20 @@ def hll_count_distinct(ds, col: str, p: int = 12) -> dict:
         regs = _hll_registers(vals, p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
+    def merge_block(t: pa.Table) -> pa.Table:
+        acc = np.zeros(m, dtype=np.uint8)
+        for buf in t.column("regs").to_pylist():
+            acc = np.maximum(acc, np.frombuffer(buf, dtype=np.uint8))
+        return pa.table({"regs": pa.array([acc.tobytes()], pa.binary())})
+
+    # tree merge: coalesce per-batch sketches into <= _MERGE_FANIN blocks and
+    # max-merge INSIDE the cluster; the driver merges only the fan-in roots
+    # (sketch bytes are mergeable both ways — this keeps even those off the
+    # driver at billion-batch scale)
     merged = np.zeros(m, dtype=np.uint8)
     for b in (ds.map_batches(batch_sketch, batch_format="pyarrow")
+              .repartition(_MERGE_FANIN)
+              .map_batches(merge_block, batch_format="pyarrow")
               .iter_batches(batch_format="pyarrow")):
         for buf in b.column("regs").to_pylist():
             merged = np.maximum(merged, np.frombuffer(buf, dtype=np.uint8))
@@ -122,9 +138,25 @@ def heavy_hitters(ds, col: str, k: int = 10, d: int = 4, w: int = 2048,
             "cands": pa.array([list(vals[order])], pa.list_(pa.string())),
         })
 
+    def merge_block(t: pa.Table) -> pa.Table:
+        acc = np.zeros((d, w), dtype=np.int64)
+        cset: set = set()
+        for buf, cl in zip(t.column("cms").to_pylist(),
+                           t.column("cands").to_pylist()):
+            acc += np.frombuffer(buf, dtype=np.int64).reshape(d, w)
+            cset.update(cl)
+        return pa.table({
+            "cms": pa.array([acc.tobytes()], pa.binary()),
+            "cands": pa.array([sorted(cset)], pa.list_(pa.string())),
+        })
+
+    # tree merge (see hll_count_distinct): cluster-side sum into
+    # <= _MERGE_FANIN roots, driver merges only those
     merged = np.zeros((d, w), dtype=np.int64)
     cands: set = set()
     for b in (ds.map_batches(batch_sketch, batch_format="pyarrow")
+              .repartition(_MERGE_FANIN)
+              .map_batches(merge_block, batch_format="pyarrow")
               .iter_batches(batch_format="pyarrow")):
         for buf, cl in zip(b.column("cms").to_pylist(),
                            b.column("cands").to_pylist()):
