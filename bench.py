@@ -80,15 +80,18 @@ def run_headline() -> dict:
      .map_batches(_warm, batch_format="numpy")
      .count())
 
-    # group-size knob: a FIXED target group count independent of num_cpus so
-    # both scaling runs execute the identical job (~10 groups per core at the
-    # LARGER level; geometry spans are roughly 2.2x docs in this corpus).
-    # 320 measured best at 32 cpus (r2): finer groups soak the hot-tile skew
-    # (max/mean task wall was 4.8s/2.1s at 160) without shuffle overhead
-    # taking over (640 regresses)
-    target_groups = int(os.environ.get("BRDRQ_TARGET_GROUPS", "320"))
-    hot = int(os.environ.get("BRDRQ_HOT_THRESHOLD", "0")) or \
-        max(24, int(BENCH_DOCS * 2.2) // target_groups)
+    # group-size knob, num_cpus-independent so both scaling runs execute the
+    # identical job: at least 320 groups (~10 per core at the larger level —
+    # the r2-tuned value; finer groups soak the hot-tile skew) AND at most
+    # ~410 rows per group (the r3 decade finding: constant rows-per-group,
+    # not constant group count, keeps 500k docs at 97% of the 60k-doc
+    # throughput; geometry spans are roughly 2.2x docs in this corpus)
+    spans = int(BENCH_DOCS * 2.2)
+    if os.environ.get("BRDRQ_TARGET_GROUPS"):
+        hot = max(24, spans // int(os.environ["BRDRQ_TARGET_GROUPS"]))
+    else:
+        hot = max(24, min(410, spans // 320))
+    hot = int(os.environ.get("BRDRQ_HOT_THRESHOLD", "0")) or hot
     # best-of-N inside the session: the sandbox machine shows +-30% wall noise
     # between minutes; one unlucky rep must not define the round's number
     reps = int(os.environ.get("BRDRQ_HEADLINE_REPS", "2"))

@@ -42,6 +42,7 @@ max_predictions (top score, ties to smaller rd).
 
 from __future__ import annotations
 
+import copy
 import json
 from dataclasses import dataclass, field
 
@@ -533,10 +534,23 @@ def _plateau_predictions(theme_id, theme_parts, distances, fps, materialize,
     theme_area = g.geom_area(g.GEOM_POLYGON, theme_parts)
 
     rep_cache: dict = {}
+    fp_cache: dict = {}
 
     def _materialize(idx):
+        # equal fingerprint => rd-independent outcome => identical geometry
+        # (the same invariant D4 plateau-merging rests on): materialize each
+        # DISTINCT fingerprint once and share it across its whole plateau —
+        # a flat 14-rd tail pays one closing, not fourteen. The shallow copy
+        # restamps rd; geometry is shared read-only.
         if idx not in rep_cache:
-            rep_cache[idx] = materialize(idx)
+            fp = fps[idx]
+            if fp in fp_cache:
+                pr = copy.copy(fp_cache[fp])
+                pr.rd = round_rd(distances[idx])
+            else:
+                pr = materialize(idx)
+                fp_cache[fp] = pr
+            rep_cache[idx] = pr
         return rep_cache[idx]
 
     if materialize_all:
