@@ -97,13 +97,18 @@ def run_job(job: AlignJob) -> dict:
     mode = "predict" if job.predictions == "NO" else "evaluate"
 
     if job.max_union_area_m2 is not None:
+        from .functions.geometry_ops import union_area
         from .stages.ingest import parse_geometries
-        total = (thematic.map_batches(parse_geometries, batch_format="pyarrow")
-                 .sum("brdr_area"))
+        # EXACT unary-union area (M15), distributed: clip-to-cell partition,
+        # one bucketed shuffle, per-cell union — matches the reference's
+        # union-then-measure admission guard instead of the r2 sum-of-areas
+        # approximation (which double-counted overlapping features)
+        total = union_area(
+            thematic.map_batches(parse_geometries, batch_format="pyarrow"))
         if total and total > job.max_union_area_m2:
             raise ValueError(
-                f"thematic area {total:.0f} m2 exceeds the admission cap "
-                f"{job.max_union_area_m2:.0f} m2 (reference guard analog)")
+                f"thematic union area {total:.0f} m2 exceeds the admission "
+                f"cap {job.max_union_area_m2:.0f} m2 (reference guard analog)")
 
     os.makedirs(job.workfolder, exist_ok=True)
     stats: dict = {}

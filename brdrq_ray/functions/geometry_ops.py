@@ -156,3 +156,64 @@ def listing(ds: ray.data.Dataset, sort_col: str, descending: bool = True,
     """Presentation sort + cap (the reference lists at most 1000 of 5000
     features, plugin/brdrq/brdrq_dockwidget_featurealigner.py:144)."""
     return ds.sort(sort_col, descending=descending).limit(limit)
+
+
+# --- M15: exact union-area (admission guard, distributed) -------------------
+
+def union_area(parsed: ray.data.Dataset, level: int = 13,
+               n_buckets: int = 64) -> float:
+    """EXACT area of the unary union of every polygon in a parsed dataset,
+    distributed (reference analog: the admission guard unions the thematic
+    layer before accepting a job, brdrq_algorithm_autocorrectborders.py's
+    area cap). Each feature is clipped to its covering Morton cells — the
+    cells PARTITION the plane, so no piece of the union is counted twice —
+    pieces take ONE bucketed shuffle, each cell unions its own pieces
+    exactly (cells owning a single piece skip the union), and the per-cell
+    partial areas sum through a tiny aggregate. Scale: work and memory are
+    per-cell; overlaps only cost where features actually overlap."""
+    from ..tiles import cell_bounds, cover_bbox
+    from .vhash import bucket_i32
+
+    def clip_pieces(batch: pa.Table) -> pa.Table:
+        cells_out, geoms_out = [], []
+        xmin = batch.column("xmin").to_numpy()
+        ymin = batch.column("ymin").to_numpy()
+        xmax = batch.column("xmax").to_numpy()
+        ymax = batch.column("ymax").to_numpy()
+        geoms = batch.column("geom").to_pylist()
+        for i in range(len(geoms)):
+            kind, parts = g.unpack_geom(geoms[i])
+            if kind != g.GEOM_POLYGON or not parts:
+                continue
+            for cell in cover_bbox(xmin[i], ymin[i], xmax[i], ymax[i],
+                                   level).tolist():
+                cx0, cy0, cx1, cy1 = cell_bounds(cell)
+                rect = [[np.array([(cx0, cy0), (cx1, cy0),
+                                   (cx1, cy1), (cx0, cy1)], float)]]
+                piece = overlay(parts, rect, "intersection", validate=False)
+                if piece:
+                    cells_out.append(cell)
+                    geoms_out.append(g.pack_geom(g.GEOM_POLYGON, piece))
+        return pa.table({"cell": pa.array(cells_out, pa.int64()),
+                         "piece": pa.array(geoms_out, pa.binary())})
+
+    def cell_area(gdf: pd.DataFrame) -> pd.DataFrame:
+        from ..geom.boolean import union_many
+        total = 0.0
+        for _, sub in gdf.groupby("cell"):
+            pieces = [g.unpack_geom(b)[1] for b in sub["piece"]]
+            if len(pieces) == 1:
+                total += g.geom_area(g.GEOM_POLYGON, pieces[0])
+            else:
+                total += g.geom_area(g.GEOM_POLYGON, union_many(pieces))
+        return pd.DataFrame({"area": [total]})
+
+    pieces = parsed.map_batches(clip_pieces, batch_format="pyarrow")
+    keyed = pieces.map_batches(
+        lambda t: t.append_column(
+            "b", bucket_i32(t.column("cell"), n_buckets)),
+        batch_format="pyarrow")
+    partials = keyed.groupby("b").map_groups(
+        lambda df: cell_area(df.drop(columns=["b"])), batch_format="pandas")
+    out = partials.sum("area")
+    return float(out or 0.0)

@@ -88,3 +88,45 @@ def test_listing(ray_session):
     assert len(out) == 1000
     assert out["v"].iloc[0] == 4999
     assert (out["v"].diff().dropna() <= 0).all()
+
+
+def test_union_area_exact_on_overlaps(ray_session):
+    """M15 exact admission guard: overlapping features are counted ONCE
+    (the r2 sum-of-areas guard double-counted them), and features spanning
+    several Morton cells are not double-counted either (clip-to-cell is a
+    partition of the plane)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.functions.geometry_ops import union_area
+    from brdrq_ray.geom import core as g
+
+    def sq(x0, y0, w, h):
+        return np.array([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                         (x0, y0 + h)], float)
+
+    # two 10x10 squares overlapping by a 5x10 strip: union area 150, sum 200
+    geoms, boxes = [], []
+    for ring in (sq(0, 0, 10, 10), sq(5, 0, 10, 10)):
+        geoms.append(g.pack_geom(g.GEOM_POLYGON, [[ring]]))
+        boxes.append((ring[:, 0].min(), ring[:, 1].min(),
+                      ring[:, 0].max(), ring[:, 1].max()))
+    t = pa.table({
+        "geom": pa.array(geoms, pa.binary()),
+        "xmin": pa.array([b[0] for b in boxes]),
+        "ymin": pa.array([b[1] for b in boxes]),
+        "xmax": pa.array([b[2] for b in boxes]),
+        "ymax": pa.array([b[3] for b in boxes]),
+    })
+    got = union_area(ray.data.from_arrow(t))
+    assert got == pytest.approx(150.0, abs=1e-6)
+
+    # a single LARGE square spanning many cells at a fine level: still exact
+    big = sq(0, 0, 500, 500)
+    t2 = pa.table({
+        "geom": pa.array([g.pack_geom(g.GEOM_POLYGON, [[big]])], pa.binary()),
+        "xmin": pa.array([0.0]), "ymin": pa.array([0.0]),
+        "xmax": pa.array([500.0]), "ymax": pa.array([500.0]),
+    })
+    assert union_area(ray.data.from_arrow(t2), level=15) == pytest.approx(
+        250000.0, rel=1e-9)
