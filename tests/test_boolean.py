@@ -131,3 +131,21 @@ def test_multipolygon_ops():
     out = overlay(mp, clip, "intersection")
     assert area(out) == pytest.approx(2 * 4 + 2 * 4)
     assert len(out) == 2
+
+
+def test_dissolve_grid_long_edge_tjunctions():
+    """The bbox-grid candidate search routes edges spanning many cells onto
+    the always-check list — a long edge must still receive T-junction cuts
+    from vertices far along it (regression guard for the r3 grid pruning)."""
+    import numpy as np
+    from brdrq_ray.geom.boolean import dissolve
+
+    # one 1000-wide strip and 10 small squares sitting on its top edge:
+    # every square contributes a T-junction in the middle of the long edge
+    strip = [[np.array([(0, 0), (1000, 0), (1000, 5), (0, 5)], float)]]
+    squares = [[[np.array([(x, 5), (x + 2, 5), (x + 2, 7), (x, 7)], float)]]
+               for x in range(10, 1000, 100)]
+    out = dissolve([strip] + squares)
+    from brdrq_ray.geom import core as g
+    total = g.geom_area(g.GEOM_POLYGON, out)
+    assert total == pytest.approx(1000 * 5 + 10 * 4, abs=1e-6)
