@@ -95,30 +95,84 @@ class LangIdStage:
     }
 
     def __init__(self):
-        self.profiles = {}
+        # profiles as SORTED 24-bit byte-trigram code arrays (built once per
+        # actor). Profiles are pure ASCII, so byte trigrams == char trigrams:
+        # in valid UTF-8 any 3-byte window matching 3 ASCII bytes is a real
+        # 3-char substring (continuation bytes are >= 0x80).
+        import numpy as np
+        self.langs: list[str] = []
+        self.codes: list[np.ndarray] = []
+        self.sizes: list[int] = []
         for lang, text in self.PROFILES.items():
             grams = set()
             for w in text.split():
                 padded = f" {w} "
                 grams |= {padded[i:i + 3] for i in range(len(padded) - 2)}
-            self.profiles[lang] = grams
+            arr = np.array(sorted(
+                (g[0].encode()[0] << 16) | (g[1].encode()[0] << 8)
+                | g[2].encode()[0] for g in grams), dtype=np.int32)
+            self.langs.append(lang)
+            self.codes.append(arr)
+            self.sizes.append(max(len(grams), 1))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        langs, confs = [], []
-        for t in texts:
-            t = (t or "").lower()
-            grams = {t[i:i + 3] for i in range(max(len(t) - 2, 0))}
-            best, best_s = "und", 0.0
-            for lang, prof in self.profiles.items():
-                s = len(grams & prof) / max(len(prof), 1)
-                if s > best_s:
-                    best, best_s = lang, s
-            langs.append(best)
-            confs.append(round(best_s, 6))
+        import numpy as np
+        import pyarrow.compute as pc
+
+        n = len(batch)
+        low = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+        # zero-copy utf-8 bytes straight from the Arrow buffers
+        chunks = low.chunks if isinstance(low, pa.ChunkedArray) else [low]
+        parts, lens_parts = [], []
+        for ch in chunks:
+            if len(ch) == 0:
+                continue
+            offs = np.frombuffer(ch.buffers()[1], dtype=np.int32)[
+                ch.offset:ch.offset + len(ch) + 1]
+            data = np.frombuffer(ch.buffers()[2] or b"", dtype=np.uint8)
+            parts.append(data[offs[0]:offs[-1]])
+            lens_parts.append(np.diff(offs).astype(np.int64))
+        lens = (np.concatenate(lens_parts) if lens_parts
+                else np.empty(0, np.int64))
+        if n == 0 or int(lens.sum()) == 0:
+            return (batch
+                    .append_column("lang_pred", pa.array(["und"] * n))
+                    .append_column("lang_conf", pa.array([0.0] * n)))
+        arr = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        doc_of = np.repeat(np.arange(n), lens)
+        # 24-bit trigram code at every byte position whose window stays
+        # inside ONE document
+        if len(arr) >= 3:
+            codes = ((arr[:-2].astype(np.int32) << 16)
+                     | (arr[1:-1].astype(np.int32) << 8)
+                     | arr[2:].astype(np.int32))
+            valid = doc_of[:-2] == doc_of[2:]
+            codes, cdoc = codes[valid], doc_of[:-2][valid]
+        else:
+            codes = np.empty(0, np.int32)
+            cdoc = np.empty(0, np.int64)
+        # DISTINCT (doc, gram) pairs ONCE (set-intersection semantics), then
+        # each language probes the unique grams via searchsorted against its
+        # small sorted profile — no per-language sort of the corpus
+        scores = np.zeros((len(self.langs), n))
+        if len(codes):
+            upair = np.unique(cdoc * np.int64(1 << 24) + codes)
+            ucodes = (upair & np.int64((1 << 24) - 1)).astype(np.int32)
+            udoc = (upair >> np.int64(24)).astype(np.int64)
+            for li, prof in enumerate(self.codes):
+                idx = np.searchsorted(prof, ucodes)
+                idx[idx == len(prof)] = 0
+                sel = prof[idx] == ucodes
+                if sel.any():
+                    scores[li] = np.bincount(udoc[sel], minlength=n) \
+                        / self.sizes[li]
+        best = scores.argmax(axis=0)          # first max wins = dict order
+        best_s = scores[best, np.arange(n)]
+        langs = np.where(best_s > 0.0, np.array(self.langs)[best], "und")
         return (batch
-                .append_column("lang_pred", pa.array(langs, pa.string()))
-                .append_column("lang_conf", pa.array(confs, pa.float64())))
+                .append_column("lang_pred", pa.array(langs.tolist(), pa.string()))
+                .append_column("lang_conf",
+                               pa.array(np.round(best_s, 6), pa.float64())))
 
 
 def analyze_documents(ds, col: str = "text"):
