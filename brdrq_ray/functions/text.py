@@ -263,3 +263,40 @@ def pack_sequences(ds, token_budget: int = 2048, id_col: str = "doc_id",
 
     return (ds.map_batches(add_tokens_and_bucket, batch_format="pyarrow")
             .groupby("b").map_groups(pack_bucket, batch_format="pandas"))
+
+
+# --- PII redaction ----------------------------------------------------------
+
+#: compiled once at module import; every pattern is RE2-compatible so the
+#: whole pass runs inside Arrow's C++ regex kernel (no Python per row)
+_PII_PATTERNS = [
+    # order matters: url first (it may contain @, digits, dots), then email,
+    # then ipv4/iban, PHONE LAST (its loose digit-run shape would otherwise
+    # swallow IPv4s and parts of URLs)
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("iban", r"\b[A-Z]{2}[0-9]{2}[A-Za-z0-9]{10,30}\b", "<IBAN>"),
+    ("phone", r"\+?[0-9][0-9 ()./-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Redact common PII shapes (emails, phone numbers, IPv4s, URLs, IBANs)
+    with typed placeholders — the standard scrubbing stage of a training-data
+    pipeline. Vectorized: one pyarrow C++ regex pass per pattern over the
+    whole column; per-pattern hit counts come back as columns so a pipeline
+    can filter or audit by PII density. Patterns apply in the module-level
+    order (urls/emails/IPs before the loose phone shape)."""
+    import pyarrow.compute as pc
+
+    t = pc.fill_null(batch.column(col), "")
+    counts = {}
+    for name, pat, repl in _PII_PATTERNS:
+        hits = pc.count_substring_regex(t, pat)
+        counts[f"pii_{name}"] = hits
+        t = pc.replace_substring_regex(t, pat, repl)
+    out = batch.append_column("text_redacted", t)
+    for cname, arr in counts.items():
+        out = out.append_column(cname, arr)
+    return out

@@ -499,3 +499,22 @@ def test_heavy_hitters(ray_session):
     for _, r in top.iterrows():
         assert r["est_count"] >= truth[r["value"]]          # never under
         assert r["est_count"] <= truth[r["value"]] + 30     # tight at this w
+
+
+def test_redact_pii_batch():
+    import pyarrow as pa
+    from brdrq_ray.functions.text import redact_pii_batch
+
+    t = pa.table({"doc_id": ["a", "b", "c"], "text": [
+        "mail me at jane.doe+x@example.co.uk or call +32 2 123 45 67",
+        "server 192.168.0.1 serves https://example.com/path?q=1 fine",
+        None,
+    ]})
+    out = redact_pii_batch(t)
+    red = out.column("text_redacted").to_pylist()
+    assert red[0] == "mail me at <EMAIL> or call <PHONE>"
+    assert red[1] == "server <IP> serves <URL> fine"
+    assert red[2] == ""
+    assert out.column("pii_email").to_pylist() == [1, 0, 0]
+    assert out.column("pii_ipv4").to_pylist() == [0, 1, 0]
+    assert out.column("pii_url").to_pylist() == [0, 1, 0]
