@@ -49,8 +49,12 @@ def quality_score_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     mean_wlen = mean_wlen.fillna(0.0)
     punct = s.str.count(r"[^\w\s]").astype("float64")
     punct_ratio = (punct / n_chars.replace(0, np.nan)).fillna(0.0)
-    stop_ratio = words.map(
-        lambda ws: sum(1 for w in ws if w.lower() in _STOPWORDS) / len(ws) if ws else 0.0)
+    # vectorized stopword ratio, same semantics as the per-row set lookup:
+    # split tokens (punctuation attached), lowercase, exact membership
+    exploded = words.explode()
+    stop_counts = (exploded.str.lower().isin(_STOPWORDS)
+                   .groupby(level=0).sum().reindex(s.index, fill_value=0))
+    stop_ratio = (stop_counts / n_words.replace(0, np.nan)).fillna(0.0)
     length_term = np.clip(n_words / 50.0, 0, 1)
     punct_term = 1.0 - np.clip(punct_ratio * 5.0, 0, 1)
     stop_term = np.clip(stop_ratio * 3.0, 0, 1) * 0.5 + 0.5
