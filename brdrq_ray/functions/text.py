@@ -31,7 +31,8 @@ def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     pandas str ops)."""
     s = batch.column(col).to_pandas().fillna("")
     ws = s.str.split().str.len().fillna(0).astype("int64")
-    bpe = s.str.findall(_BPE_RE).str.len().fillna(0).astype("int64")
+    # count, not findall: same number without materializing the match lists
+    bpe = s.str.count(_BPE_RE).fillna(0).astype("int64")
     return (batch
             .append_column("ws_tokens", pa.array(ws.to_numpy(), pa.int64()))
             .append_column("bpe_tokens", pa.array(bpe.to_numpy(), pa.int64())))
