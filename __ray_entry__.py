@@ -411,15 +411,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow", batch_size=16, concurrency=(1, 4))
 
     def snap_lines(sf_dir: str):
+        """Composite snap gate: line vertex-snapping (A11) UNION a polygon
+        alignment with partial_snapping=ON (the reference ProcessorConfig
+        fields at featurealigner.py:1513-1522) — the 'partial_snap:N' remark
+        rows gate the partial path through the golden oracle."""
         import ray.data
-        from brdrq_ray.alignment import AlignConfig
+        from brdrq_ray.alignment import AlignConfig, OD_EXCLUDE
         from brdrq_ray.pipelines.autocorrect import run_alignment
 
         fdir = _fixture_dir(sf_dir)
         cfg = AlignConfig(relevant_distance=1.0, snap_strategy="PREFER_VERTICES")
         res = run_alignment(ray.data.read_parquet(f"{fdir}/lines.parquet"),
                             ray.data.read_parquet(f"{fdir}/reference.parquet"), cfg)
-        res = res.select_columns(["theme_id", "brdr_perimeter", "brdr_remark", "cell"])
+        cfg_ps = AlignConfig(relevant_distance=1.0, od_strategy=OD_EXCLUDE,
+                             partial_snapping=True)
+        ps = run_alignment(ray.data.read_parquet(f"{fdir}/thematic.parquet"),
+                           ray.data.read_parquet(f"{fdir}/reference.parquet"),
+                           cfg_ps)
+        cols = ["theme_id", "brdr_perimeter", "brdr_remark", "cell"]
+        res = res.select_columns(cols).union(ps.select_columns(cols))
         return _round_floats(res, ["brdr_perimeter"], 4)
 
     def clip_selection(sf_dir: str):
@@ -663,8 +673,20 @@ _BASE_ORACLE_SQL = {
             FROM lineitem WHERE round(l_discount, 2) = 0.05
         """,
         "filter_substring": """
-            SELECT doc_id, lang, n_chars FROM documents
-            WHERE contains(lower(text), 'window')
+            SELECT 'doc_text' AS leg, CAST(doc_id AS VARCHAR) AS id,
+                   lang AS extra
+            FROM documents WHERE contains(lower(text), 'window')
+            UNION ALL
+            -- M11 full form: keyword-prioritized field selection with
+            -- keywords ('name','type') and max_fields=3 picks exactly
+            -- [p_name, p_type, p_partkey]; the id (p_partkey) is always
+            -- searched; every value is stringified + lowercased
+            SELECT 'part_multi' AS leg, CAST(p_partkey AS VARCHAR) AS id,
+                   p_brand AS extra
+            FROM part
+            WHERE contains(lower(CAST(p_partkey AS VARCHAR)), '13')
+               OR contains(lower(p_name), '13')
+               OR contains(lower(p_type), '13')
         """,
         "filter_state": """
             SELECT event_id, user_id, event_type FROM events

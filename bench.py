@@ -114,21 +114,36 @@ def run_headline() -> dict:
 
 
 def run_queries() -> dict:
-    """Representative operator-level pipelines over the driver tables."""
+    """Representative operator-level pipelines over the driver tables.
+
+    Sequential, best-of-N per query (machine wall noise is ±30% between
+    minutes — single-rep numbers cannot be compared round-over-round).
+    `hash_join_broadcast` times the PRODUCTION broadcast-join leg on its
+    own; the composite `hash_join` (all three legs + three driver equality
+    materializations) stays as the correctness gate, so its time is gate
+    cost, not production cost."""
     import __ray_entry__ as entrymod
+    from brdrq_ray.functions import relational as rel
 
     qs = entrymod.queries()
-    names = ["metrics_agg", "grouped_topk", "hash_join", "asof_join",
+    qs["hash_join_broadcast"] = rel.broadcast_hash_join
+    names = ["metrics_agg", "grouped_topk", "hash_join", "hash_join_broadcast",
+             "asof_join",
              "exact_dedup_documents", "token_count", "knn_top5", "minhash_pairs",
              "align_predict", "align_evaluate", "autoupdate", "spatial_semi_join",
              "semi_anti_join", "correction", "media_decode"]
+    reps = max(1, int(os.environ.get("BRDRQ_QUERY_REPS", "2")))
     out = {}
     for name in names:
-        t0 = time.time()
-        res = qs[name](SF_DIR)
-        if hasattr(res, "count"):
-            res.count()  # consume the lazy Dataset
-        out[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()  # consume the lazy Dataset
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        out[name] = round(best, 3)
     return out
 
 

@@ -22,8 +22,9 @@ plugin/brdrq/brdrq_settings.py:87):
 * result = dissolve(contributions), plus the open-domain remainder
   T \\ union(all reference) handled per OpenDomainStrategy (reference enum at
   plugin/brdrq/brdrq_utils.py:177-179, semantics docs/autocorrectborders.md:
-  69-72: EXCLUDE drops it, AS_IS keeps it unchanged; the SNAP_* variants are
-  approximated as AS_IS with a remark — documented deviation).
+  69-72: EXCLUDE drops it, AS_IS keeps it unchanged; SNAP_INNER_SIDE /
+  SNAP_ALL_SIDE snap the open-domain boundary to nearby reference borders —
+  real implementations since r2, ``snap_open_domain`` below).
 * The six ProcessResult slots mirror the reference exactly
   (plugin/brdrq/brdrq_utils.py:1146-1153): result, result_diff (symmetric
   difference), result_diff_plus (result - original), result_diff_min
@@ -127,6 +128,16 @@ class AlignConfig:
     processor_id: str = "2024:aligner2024a"
     snap_strategy: str = "NO_PREFERENCE"
     snap_max_segment_length: float = 2.0
+    #: partial snapping — the reference carries these ProcessorConfig fields
+    #: (wired at brdrq_dockwidget_featurealigner.py:1513-1522) but hardcodes
+    #: the flag OFF ("not performant and not implemented in brdrQ",
+    #: brdrq_settings.py:294). Engine semantic, frozen here since the brdr
+    #: body is absent: when ON, the final aligned boundary is vertex-snapped
+    #: to the candidate reference borders within rd using the partial
+    #: strategy, then the diff slots are recomputed against the original.
+    partial_snapping: bool = False
+    partial_snap_strategy: str = "PREFER_VERTICES"
+    partial_snap_max_segment_length: float = 2.0
 
 
 @dataclass
@@ -371,6 +382,19 @@ def align_prepared(theme_parts, prepared, od_parts, rd: float, cfg: AlignConfig)
     if cfg.apply_correction and result:
         result = closing(result, cfg.correction_distance)
 
+    n_psnap = 0
+    if cfg.partial_snapping and result and prepared:
+        from .geom.snap import snap_geometry
+        from .geom.core import GEOM_POLYGON, make_valid
+        _, snapped, n_psnap = snap_geometry(
+            GEOM_POLYGON, result, [c["ref_parts"] for c in prepared], rd,
+            strategy=cfg.partial_snap_strategy,
+            max_segment_length=cfg.partial_snap_max_segment_length)
+        if n_psnap:
+            # snapping can pinch rings — repair before the diff overlays
+            _, result = make_valid(GEOM_POLYGON, snapped)
+            remarks.append(f"partial_snap:{n_psnap}")
+
     pr.result = result
     # symdiff = dissolve of the two one-sided differences (disjoint interiors)
     # — computes each difference once instead of twice
@@ -386,7 +410,8 @@ def align_prepared(theme_parts, prepared, od_parts, rd: float, cfg: AlignConfig)
     # snapped od varies continuously with rd (like partial contributions) ->
     # rd participates in the fingerprint whenever a snap strategy admits od
     rd_dependent = (any(c[1] == "partial" for c in contributions)
-                    or (od_flag and cfg.od_strategy in _OD_SNAP_MODES))
+                    or (od_flag and cfg.od_strategy in _OD_SNAP_MODES)
+                    or n_psnap > 0)  # partial snap varies with rd too
     pr.fingerprint = (tuple(sorted((str(c[0]), c[1]) for c in contributions)), od_flag,
                       rd if rd_dependent else 0.0)
     return pr

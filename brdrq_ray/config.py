@@ -36,6 +36,12 @@ class AlignJob:
     processor_id: str = "2024:aligner2024a"
     snap_strategy: str = "NO_PREFERENCE"
     snap_max_segment_length: float = 2.0
+    # partial snapping (reference ProcessorConfig fields,
+    # brdrq_dockwidget_featurealigner.py:1513-1522; the reference UI
+    # hardcodes the flag off, brdrq_settings.py:294 — same default here)
+    partial_snapping: bool = False
+    partial_snap_strategy: str = "PREFER_VERTICES"
+    partial_snap_max_segment_length: float = 2.0
     # engine/scale knobs (no reference analog — the parallel execution layer)
     workfolder: str = "/tmp/brdrq_out"
     cell_level: int | None = None
@@ -60,6 +66,9 @@ class AlignJob:
             processor_id=self.processor_id,
             snap_strategy=self.snap_strategy,
             snap_max_segment_length=self.snap_max_segment_length,
+            partial_snapping=self.partial_snapping,
+            partial_snap_strategy=self.partial_snap_strategy,
+            partial_snap_max_segment_length=self.partial_snap_max_segment_length,
         )
 
     def to_json(self) -> str:

@@ -158,7 +158,13 @@ def _minhash_signatures(doc_idx: np.ndarray, shingles: np.ndarray, n_docs: int,
     counts = np.bincount(doc_idx, minlength=n_docs)
     nonempty = counts > 0
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    x = (shingles >> np.uint64(1)).astype(np.uint64)  # keep below the prime
+    # NOTE: this is deterministic mixing, NOT a (a*x+b mod p) universal hash —
+    # x*a+b wraps mod 2^64 before the Mersenne fold below (the fold only
+    # reduces the already-wrapped product), and the >>1 drops the low shingle
+    # bit (shingle-collision probability 2^-62 instead of 2^-63). Both are
+    # fine for LSH banding (consistent, well-spread) but void the textbook
+    # min-wise-independence analysis; documented so nobody relies on it.
+    x = (shingles >> np.uint64(1)).astype(np.uint64)
     M = np.uint64(_MERSENNE)
     # perm chunks bound the (n_shingles x chunk) temp to a few MB
     with np.errstate(over="ignore"):
@@ -432,7 +438,10 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
               .union(cand.map_batches(pair_sides, batch_format="pyarrow")))
 
     def attach_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        doc = g[g["role"] == 0][["key", "text"]]
+        # one text per id: a corpus with duplicate doc_ids would otherwise
+        # cross-product each pair-half in the merge (duplicated verified
+        # pairs downstream); first-by-key matches the r2 iloc[0] semantics
+        doc = g[g["role"] == 0][["key", "text"]].drop_duplicates("key")
         halves = g[g["role"] != 0][["key", "id_a", "id_b", "role"]]
         if doc.empty or halves.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "role": [], "text": []})

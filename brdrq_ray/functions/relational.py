@@ -87,14 +87,79 @@ def filter_rounded_equality(sf_dir: str):
 
 
 def filter_substring(sf_dir: str):
-    """M11 analog: case-insensitive substring match over a projected column
-    set (reference: _feature_matches_filter,
-    plugin/brdrq/brdrq_dockwidget_featurealigner.py:479-529)."""
-    ds = read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "text"])
-    return ds.map_batches(
-        lambda t: t.filter(pc.match_substring(pc.utf8_lower(t.column("text")), "window"))
-                   .select(["doc_id", "lang", "n_chars"]),
+    """M11 composite (one driver row gates both forms): leg 'doc_text' is the
+    single-column substring filter; leg 'part_multi' is the FULL reference
+    form — keyword-prioritized multi-field search with the id always included
+    and the field list capped (reference: _feature_matches_filter +
+    _update_search_field_selection,
+    plugin/brdrq/brdrq_dockwidget_featurealigner.py:479-529). The cap is
+    load-bearing in the fixture: keywords ('name','type') + max_fields=3
+    select [p_name, p_type, p_partkey], so 'Brand#13' rows match only if the
+    needle hits a SELECTED field — an uncapped search would return more."""
+    docs = read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    doc_leg = docs.map_batches(
+        lambda t: (lambda f: pa.table({
+            "leg": pa.array(["doc_text"] * f.num_rows),
+            "id": pc.cast(f.column("doc_id"), pa.string()),
+            "extra": f.column("lang"),
+        }))(t.filter(pc.match_substring(pc.utf8_lower(t.column("text")), "window"))),
         batch_format="pyarrow")
+
+    parts = read(sf_dir, "part",
+                 ["p_partkey", "p_name", "p_brand", "p_type", "p_size"])
+    hits = feature_search(parts, "13", id_col="p_partkey",
+                          keywords=("name", "type"), max_fields=3)
+    part_leg = hits.map_batches(
+        lambda f: pa.table({
+            "leg": pa.array(["part_multi"] * f.num_rows),
+            "id": pc.cast(f.column("p_partkey"), pa.string()),
+            "extra": f.column("p_brand"),
+        }), batch_format="pyarrow")
+    return doc_leg.union(part_leg)
+
+
+def search_field_selection(names, keywords=(), max_fields: int = 15) -> list:
+    """M11 field prioritization (reference: _update_search_field_selection,
+    plugin/brdrq/brdrq_dockwidget_featurealigner.py:497-529): fields whose
+    NAME contains any keyword come first (schema order), then the remaining
+    fields (schema order), truncated to ``max_fields`` (reference default 15,
+    brdrq_settings search_max_fields)."""
+    kws = [str(k).strip().lower() for k in keywords if str(k).strip()]
+    matched = [n for n in names if kws and any(k in n.lower() for k in kws)]
+    remaining = [n for n in names if n not in matched]
+    selected = matched + remaining
+    return selected[:max_fields] if max_fields and max_fields > 0 else selected
+
+
+def feature_search(ds: ray.data.Dataset, needle: str, id_col: str,
+                   keywords=(), max_fields: int = 15) -> ray.data.Dataset:
+    """M11 full form: case-insensitive substring match of ``needle`` against
+    the id column PLUS up to ``max_fields`` keyword-prioritized attribute
+    columns (reference: _feature_matches_filter,
+    plugin/brdrq/brdrq_dockwidget_featurealigner.py:479-495 — the id is
+    always searched, attributes are stringified, any hit keeps the row).
+
+    Vectorized: per selected column one utf8_lower + match_substring C++
+    kernel per batch, OR-folded; non-string columns are cast to string once
+    (Arrow cast semantics — ints render like str(int); documented deviation
+    for floats, whose repr may differ from Python's)."""
+    needle = str(needle).lower()
+    cols = list(dict.fromkeys(
+        [id_col, *search_field_selection(ds.schema().names, keywords, max_fields)]))
+
+    def _search(t: pa.Table) -> pa.Table:
+        mask = None
+        for c in cols:
+            if c not in t.column_names:
+                continue
+            col = t.column(c)
+            if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+                col = pc.cast(col, pa.string())
+            m = pc.fill_null(pc.match_substring(pc.utf8_lower(col), needle), False)
+            mask = m if mask is None else pc.or_(mask, m)
+        return t.filter(mask)
+
+    return ds.map_batches(_search, batch_format="pyarrow")
 
 
 def filter_state(sf_dir: str):
@@ -139,23 +204,34 @@ def grouped_argmax_orders(sf_dir: str):
 
 def broadcast_hash_join(sf_dir: str):
     """J3: orders ⋈ customer on custkey with the SMALL side broadcast
-    (ray.put once, dict probe per batch) — no shuffle."""
-    cust = read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"],
-                                  zip(cust["c_name"], cust["c_mktsegment"]))))
+    (ray.put of ONE Arrow table once, zero-copy reads per actor) — no
+    shuffle. The probe is two C++ kernels per batch (`pc.index_in` into the
+    build keys + `take` of the payload columns), never a per-row Python
+    dict lookup. Unique-build-key semantics (index_in keeps the first
+    occurrence), matching the reference's keyed dict
+    (plugin/brdrq/brdrq_utils.py:1236-1291 analog)."""
+    cust = pa.concat_tables([
+        t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+        for t in ray.get(read(sf_dir, "customer",
+                              ["c_custkey", "c_name", "c_mktsegment"])
+                         .to_arrow_refs())]).combine_chunks()
+    lookup_ref = ray.put(cust)
 
     class Probe:
         def __init__(self):
-            self.lk = ray.get(lookup_ref)
+            t = ray.get(lookup_ref)
+            self.keys = t.column("c_custkey").combine_chunks()
+            self.name = t.column("c_name").combine_chunks()
+            self.seg = t.column("c_mktsegment").combine_chunks()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_pylist()
-            hits = [self.lk.get(k) for k in keys]
-            mask = pa.array([h is not None for h in hits])
+            idx = pc.index_in(batch.column("o_custkey").cast(self.keys.type),
+                              value_set=self.keys)
+            mask = pc.is_valid(idx)
             out = batch.filter(mask)
-            kept = [h for h in hits if h is not None]
-            return (out.append_column("c_name", pa.array([h[0] for h in kept], pa.string()))
-                       .append_column("c_mktsegment", pa.array([h[1] for h in kept], pa.string())))
+            hit = idx.filter(mask)
+            return (out.append_column("c_name", self.name.take(hit))
+                       .append_column("c_mktsegment", self.seg.take(hit)))
 
     ds = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     return ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 4))

@@ -89,15 +89,69 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10,
     return C
 
 
-def ivf_build(ds, n_clusters: int = 16, vec_col: str = "embedding",
+def resolve_n_clusters(n_clusters, n_vectors: int) -> int:
+    """IVF sizing rule: ~sqrt(n) cells when unset (the standard IVF heuristic
+    — cell size ~ sqrt(n) balances probe cost against centroid-scan cost),
+    clamped to [4, 65536]."""
+    if n_clusters is not None:
+        return int(n_clusters)
+    return int(min(65536, max(4, round(np.sqrt(max(n_vectors, 1))))))
+
+
+def kmeans_refine_distributed(ds, C0: np.ndarray, iters: int = 3,
+                              vec_col: str = "embedding") -> np.ndarray:
+    """Distributed Lloyd refinement: each iteration is ONE streaming pass —
+    every batch emits per-centroid partial (sum, count) against the broadcast
+    codebook, the driver reduces n_batches tiny stat rows and updates C.
+    Rows never leave their block; only (n_clusters x dim) stats travel.
+    Used above the sample threshold where a driver-side sample no longer
+    represents the corpus."""
+    C = np.asarray(C0, dtype=np.float64)
+    ncl, dim = C.shape
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def stats(batch: pa.Table) -> pa.Table:
+            Cc = ray.get(cref)
+            V = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
+                                      dtype=np.float64))
+            assign = (V @ Cc.T).argmax(axis=1)
+            sums = np.zeros((ncl, dim), dtype=np.float64)
+            np.add.at(sums, assign, V)
+            counts = np.bincount(assign, minlength=ncl).astype(np.int64)
+            return pa.table({"sums": pa.array([sums.tobytes()], pa.binary()),
+                             "counts": pa.array([counts.tobytes()], pa.binary())})
+
+        parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+        tot_s = np.zeros((ncl, dim), dtype=np.float64)
+        tot_c = np.zeros(ncl, dtype=np.int64)
+        for _, row in parts.iterrows():
+            tot_s += np.frombuffer(row["sums"], dtype=np.float64).reshape(ncl, dim)
+            tot_c += np.frombuffer(row["counts"], dtype=np.int64)
+        nz = tot_c > 0
+        C = C.copy()
+        C[nz] = tot_s[nz] / tot_c[nz, None]
+        C = _normalize(C)
+    return C
+
+
+#: corpora above this size train the codebook with distributed refinement
+#: passes instead of trusting the driver-side sample alone
+DISTRIBUTED_TRAIN_THRESHOLD = 100_000
+
+
+def ivf_build(ds, n_clusters: int | None = 16, vec_col: str = "embedding",
               id_col: str = "vec_id", train_sample: int = 2048,
-              index_dir: str | None = None) -> dict:
-    """Build the IVF index: train the codebook on a driver-side SAMPLE, assign
-    every vector to its nearest centroid (broadcast codebook, one streaming
-    pass), then MATERIALIZE the inverted file as parquet partitioned by
-    ``ivf_cell`` — one directory per cell, so a probe reads only the probed
-    cells' files and never scans the rest of the corpus. Returns
-    {'index_dir', 'codebook', 'n_clusters'} (the probe handle)."""
+              index_dir: str | None = None,
+              distributed_train: bool | None = None) -> dict:
+    """Build the IVF index: init the codebook with k-means on a driver-side
+    SAMPLE (optionally refined by distributed Lloyd passes — automatic above
+    DISTRIBUTED_TRAIN_THRESHOLD vectors), assign every vector to its nearest
+    centroid (broadcast codebook, one streaming pass), then MATERIALIZE the
+    inverted file as parquet partitioned by ``ivf_cell`` — one directory per
+    cell, so a probe reads only the probed cells' files and never scans the
+    rest of the corpus. ``n_clusters=None`` derives ~sqrt(n_vectors).
+    Returns {'index_dir', 'codebook', 'n_clusters'} (the probe handle)."""
     import os
     import shutil
 
@@ -107,8 +161,14 @@ def ivf_build(ds, n_clusters: int = 16, vec_col: str = "embedding",
     elif os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
 
+    n_vectors = ds.count()
+    n_clusters = resolve_n_clusters(n_clusters, n_vectors)
+    if distributed_train is None:
+        distributed_train = n_vectors > DISTRIBUTED_TRAIN_THRESHOLD
     sample = np.asarray(ds.limit(train_sample).to_pandas()[vec_col].tolist())
     C = kmeans_fit(sample, n_clusters)
+    if distributed_train:
+        C = kmeans_refine_distributed(ds, C, iters=3, vec_col=vec_col)
     cref = ray.put(C)
 
     class AssignStage:
@@ -158,6 +218,13 @@ def ivf_probe(index: dict, queries: np.ndarray, k: int = 10, n_probe: int = 4,
         return pd.DataFrame({"query_id": [], id_col: [], "cosine": [], "rank": []})
     qref = ray.put(Q)
 
+    # cell -> array of query indices probing it (built ONCE, shipped in the
+    # actor closure): the batch kernel is then one matmul per distinct cell
+    # in the batch over the WHOLE query block probing that cell — never a
+    # Python loop over queries
+    cell_queries = {int(c): np.nonzero([(c in s) for s in probe_sets])[0]
+                    for c in needed}
+
     class ProbeTopK:
         def __init__(self):
             self.Q = ray.get(qref)
@@ -168,19 +235,27 @@ def ivf_probe(index: dict, queries: np.ndarray, k: int = 10, n_probe: int = 4,
             ids = np.asarray(batch.column(id_col).to_pylist())
             V = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
             out_q, out_id, out_s = [], [], []
-            for qi in range(len(self.Q)):
-                mask = np.isin(cells, list(probe_sets[qi]))
-                if not mask.any():
+            for c in np.unique(cells):
+                qs = cell_queries.get(int(c))
+                if qs is None or len(qs) == 0:
                     continue
-                sim = V[mask] @ self.Q[qi]
-                kk = min(k, len(sim))
-                top = np.argpartition(-sim, kth=kk - 1)[:kk]
-                out_q.extend([qi] * kk)
-                out_id.extend(ids[mask][top].tolist())
-                out_s.extend(sim[top].tolist())
-            return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                             id_col: pa.array(out_id),
-                             "cosine": pa.array(out_s, pa.float64())})
+                rows = np.nonzero(cells == c)[0]
+                sim = self.Q[qs] @ V[rows].T            # (n_q_cell, n_rows)
+                kk = min(k, sim.shape[1])
+                top = np.argpartition(-sim, kth=kk - 1, axis=1)[:, :kk]
+                rq = np.repeat(qs, kk)
+                rv = rows[top.ravel()]
+                out_q.append(rq)
+                out_id.append(ids[rv])
+                out_s.append(sim[np.repeat(np.arange(len(qs)), kk),
+                                 top.ravel()])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 id_col: batch.column(id_col).slice(0, 0).combine_chunks(),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.table({"query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                             id_col: pa.array(np.concatenate(out_id)),
+                             "cosine": pa.array(np.concatenate(out_s), pa.float64())})
 
     df = (ray.data.read_parquet(files)
           .map_batches(ProbeTopK, batch_format="pyarrow", concurrency=(1, 8))
@@ -192,17 +267,20 @@ def ivf_probe(index: dict, queries: np.ndarray, k: int = 10, n_probe: int = 4,
     return df.reset_index(drop=True)
 
 
-def ivf_knn(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+def ivf_knn(ds, queries: np.ndarray, k: int = 10, n_clusters: int | None = 16,
             n_probe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
             train_sample: int = 2048, index_dir: str | None = None,
             cache_key: str | None = None) -> pd.DataFrame:
     """IVF ANN, build + probe in one call (ad-hoc use; production keeps the
-    ivf_build index and probes it repeatedly). ``cache_key`` (a content hash
-    of the input the CALLER vouches for) persists the inverted file under
-    /tmp/brdrq_ivf_cache so repeated queries skip the build entirely."""
+    ivf_build index and probes it repeatedly). ``n_clusters=None`` derives
+    ~sqrt(n_vectors). ``cache_key`` (a content hash of the input the CALLER
+    vouches for) persists the inverted file under /tmp/brdrq_ivf_cache so
+    repeated queries skip the build entirely."""
     import os
     import shutil
 
+    if n_clusters is None:
+        n_clusters = resolve_n_clusters(None, ds.count())
     if cache_key and index_dir is None:
         index_dir = f"/tmp/brdrq_ivf_cache/{cache_key}-c{n_clusters}-t{train_sample}"
         if os.path.exists(os.path.join(index_dir, "_codebook.npy")):

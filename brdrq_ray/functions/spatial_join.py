@@ -83,6 +83,15 @@ def _split_sides(grp: pa.Table):
     ri = np.nonzero(side == "r")[0]
     if len(li) == 0 or len(ri) == 0:
         return None
+    # canonical order on BOTH sides: the shuffle's within-group tie order is
+    # run-dependent, and downstream kernels (kNN rank ties, dissolve
+    # accumulation) must not inherit it
+    li = li[np.argsort(np.asarray(
+        grp.column("theme_id").take(pa.array(li)).to_pylist(), dtype="U"),
+        kind="stable")]
+    ri = ri[np.argsort(np.asarray(
+        grp.column("ref_id").take(pa.array(ri)).to_pylist(), dtype="U"),
+        kind="stable")]
     xmin = grp.column("xmin").to_numpy(zero_copy_only=False)
     xmax = grp.column("xmax").to_numpy(zero_copy_only=False)
     ymin = grp.column("ymin").to_numpy(zero_copy_only=False)
@@ -198,7 +207,9 @@ def knn_reference_lookup(thematic: ray.data.Dataset, reference: ray.data.Dataset
             per_ref = pd.DataFrame({"ref": owner,
                                     "d": _per_seg(np.array([cx, cy]), A, B)})
             best = per_ref.groupby("ref")["d"].min()
-            best = best[best <= max_distance].sort_values()
+            # stable sort: equal distances rank in canonical ref_id order
+            # (the index is the ref position, already ref_id-sorted)
+            best = best[best <= max_distance].sort_values(kind="stable")
             tid = t["ids"][i]
             for rank, (jj, dist) in enumerate(best.head(k).items(), start=1):
                 out["theme_id"].append(tid)

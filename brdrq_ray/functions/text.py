@@ -78,9 +78,14 @@ def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     md5s = [hashlib.md5(t.encode()).hexdigest() for t in norm]
     # base-256 polynomial hash mod Mersenne-61 == the byte string read as one
     # big-endian integer, reduced mod M — int.from_bytes + bigint mod are C
-    # paths, removing the r2 per-character Python loop (~40x on long docs)
+    # paths, removing the r2 per-character Python loop (~40x on long docs).
+    # SEMANTIC CHANGE vs r2 (intentional, SEMANTICS.md section 6): r2 used
+    # base 257, so r3+ values differ from any r2-persisted fingerprints; the
+    # length is mixed in below so texts differing only by leading NUL bytes
+    # ('\x00abc' vs 'abc' — invisible to a base-256 integer) stay distinct.
     MOD = (1 << 61) - 1
-    rolls = [int.from_bytes(t.encode(), "big") % MOD for t in norm]
+    rolls = [(int.from_bytes(t.encode(), "big")
+              + (len(t) << 32)) % MOD for t in norm]
     return (batch
             .append_column("fingerprint_md5", pa.array(md5s, pa.string()))
             .append_column("fingerprint_roll", pa.array(rolls, pa.int64())))
@@ -132,7 +137,12 @@ class LangIdStage:
         for ch in chunks:
             if len(ch) == 0:
                 continue
-            offs = np.frombuffer(ch.buffers()[1], dtype=np.int32)[
+            # large_string (which Ray Data / pc.utf8_lower can produce for
+            # big blocks) carries int64 offsets — reading them as int32 would
+            # silently misparse lens and emit garbage predictions
+            off_dtype = (np.int64 if pa.types.is_large_string(ch.type)
+                         else np.int32)
+            offs = np.frombuffer(ch.buffers()[1], dtype=off_dtype)[
                 ch.offset:ch.offset + len(ch) + 1]
             data = np.frombuffer(ch.buffers()[2] or b"", dtype=np.uint8)
             parts.append(data[offs[0]:offs[-1]])

@@ -191,30 +191,59 @@ def parse_wkt(wkt: str):
 
 
 def _fmt(v: float) -> str:
-    # shortest stable decimal on the 1e-6 grid
+    # shortest stable decimal on the 1e-6 grid (the formatting CONTRACT; the
+    # batch path below must stay bit-identical — test_geom_core fuzzes them
+    # against each other)
     s = f"{v:.6f}".rstrip("0").rstrip(".")
     return s if s not in ("-0", "") else "0"
 
 
+# trailing-zero stripping over a whole WKT string in three C-regex passes
+# (every number in the string is followed by ' ', ',' or ')'):
+#   1. '.000000' -> ''            (integer-valued coordinate)
+#   2. '.4560 00' -> '.456'       (strip remaining trailing zeros)
+#   3. bare '-0' -> '0'           (negative zero after stripping)
+_STRIP_DOT0 = re.compile(r"\.0{6}(?=[ ,)])")
+_STRIP_TRAIL0 = re.compile(r"(\.\d*?)0+(?=[ ,)])")
+_NEG_ZERO = re.compile(r"(?<![\d.])-0(?=[ ,)])")
+
+
+def _seq_wkt(arr: np.ndarray) -> str:
+    """'x y, x y, ...' (fixed .6f) for an (n, 2) array — ONE C-level
+    %%-format call instead of 2n f-strings + join (the sink hot path).
+    .tolist() first: %-formatting Python floats is ~3x faster than boxed
+    np.float64 scalars."""
+    return ("%.6f %.6f, " * arr.shape[0])[:-2] % tuple(arr.ravel().tolist())
+
+
 def to_wkt(kind: int, parts) -> str:
-    """Emit canonical Multi* WKT (rings closed, 6-decimal grid)."""
+    """Emit canonical Multi* WKT (rings closed, 6-decimal grid).
+
+    Coordinates are formatted per-ring with a single printf-style call and
+    trailing zeros stripped with one regex pass over the finished string —
+    output is bit-identical to formatting each value with :func:`_fmt`
+    (fuzzed in tests/test_geom_core.py)."""
     if not parts:
         return f"{KIND_NAMES[kind].upper()} EMPTY"
     if kind == GEOM_POINT:
-        body = ", ".join(f"({_fmt(p[0][0, 0])} {_fmt(p[0][0, 1])})" for p in parts)
-        return f"MULTIPOINT ({body})"
-    if kind == GEOM_LINESTRING:
-        body = ", ".join(
-            "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in p[0]) + ")" for p in parts)
-        return f"MULTILINESTRING ({body})"
-    polys = []
-    for rings in parts:
-        ring_txt = []
-        for r in rings:
-            closed = np.vstack([r, r[:1]])
-            ring_txt.append("(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in closed) + ")")
-        polys.append("(" + ", ".join(ring_txt) + ")")
-    return f"MULTIPOLYGON ({', '.join(polys)})"
+        body = ", ".join("(%.6f %.6f)" % (p[0][0, 0], p[0][0, 1]) for p in parts)
+        s = f"MULTIPOINT ({body})"
+    elif kind == GEOM_LINESTRING:
+        body = ", ".join("(" + _seq_wkt(np.asarray(p[0])) + ")" for p in parts)
+        s = f"MULTILINESTRING ({body})"
+    else:
+        polys = []
+        for rings in parts:
+            ring_txt = ["(" + _seq_wkt(np.vstack([r, r[:1]])) + ")" for r in rings]
+            polys.append("(" + ", ".join(ring_txt) + ")")
+        s = f"MULTIPOLYGON ({', '.join(polys)})"
+    s = _STRIP_DOT0.sub("", s)
+    s = _STRIP_TRAIL0.sub(r"\1", s)
+    # bare '-0' only arises from values in (-5e-7, 0) — guard the (relatively
+    # costly) lookbehind regex with cheap substring scans
+    if "-0 " in s or "-0," in s or "-0)" in s:
+        s = _NEG_ZERO.sub("0", s)
+    return s
 
 
 # ---------------------------------------------------------------------------

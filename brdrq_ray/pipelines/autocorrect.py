@@ -115,7 +115,8 @@ def plan_tiles(parsed_thematic: ray.data.Dataset, max_rd: float,
 
 
 _UNIFIED_COLS = ["side", "theme_id", "ref_id", "geom", "xmin", "ymin", "xmax",
-                 "ymax", "props", "version_date", "cell", "salt"]
+                 "ymax", "props", "version_date", "doc_id", "span_idx",
+                 "cell", "salt"]
 
 
 def _unify(batch: pa.Table, side: str) -> pa.Table:
@@ -135,6 +136,14 @@ def _unify(batch: pa.Table, side: str) -> pa.Table:
         cols["version_date"] = batch.column("version_date").cast(pa.string())
     else:
         cols["version_date"] = pa.nulls(n, pa.string())
+    # passthrough identity columns (the interleaved-doc pipeline's stitch key
+    # travels the DAG as real columns, never inside a composite string)
+    cols["doc_id"] = (batch.column("doc_id").cast(pa.string())
+                      if "doc_id" in batch.column_names
+                      else pa.nulls(n, pa.string()))
+    cols["span_idx"] = (batch.column("span_idx").cast(pa.int32())
+                        if "span_idx" in batch.column_names
+                        else pa.nulls(n, pa.int32()))
     cols["cell"] = batch.column("cell")
     cols["salt"] = batch.column("salt") if "salt" in batch.column_names else pa.array([0] * n, pa.int32())
     return pa.table(cols)
@@ -260,7 +269,11 @@ def prepare_aligned_inputs(thematic: ray.data.Dataset, reference: ray.data.Datas
         # reads in every AlignGroupFn actor), never pickled Python lists of
         # geometry bytes (several x the Arrow footprint)
         cells = ref_tbl.column("cell").to_numpy()
-        order = np.argsort(cells, kind="stable")
+        # (cell, ref_id) order — the within-cell ref_id order matches the
+        # shuffle path's canonical candidate sort (align_stage), so the two
+        # reference-distribution paths produce bit-identical results
+        rids = np.asarray(ref_tbl.column("ref_id").to_pylist(), dtype="U")
+        order = np.lexsort((rids, cells))
         ref_sorted = ref_tbl.take(pa.array(order, pa.int64())).combine_chunks()
         cells_sorted = cells[order]
         uniq, starts, counts = np.unique(cells_sorted, return_index=True,
@@ -286,7 +299,8 @@ def run_alignment(thematic: ray.data.Dataset, reference: ray.data.Dataset,
                   hot_threshold: int = 512, add_metadata: bool = True,
                   broadcast_reference: bool | None = None,
                   plan_sample: float = 1.0,
-                  oversize_policy: str = "route") -> ray.data.Dataset:
+                  oversize_policy: str = "route",
+                  slots: tuple | None = None) -> ray.data.Dataset:
     """AutocorrectBorders core: returns the flat result table (one row per
     (theme_id, relevant_distance) in 'predict' mode, one per prediction in
     'evaluate' mode) with the brdr_* schema of SURVEY.md section 1.3.
@@ -296,7 +310,13 @@ def run_alignment(thematic: ray.data.Dataset, reference: ray.data.Dataset,
     guarantee at the sampled level) is, under the default
     ``oversize_policy='route'``, aligned separately under an exact plan over
     just the oversized subset and unioned into the result — sampled planning
-    is total, not fail-fast."""
+    is total, not fail-fast.
+
+    ``slots`` selects which of the six geometry result columns are
+    materialized (default all; the reference emits relevant_intersection/diff
+    only under SHOW_INTERMEDIATE_LAYERS,
+    brdrq_algorithm_autocorrectborders.py:671-689) — an evaluate-ALL run over
+    a 51-distance grid saves two packed blobs per row by dropping them."""
     cfg = cfg or AlignConfig()
     max_rd = max_rd if max_rd is not None else cfg.relevant_distance
     unified, plan, ref_handle, oversized = prepare_aligned_inputs(
@@ -304,7 +324,7 @@ def run_alignment(thematic: ray.data.Dataset, reference: ray.data.Dataset,
         hot_threshold=hot_threshold, broadcast_reference=broadcast_reference,
         plan_sample=plan_sample, oversize_policy=oversize_policy)
     fn = AlignGroupFn(cfg, mode=mode, max_rd=max_rd, add_metadata=add_metadata,
-                      ref_broadcast=ref_handle)
+                      ref_broadcast=ref_handle, slots=slots)
 
     def align_group(group: pa.Table) -> pa.Table:
         return fn(group)
@@ -323,7 +343,7 @@ def run_alignment(thematic: ray.data.Dataset, reference: ray.data.Dataset,
         hot_threshold=hot_threshold, broadcast_reference=broadcast_reference,
         plan_sample=1.0, pre_parsed=True)
     fn2 = AlignGroupFn(cfg, mode=mode, max_rd=max_rd, add_metadata=add_metadata,
-                       ref_broadcast=over_handle)
+                       ref_broadcast=over_handle, slots=slots)
 
     def align_group_over(group: pa.Table) -> pa.Table:
         return fn2(group)

@@ -149,19 +149,24 @@ def align_documents(documents: ray.data.Dataset, reference: ray.data.Dataset,
             n_docs = None
         stitch_buckets = max(64, int(np.ceil((n_docs or 0) / 1024)))
     geo = documents.map_batches(explode_geometry_spans, batch_format="pyarrow")
+    # the stitch consumes only the final result geometry: slots=("result",)
+    # skips packing/shipping the five diff/intersection blobs per span row
     if mode == "evaluate_best":
         from dataclasses import replace
         cfg_best = replace(cfg, max_predictions=1, multi_to_best_prediction=True)
         results = run_alignment(geo, reference, cfg_best, mode="evaluate",
                                 max_rd=max_rd if max_rd else cfg.relevant_distance,
                                 cell_level=cell_level, hot_threshold=hot_threshold,
-                                broadcast_reference=broadcast_reference)
+                                broadcast_reference=broadcast_reference,
+                                slots=("result",))
     else:
         results = run_alignment(geo, reference, cfg, mode="predict",
                                 cell_level=cell_level, hot_threshold=hot_threshold,
-                                broadcast_reference=broadcast_reference)
+                                broadcast_reference=broadcast_reference,
+                                slots=("result",))
     aligned = results.map_batches(
-        lambda b: emit_wkt(b.select(["theme_id", "result_geom"]), geom_col="result_geom",
+        lambda b: emit_wkt(b.select(["doc_id", "span_idx", "result_geom"]),
+                           geom_col="result_geom",
                            out_col="aligned_wkt", drop_geom=True),
         batch_format="pyarrow")
 
@@ -172,19 +177,19 @@ def align_documents(documents: ray.data.Dataset, reference: ray.data.Dataset,
         return bucket_i32(doc_ids, stitch_buckets)
 
     def split_key(batch: pa.Table) -> pa.Table:
-        tid = batch.column("theme_id").to_pylist()
-        doc_ids, span_idx = [], []
-        for t in tid:
-            d, i = t.rsplit("#", 1)
-            doc_ids.append(d)
-            span_idx.append(int(i))
+        # (doc_id, span_idx) rode the alignment DAG as real columns
+        # (explode_geometry_spans -> _unify passthrough -> RESULT_SCHEMA), so
+        # keying the stitch is pure column selection — no composite-string
+        # re-parse per row
+        n = batch.num_rows
+        doc_ids = batch.column("doc_id").cast(pa.string())
         return pa.table({
-            "side": pa.array(["aligned"] * len(tid)),
+            "side": pa.array(["aligned"] * n),
             "bucket": _bucket_of(doc_ids),
-            "doc_id": pa.array(doc_ids, pa.string()),
-            "span_idx": pa.array(span_idx, pa.int32()),
+            "doc_id": doc_ids,
+            "span_idx": batch.column("span_idx").cast(pa.int32()),
             "aligned_wkt": batch.column("aligned_wkt"),
-            "spans": pa.nulls(len(tid), pa.list_(SPAN_TYPE)),
+            "spans": pa.nulls(n, pa.list_(SPAN_TYPE)),
         })
 
     aligned_keyed = aligned.map_batches(split_key, batch_format="pyarrow")

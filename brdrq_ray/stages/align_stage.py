@@ -22,33 +22,57 @@ import pyarrow as pa
 from .. import alignment as al
 from ..geom import core as g
 
-RESULT_SCHEMA = pa.schema([
-    ("theme_id", pa.string()),
-    ("brdr_id", pa.int64()),
-    ("brdr_relevant_distance", pa.float64()),
-    ("result_geom", pa.binary()),
-    ("result_diff_geom", pa.binary()),
-    ("result_diff_plus_geom", pa.binary()),
-    ("result_diff_min_geom", pa.binary()),
-    ("result_relevant_intersection_geom", pa.binary()),
-    ("result_relevant_diff_geom", pa.binary()),
-    ("brdr_area", pa.float64()),
-    ("brdr_perimeter", pa.float64()),
-    ("brdr_shape_index", pa.float64()),
-    ("brdr_stability", pa.bool_()),
-    ("brdr_prediction_score", pa.float64()),
-    ("brdr_prediction_count", pa.int32()),
-    ("brdr_evaluation", pa.string()),
-    ("brdr_sym_diff_area_index", pa.float64()),
-    ("brdr_sym_diff_area_index_perc", pa.float64()),
-    ("brdr_diff_area_index", pa.float64()),
-    ("brdr_diff_length_index", pa.float64()),
-    ("brdr_full_actual", pa.bool_()),
-    ("brdr_remark", pa.string()),
-    ("brdr_metadata", pa.string()),
-    ("cell", pa.int64()),
-    ("props", pa.string()),
-])
+#: geometry result slots (ProcessResult attribute per output column); a
+#: reduced ``slots=`` selection (SURVEY section 7.4.5: the reference emits
+#: relevant_intersection/diff only under SHOW_INTERMEDIATE_LAYERS) skips the
+#: pack + Arrow bytes of the unselected ones — metric columns always stay
+GEOM_SLOTS = {
+    "result": "result",
+    "result_diff": "result_diff",
+    "result_diff_plus": "result_diff_plus",
+    "result_diff_min": "result_diff_min",
+    "result_relevant_intersection": "relevant_intersection",
+    "result_relevant_diff": "relevant_diff",
+}
+
+ALL_SLOTS = tuple(GEOM_SLOTS)
+
+
+def result_schema(slots: tuple = ALL_SLOTS) -> pa.Schema:
+    """The flat result-table schema for a slot selection. Fixed per job so
+    empty groups still produce typed blocks and union/write_parquet never
+    see schema drift."""
+    fields = [("theme_id", pa.string()),
+              ("brdr_id", pa.int64()),
+              ("brdr_relevant_distance", pa.float64())]
+    fields += [(f"{s}_geom", pa.binary()) for s in ALL_SLOTS if s in slots]
+    fields += [
+        ("brdr_area", pa.float64()),
+        ("brdr_perimeter", pa.float64()),
+        ("brdr_shape_index", pa.float64()),
+        ("brdr_stability", pa.bool_()),
+        ("brdr_prediction_score", pa.float64()),
+        ("brdr_prediction_count", pa.int32()),
+        ("brdr_evaluation", pa.string()),
+        ("brdr_sym_diff_area_index", pa.float64()),
+        ("brdr_sym_diff_area_index_perc", pa.float64()),
+        ("brdr_diff_area_index", pa.float64()),
+        ("brdr_diff_length_index", pa.float64()),
+        ("brdr_full_actual", pa.bool_()),
+        ("brdr_remark", pa.string()),
+        ("brdr_metadata", pa.string()),
+        ("cell", pa.int64()),
+        ("props", pa.string()),
+        # passthrough identity columns (null unless the caller supplies them):
+        # the interleaved-document pipeline carries (doc_id, span_idx) as real
+        # columns so the stitch never re-parses a composite key string
+        ("doc_id", pa.string()),
+        ("span_idx", pa.int32()),
+    ]
+    return pa.schema(fields)
+
+
+RESULT_SCHEMA = result_schema()
 
 
 def _brdr_id(theme_id: str) -> int:
@@ -65,7 +89,8 @@ def _empty_result_table() -> pa.Table:
 def _emit_row(out: dict, theme_id, cell, props, pr: al.ProcessResult,
               theme_area: float, theme_perim: float,
               stability: bool, score: float, count: int, evaluation: str,
-              metadata: str, kind: int = g.GEOM_POLYGON):
+              metadata: str, kind: int = g.GEOM_POLYGON,
+              slots: tuple = ALL_SLOTS, doc_id=None, span_idx=None):
     def _pack(parts) -> bytes:
         return g.pack_geom(kind, parts)
 
@@ -75,12 +100,8 @@ def _emit_row(out: dict, theme_id, cell, props, pr: al.ProcessResult,
     out["theme_id"].append(str(theme_id))
     out["brdr_id"].append(_brdr_id(theme_id))
     out["brdr_relevant_distance"].append(pr.rd)
-    out["result_geom"].append(_pack(pr.result))
-    out["result_diff_geom"].append(_pack(pr.result_diff))
-    out["result_diff_plus_geom"].append(_pack(pr.result_diff_plus))
-    out["result_diff_min_geom"].append(_pack(pr.result_diff_min))
-    out["result_relevant_intersection_geom"].append(_pack(pr.relevant_intersection))
-    out["result_relevant_diff_geom"].append(_pack(pr.relevant_diff))
+    for s in slots:
+        out[f"{s}_geom"].append(_pack(getattr(pr, GEOM_SLOTS[s])))
     out["brdr_area"].append(res_area)
     out["brdr_perimeter"].append(res_perim)
     out["brdr_shape_index"].append(g.shape_index(res_area, res_perim))
@@ -97,6 +118,8 @@ def _emit_row(out: dict, theme_id, cell, props, pr: al.ProcessResult,
     out["brdr_metadata"].append(metadata)
     out["cell"].append(int(cell))
     out["props"].append(props if props is not None else "")
+    out["doc_id"].append(doc_id)
+    out["span_idx"].append(span_idx)
 
 
 class AlignGroupFn:
@@ -105,12 +128,14 @@ class AlignGroupFn:
 
     def __init__(self, cfg: al.AlignConfig, mode: str = "predict",
                  max_rd: float | None = None, add_metadata: bool = True,
-                 ref_broadcast=None):
+                 ref_broadcast=None, slots: tuple | None = None):
         self.cfg = cfg
         self.mode = mode
         self.max_rd = max_rd if max_rd is not None else cfg.relevant_distance
         self.add_metadata = add_metadata
         self.ref_broadcast = ref_broadcast
+        self.slots = tuple(slots) if slots is not None else ALL_SLOTS
+        self.schema = result_schema(self.slots)
         self._slices = None
 
     def _broadcast_slices(self):
@@ -124,7 +149,7 @@ class AlignGroupFn:
         is_ref = side == "ref"
         is_theme = side == "theme"
         if not is_theme.any():
-            return _empty_result_table()
+            return self.schema.empty_table()
 
         if self.ref_broadcast is not None:
             # broadcast fast path: the reference slice for this group's cell
@@ -144,6 +169,16 @@ class AlignGroupFn:
         else:
             ref_idx = np.nonzero(is_ref)[0]
             ref_ids = group.column("ref_id").take(pa.array(ref_idx)).to_pylist()
+            # canonical candidate order: within a part_key group the shuffle's
+            # tie order is run-dependent, and union/intersection accumulation
+            # order shifts last-bit floats (a brdr_area on a rounding boundary
+            # then flips between runs). Sort by ref_id — the same order the
+            # broadcast table is built with — so results are deterministic
+            # and identical across both reference-distribution paths.
+            if len(ref_ids) > 1:
+                order = np.argsort(np.asarray(ref_ids, dtype="U"), kind="stable")
+                ref_idx = ref_idx[order]
+                ref_ids = [ref_ids[i] for i in order]
             ref_geoms = group.column("geom").take(pa.array(ref_idx)).to_pylist()
             ref_vers = group.column("version_date").take(pa.array(ref_idx)).to_pylist()
             rxmin = group.column("xmin").to_numpy(zero_copy_only=False)[ref_idx]
@@ -157,6 +192,14 @@ class AlignGroupFn:
         t_ids = group.column("theme_id").take(pa.array(t_idx)).to_pylist()
         t_geoms = group.column("geom").take(pa.array(t_idx)).to_pylist()
         t_props = group.column("props").take(pa.array(t_idx)).to_pylist()
+        # passthrough identity columns (present as nulls when the caller's
+        # thematic table has none — the interleaved-doc pipeline's stitch key)
+        if "doc_id" in group.column_names:
+            t_doc = group.column("doc_id").take(pa.array(t_idx)).to_pylist()
+            t_span = group.column("span_idx").take(pa.array(t_idx)).to_pylist()
+        else:
+            t_doc = [None] * len(t_idx)
+            t_span = [None] * len(t_idx)
         t_cell = group.column("cell").to_numpy(zero_copy_only=False)[t_idx]
         txmin = group.column("xmin").to_numpy(zero_copy_only=False)[t_idx]
         txmax = group.column("xmax").to_numpy(zero_copy_only=False)[t_idx]
@@ -164,7 +207,14 @@ class AlignGroupFn:
         tymax = group.column("ymax").to_numpy(zero_copy_only=False)[t_idx]
 
         reach = 1.01 * self.max_rd  # the reference's 1.01*rd search buffer
-        out: dict[str, list] = {name: [] for name in RESULT_SCHEMA.names}
+        out: dict[str, list] = {name: [] for name in self.schema.names}
+
+        def emit(i, pr, theme_area, theme_perim, stability, score, count,
+                 evaluation, meta, kind=g.GEOM_POLYGON):
+            _emit_row(out, t_ids[i], t_cell[i], t_props[i], pr, theme_area,
+                      theme_perim, stability, score, count, evaluation, meta,
+                      kind=kind, slots=self.slots,
+                      doc_id=t_doc[i], span_idx=t_span[i])
 
         for i in range(len(t_idx)):
             cand = np.nonzero((rxmin <= txmax[i] + reach) & (rxmax >= txmin[i] - reach)
@@ -191,9 +241,8 @@ class AlignGroupFn:
                 pr = proc.align(t_ids[i], t_kind, theme_parts, candidates,
                                 self.cfg.relevant_distance)
                 meta = al.build_metadata(t_ids[i], pr.used_refs, versions) if self.add_metadata else ""
-                _emit_row(out, t_ids[i], t_cell[i], t_props[i], pr, theme_area,
-                          theme_perim, True, 100.0, 1, al.EV_NOT_EVALUATED, meta,
-                          kind=t_kind)
+                emit(i, pr, theme_area, theme_perim, True, 100.0, 1,
+                     al.EV_NOT_EVALUATED, meta, kind=t_kind)
             elif self.mode == "predict":
                 part_wise = self.cfg.multi_as_single_modus and len(theme_parts) > 1
                 if part_wise:  # A14 multi_as_single_modus (reference default)
@@ -202,8 +251,8 @@ class AlignGroupFn:
                 else:
                     pr = al.align_one(theme_parts, candidates, self.cfg.relevant_distance, self.cfg)
                 meta = al.build_metadata(t_ids[i], pr.used_refs, versions) if self.add_metadata else ""
-                _emit_row(out, t_ids[i], t_cell[i], t_props[i], pr, theme_area,
-                          theme_perim, True, 100.0, 1, al.EV_NOT_EVALUATED, meta)
+                emit(i, pr, theme_area, theme_perim, True, 100.0, 1,
+                     al.EV_NOT_EVALUATED, meta)
             else:  # evaluate over the (possibly escalated, M14) distance grid
                 step = max(self.cfg.step_cm, al.escalated_step_cm(theme_area, self.max_rd))
                 grid = al.distance_grid(self.max_rd, step_cm=step)
@@ -219,15 +268,13 @@ class AlignGroupFn:
                 if want_all:
                     for pr in results:
                         meta = al.build_metadata(t_ids[i], pr.used_refs, versions) if self.add_metadata else ""
-                        _emit_row(out, t_ids[i], t_cell[i], t_props[i], pr, theme_area,
-                                  theme_perim, False, 0.0, len(preds),
-                                  al.EV_NOT_EVALUATED, meta)
+                        emit(i, pr, theme_area, theme_perim, False, 0.0,
+                             len(preds), al.EV_NOT_EVALUATED, meta)
                 else:
                     for p in preds:
                         meta = al.build_metadata(t_ids[i], p.pr.used_refs, versions) if self.add_metadata else ""
-                        _emit_row(out, t_ids[i], t_cell[i], t_props[i], p.pr, theme_area,
-                                  theme_perim, p.stability, p.score, p.prediction_count,
-                                  p.evaluation, meta)
+                        emit(i, p.pr, theme_area, theme_perim, p.stability,
+                             p.score, p.prediction_count, p.evaluation, meta)
         if not out["theme_id"]:
-            return _empty_result_table()
-        return pa.table(out, schema=RESULT_SCHEMA)
+            return self.schema.empty_table()
+        return pa.table(out, schema=self.schema)

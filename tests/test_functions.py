@@ -39,6 +39,31 @@ def test_langid_stage():
     assert out.column("lang_pred")[0].as_py() in ("en", "nl", "fr", "de", "und")
 
 
+def test_langid_large_string_offsets():
+    """large_string columns carry int64 offsets — the zero-copy trigram path
+    must branch on the type, not silently misparse them as int32."""
+    from brdrq_ray.functions.text import LangIdStage
+
+    texts = ["the singer and the villain went to the mention",
+             "de aanzienlijke hoeveelheid schattige lijsten"]
+    stage = LangIdStage()
+    small = stage(pa.table({"text": pa.array(texts, pa.string())}))
+    big = stage(pa.table({"text": pa.array(texts, pa.large_string())}))
+    assert small.column("lang_pred").to_pylist() == big.column("lang_pred").to_pylist()
+    assert small.column("lang_conf").to_pylist() == big.column("lang_conf").to_pylist()
+
+
+def test_fingerprint_leading_nul_sensitivity():
+    """texts differing only by leading NUL bytes (invisible to a base-256
+    integer) must roll to distinct fingerprints (length is mixed in)."""
+    from brdrq_ray.functions.text import fingerprint_batch
+
+    t = pa.table({"doc_id": [1, 2], "text": ["\x00abc", "abc"]})
+    f = fingerprint_batch(t)
+    assert (f.column("fingerprint_roll")[0].as_py()
+            != f.column("fingerprint_roll")[1].as_py())
+
+
 def test_exact_dedup(ray_session):
     import ray.data
     from brdrq_ray.functions.dedup import exact_dedup
@@ -518,3 +543,88 @@ def test_redact_pii_batch():
     assert out.column("pii_email").to_pylist() == [1, 0, 0]
     assert out.column("pii_ipv4").to_pylist() == [0, 1, 0]
     assert out.column("pii_url").to_pylist() == [0, 1, 0]
+
+
+def test_feature_search_prioritization_and_cap(ray_session):
+    """M11 full form: keyword-prioritized field selection, id always
+    searched, selection capped at max_fields (reference:
+    _feature_matches_filter + _update_search_field_selection,
+    brdrq_dockwidget_featurealigner.py:479-529)."""
+    import ray.data
+    from brdrq_ray.functions.relational import (feature_search,
+                                                search_field_selection)
+
+    names = ["p_partkey", "p_name", "p_brand", "p_type", "p_size"]
+    # keyword-matched fields first (schema order), then the rest, capped
+    assert search_field_selection(names, ("name", "type"), 3) == \
+        ["p_name", "p_type", "p_partkey"]
+    # no keywords -> schema order, capped
+    assert search_field_selection(names, (), 2) == ["p_partkey", "p_name"]
+    # max_fields=0 -> uncapped
+    assert search_field_selection(names, (), 0) == names
+
+    t = pa.table({
+        "fid": [1, 2, 130, 4],
+        "name": ["red widget", "blue gear x13", "plain", "plain"],
+        "brand": ["B#9", "B#9", "B#9", "B#13"],
+        "size": [5, 6, 7, 8],
+    })
+    ds = ray.data.from_arrow(t)
+    # capped to [name (keyword), fid (remaining)] + id always: brand excluded
+    got = feature_search(ds, "13", id_col="fid", keywords=("name",),
+                         max_fields=2).to_pandas()
+    assert sorted(got["fid"]) == [2, 130]  # name hit + id hit, NOT brand
+    # uncapped search also finds the brand match
+    got_all = feature_search(ds, "13", id_col="fid", max_fields=0).to_pandas()
+    assert sorted(got_all["fid"]) == [2, 4, 130]
+    # null values never match, int id substring semantics = str(int)
+    t2 = pa.table({"fid": [7], "name": pa.array([None], pa.string())})
+    assert feature_search(ray.data.from_arrow(t2), "7",
+                          id_col="fid").count() == 1
+
+
+def test_ivf_probe_all_equals_brute_force(ray_session):
+    """With n_probe == n_clusters the IVF probe degenerates to an exact scan:
+    the per-cell-matmul kernel must reproduce brute-force top-k exactly
+    (same ids, same ranks, same rounded cosines)."""
+    import ray.data
+    from brdrq_ray.functions.similarity import ivf_knn, knn_brute_force
+
+    emb = pq.read_table(EMB)
+    Q = np.asarray(emb.column("embedding").to_pylist())[:4]
+    exact = knn_brute_force(ray.data.from_arrow(emb), Q, k=7)
+    full = ivf_knn(ray.data.from_arrow(emb), Q, k=7, n_clusters=8, n_probe=8)
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True)[["query_id", "vec_id", "cosine", "rank"]],
+        full.reset_index(drop=True)[["query_id", "vec_id", "cosine", "rank"]])
+
+
+def test_ivf_scale_defaults_and_distributed_train(ray_session):
+    """n_clusters=None derives ~sqrt(n); distributed Lloyd refinement (the
+    above-threshold training path) keeps recall at least as good as the
+    sample-only codebook on the same corpus."""
+    import ray.data
+    from brdrq_ray.functions.similarity import (
+        ivf_build, ivf_probe, knn_brute_force, resolve_n_clusters)
+
+    assert resolve_n_clusters(None, 10_000) == 100
+    assert resolve_n_clusters(None, 3) == 4           # clamp low
+    assert resolve_n_clusters(12, 10_000) == 12       # explicit wins
+
+    emb = pq.read_table(EMB)
+    Q = np.asarray(emb.column("embedding").to_pylist())[:4]
+    ds = ray.data.from_arrow(emb)
+    exact = knn_brute_force(ds, Q, k=10)
+
+    idx = ivf_build(ds, n_clusters=None, distributed_train=True,
+                    train_sample=64)  # tiny sample -> refinement must matter
+    assert idx["n_clusters"] == resolve_n_clusters(None, emb.num_rows)
+    got = ivf_probe(idx, Q, k=10, n_probe=max(2, idx["n_clusters"] // 2))
+    recalls = []
+    for qi in range(4):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(got[got["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6
+    import shutil
+    shutil.rmtree(idx["index_dir"], ignore_errors=True)

@@ -261,3 +261,48 @@ def test_make_valid_repairs_collinear_overlaps():
     assert not g.ring_is_simple(dbl)
     k, parts = g.make_valid(g.GEOM_POLYGON, [[dbl]])
     assert g.geom_area(k, parts) == pytest.approx(80.0)
+
+
+def test_to_wkt_matches_per_value_fmt_contract():
+    """to_wkt's batch formatter (one %-format call per ring + regex strip)
+    must stay bit-identical to formatting every value with _fmt — fuzzed
+    over random grids incl. negatives, tiny values, and negative zeros."""
+    rng = np.random.default_rng(11)
+
+    def reference_wkt(kind, parts):
+        if not parts:
+            return f"{g.KIND_NAMES[kind].upper()} EMPTY"
+        if kind == g.GEOM_POINT:
+            body = ", ".join(f"({g._fmt(p[0][0, 0])} {g._fmt(p[0][0, 1])})"
+                             for p in parts)
+            return f"MULTIPOINT ({body})"
+        if kind == g.GEOM_LINESTRING:
+            body = ", ".join("(" + ", ".join(f"{g._fmt(x)} {g._fmt(y)}"
+                                             for x, y in p[0]) + ")"
+                             for p in parts)
+            return f"MULTILINESTRING ({body})"
+        polys = []
+        for rings in parts:
+            rt = []
+            for r in rings:
+                closed = np.vstack([r, r[:1]])
+                rt.append("(" + ", ".join(f"{g._fmt(x)} {g._fmt(y)}"
+                                          for x, y in closed) + ")")
+            polys.append("(" + ", ".join(rt) + ")")
+        return f"MULTIPOLYGON ({', '.join(polys)})"
+
+    for trial in range(40):
+        n = int(rng.integers(3, 30))
+        scale = rng.choice([1e-6, 0.1, 1.0, 1e4, 1e9])
+        ring = g.snap(rng.uniform(-2, 2, size=(n, 2)) * scale)
+        for kind in (g.GEOM_POLYGON, g.GEOM_LINESTRING):
+            parts = [[ring]]
+            assert g.to_wkt(kind, parts) == reference_wkt(kind, parts), \
+                f"trial {trial} scale {scale} kind {kind}"
+    # negative zero + EMPTY + points
+    nz = g.snap(np.array([[-4e-7, 1.0], [2.0, -3e-7], [5.0, 5.0]]))
+    assert g.to_wkt(g.GEOM_POLYGON, [[nz]]) == reference_wkt(g.GEOM_POLYGON, [[nz]])
+    assert "-0 " not in g.to_wkt(g.GEOM_POLYGON, [[nz]])
+    pts = [[np.array([[1.5, -2.25]])], [np.array([[0.0, 3.0]])]]
+    assert g.to_wkt(g.GEOM_POINT, pts) == reference_wkt(g.GEOM_POINT, pts)
+    assert g.to_wkt(g.GEOM_POLYGON, []) == "MULTIPOLYGON EMPTY"

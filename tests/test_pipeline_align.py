@@ -174,3 +174,36 @@ def test_oversized_feature_routing(ray_session, synth_tables):
     assert (routed["theme_id"] == exact["theme_id"]).all()
     assert (routed["brdr_area"] == exact["brdr_area"]).all()
     assert (routed["result_geom"] == exact["result_geom"]).all()
+
+
+def test_slots_projection_reduces_schema_and_bytes(ray_session, synth_tables):
+    """slots= selects which geometry result columns are materialized
+    (reference emits relevant_intersection/diff only under
+    SHOW_INTERMEDIATE_LAYERS, brdrq_algorithm_autocorrectborders.py:671-689):
+    the reduced schema drops exactly the unselected *_geom columns, the
+    shared columns are byte-identical to the default run, and the packed
+    payload shrinks."""
+    import ray.data
+    from brdrq_ray.pipelines.autocorrect import run_alignment
+    from brdrq_ray.stages.align_stage import ALL_SLOTS, result_schema
+
+    theme, ref = synth_tables
+    cfg = al.AlignConfig(relevant_distance=2.0, od_strategy=al.OD_EXCLUDE)
+    full = run_alignment(ray.data.from_arrow(theme), ray.data.from_arrow(ref),
+                         cfg).to_pandas().sort_values("theme_id").reset_index(drop=True)
+    lean = run_alignment(ray.data.from_arrow(theme), ray.data.from_arrow(ref),
+                         cfg, slots=("result",)).to_pandas() \
+        .sort_values("theme_id").reset_index(drop=True)
+
+    assert list(full.columns) == list(result_schema(ALL_SLOTS).names)
+    assert list(lean.columns) == list(result_schema(("result",)).names)
+    dropped = {f"{s}_geom" for s in ALL_SLOTS} - {"result_geom"}
+    assert dropped.isdisjoint(lean.columns) and dropped <= set(full.columns)
+    # shared columns identical (the projection changes bytes, not values)
+    for c in lean.columns:
+        assert full[c].equals(lean[c]), c
+    # real byte savings on the packed geometry payload
+    full_bytes = sum(full[c].map(len).sum() for c in full.columns
+                     if c.endswith("_geom"))
+    lean_bytes = lean["result_geom"].map(len).sum()
+    assert lean_bytes < full_bytes

@@ -95,3 +95,54 @@ def test_snap_processor_via_align_stage(ray_session):
     assert pdf["brdr_remark"].str.startswith("snapped:").all()
     assert (pdf["brdr_perimeter"] > 0).all()
     assert (pdf["brdr_area"] == 0).all()  # lines have no area
+
+def test_partial_snapping_polygon_alignment():
+    """A7/A14 adjunct — partial_snapping (reference ProcessorConfig fields,
+    brdrq_dockwidget_featurealigner.py:1513-1522; flag hardcoded off in the
+    reference UI, brdrq_settings.py:294): when ON, the aligned boundary's
+    vertices within rd are additionally snapped onto reference vertices and
+    the remark records the move count; default OFF is byte-identical to the
+    pre-feature behavior."""
+    from brdrq_ray.alignment import align_one
+
+    # theme slightly overhangs parcel P1 (10x10) -> 'partial' contribution;
+    # its corners sit within rd of P1's corners
+    theme = [[sq(0.3, 0.4, 9.6, 9.5)]]
+    cands = [("P1", [[sq(0, 0, 10, 10)]])]
+
+    base_cfg = AlignConfig(relevant_distance=1.0, od_strategy="EXCLUDE")
+    pr_off = align_one(theme, cands, 1.0, base_cfg)
+    assert "partial_snap" not in pr_off.remark
+
+    cfg = AlignConfig(relevant_distance=1.0, od_strategy="EXCLUDE",
+                      partial_snapping=True,
+                      partial_snap_strategy="PREFER_VERTICES")
+    pr_on = align_one(theme, cands, 1.0, cfg)
+    assert "partial_snap:" in pr_on.remark
+    # every result vertex within rd of a P1 vertex landed exactly on it
+    ref_corners = sq(0, 0, 10, 10)
+    res_pts = np.vstack([r for p in pr_on.result for r in p])
+    d = np.min(np.hypot(res_pts[:, None, 0] - ref_corners[None, :, 0],
+                        res_pts[:, None, 1] - ref_corners[None, :, 1]), axis=1)
+    assert (d < 1e-9).any()          # some vertices snapped onto corners
+    # diff slots were recomputed against the snapped result
+    a_plus = g.geom_area(g.GEOM_POLYGON, pr_on.result_diff_plus)
+    a_min = g.geom_area(g.GEOM_POLYGON, pr_on.result_diff_min)
+    a_sym = g.geom_area(g.GEOM_POLYGON, pr_on.result_diff)
+    assert a_sym == pytest.approx(a_plus + a_min, abs=1e-6)
+    # snapped results vary with rd -> fingerprint must be rd-dependent
+    assert pr_on.fingerprint != align_one(theme, cands, 0.8, cfg).fingerprint
+
+
+def test_partial_snapping_job_roundtrip():
+    """AlignJob carries the partial-snap fields through align_config()."""
+    from brdrq_ray.config import AlignJob
+
+    job = AlignJob(partial_snapping=True, partial_snap_strategy="ONLY_VERTICES",
+                   partial_snap_max_segment_length=1.5)
+    cfg = job.align_config()
+    assert cfg.partial_snapping is True
+    assert cfg.partial_snap_strategy == "ONLY_VERTICES"
+    assert cfg.partial_snap_max_segment_length == 1.5
+    job2 = AlignJob.from_json(job.to_json())
+    assert job2.partial_snapping is True
