@@ -87,11 +87,8 @@ def read_geojson(path: str, id_field: str = "id") -> pa.Table:
                      "props": pa.array(props, pa.string())})
 
 
-def write_geojson(table: pa.Table, path: str, id_col: str = "theme_id",
-                  wkt_col: str = "geometry_wkt"):
-    """Rows with a WKT column -> one FeatureCollection file. Scalar columns
-    (plus a JSON 'props' column, flattened) become feature properties."""
-    features = []
+def _features_of(table: pa.Table, id_col: str, wkt_col: str, start: int = 0):
+    """Yield GeoJSON feature dicts for one table (one block's worth)."""
     scalar_cols = [c for c in table.column_names
                    if c not in (wkt_col, "props") and
                    not pa.types.is_binary(table.schema.field(c).type)]
@@ -105,15 +102,41 @@ def write_geojson(table: pa.Table, path: str, id_col: str = "theme_id",
                     properties.update(json.loads(raw))
                 except ValueError:
                     properties["props"] = raw
-        features.append({
+        yield {
             "type": "Feature",
-            "id": table.column(id_col)[i].as_py() if id_col in table.column_names else i,
+            "id": (table.column(id_col)[i].as_py()
+                   if id_col in table.column_names else start + i),
             "properties": properties,
             "geometry": _parts_to_geojson(kind, parts),
-        })
+        }
+
+
+def write_geojson_stream(tables, path: str, id_col: str = "theme_id",
+                         wkt_col: str = "geometry_wkt"):
+    """Stream an iterable of tables/blocks into ONE FeatureCollection file —
+    bounded driver memory (one block resident at a time), byte-identical to
+    json.dump of the assembled collection (same key order and separators)."""
+    row_base = 0
     with open(path, "w") as f:
-        json.dump({"type": "FeatureCollection", "features": features}, f,
-                  sort_keys=True, default=str)
+        f.write('{"features": [')
+        first = True
+        for table in tables:
+            if not isinstance(table, pa.Table):
+                table = pa.Table.from_pandas(table)
+            for feat in _features_of(table, id_col, wkt_col, start=row_base):
+                if not first:
+                    f.write(", ")
+                f.write(json.dumps(feat, sort_keys=True, default=str))
+                first = False
+            row_base += table.num_rows
+        f.write('], "type": "FeatureCollection"}')
+
+
+def write_geojson(table: pa.Table, path: str, id_col: str = "theme_id",
+                  wkt_col: str = "geometry_wkt"):
+    """Rows with a WKT column -> one FeatureCollection file. Scalar columns
+    (plus a JSON 'props' column, flattened) become feature properties."""
+    write_geojson_stream([table], path, id_col=id_col, wkt_col=wkt_col)
 
 
 def geojson_to_dataset(path: str, id_field: str = "id"):
@@ -122,6 +145,9 @@ def geojson_to_dataset(path: str, id_field: str = "id"):
 
 
 def dataset_to_geojson(ds, path: str, **kwargs):
-    """Small-result sink (presentation format — parquet remains the scale
-    sink; a 100 TB result is not one FeatureCollection)."""
-    write_geojson(pa.Table.from_pandas(ds.to_pandas()), path, **kwargs)
+    """Presentation sink: STREAMS blocks into the file via iter_batches —
+    the driver holds one block at a time, never the whole dataset (parquet
+    remains the scale sink; a 100 TB result is not one FeatureCollection,
+    but the writer must not be the thing that materializes it)."""
+    write_geojson_stream(ds.iter_batches(batch_format="pyarrow"),
+                         path, **kwargs)
