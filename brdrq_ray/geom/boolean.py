@@ -41,15 +41,15 @@ def _key(x: float, y: float) -> tuple[int, int]:
 
 
 def _edges_of(parts):
-    """Directed edges [(ax, ay, bx, by), ...] of all rings, ring orientation
-    preserved (shells CCW, holes CW — interior on the left)."""
+    """Directed edges [[ax, ay, bx, by], ...] of all rings, ring orientation
+    preserved (shells CCW, holes CW — interior on the left). One numpy
+    hstack per ring, not a Python loop per vertex."""
     out = []
     for rings in parts:
         for r in rings:
             nxt = np.concatenate([r[1:], r[:1]])
-            for (ax, ay), (bx, by) in zip(r, nxt):
-                if (ax, ay) != (bx, by):
-                    out.append((ax, ay, bx, by))
+            neq = (r[:, 0] != nxt[:, 0]) | (r[:, 1] != nxt[:, 1])
+            out.extend(np.hstack([r, nxt])[neq].tolist())
     return out
 
 
@@ -158,9 +158,22 @@ def _split_edges(edges_a, edges_b):
 
 
 def _apply_cuts(edges_with_cuts):
-    """Expand edges into sub-edges at their cut params; dedupe by key."""
-    out = []
-    for ax, ay, bx, by, cuts in edges_with_cuts:
+    """Expand edges into sub-edges at their cut params; dedupe by key.
+
+    Fast path: edges WITHOUT cuts (the vast majority — only edges crossing
+    the other geometry collect cuts) are keyed with one vectorized np.round
+    over the whole block (np.round and Python round() are both half-even, so
+    keys are identical); only cut edges walk the per-point chain."""
+    out: list = []
+    plain_pos: list[int] = []  # placeholder slots, filled vectorized below
+    plain_rows: list = []      # (emission ORDER preserved — stitch tie-breaks
+    for e in edges_with_cuts:  # are insertion-order-sensitive)
+        if not e[4]:
+            plain_pos.append(len(out))
+            out.append(None)
+            plain_rows.append(e[:4])
+            continue
+        ax, ay, bx, by, cuts = e
         pts = [(0.0, ax, ay), (1.0, bx, by)]
         pts.extend(cuts)
         pts.sort(key=lambda p: p[0])
@@ -173,7 +186,14 @@ def _apply_cuts(edges_with_cuts):
                 prev_key = k
         for (k1, x1, y1), (k2, x2, y2) in zip(chain, chain[1:]):
             out.append((k1, k2, x1, y1, x2, y2))
-    return out
+    if plain_rows:
+        E = np.array(plain_rows, dtype=np.float64)
+        K = np.round(E * _QK).astype(np.int64)
+        for pos, krow, erow in zip(plain_pos, K.tolist(), E.tolist()):
+            if krow[0] != krow[2] or krow[1] != krow[3]:
+                out[pos] = ((krow[0], krow[1]), (krow[2], krow[3]),
+                            erow[0], erow[1], erow[2], erow[3])
+    return [e for e in out if e is not None]
 
 
 def _classify(sub_edges, other_parts, other_edge_keys):

@@ -652,19 +652,26 @@ def points_in_rings(pts: np.ndarray, rings) -> np.ndarray:
     """Winding number of each point w.r.t. the union of rings (shells CCW,
     holes CW): result != 0 means inside. Boundary points are implementation-
     defined (callers offset test points off the boundary). pts: (k, 2)."""
-    wn = np.zeros(len(pts), dtype=np.int64)
     px, py = pts[:, 0], pts[:, 1]
-    for r in rings:
-        ax, ay = r[:, 0], r[:, 1]
-        bx = np.concatenate([ax[1:], ax[:1]])
-        by = np.concatenate([ay[1:], ay[:1]])
-        # broadcast edges (E,1) x points (1,K) in one shot
-        cross = ((bx - ax)[:, None] * (py[None, :] - ay[:, None])
-                 - (px[None, :] - ax[:, None]) * (by - ay)[:, None])
-        up = (ay[:, None] <= py[None, :]) & (by[:, None] > py[None, :]) & (cross > 0)
-        dn = (ay[:, None] > py[None, :]) & (by[:, None] <= py[None, :]) & (cross < 0)
-        wn += (up.sum(axis=0) - dn.sum(axis=0)).astype(np.int64)
-    return wn
+    rings = [r for r in rings if len(r)]
+    if not rings:
+        return np.zeros(len(pts), dtype=np.int64)
+    # ONE (E_total x K) broadcast over the concatenated edges of all rings
+    # (integer winding sums are order-independent — identical results to the
+    # per-ring accumulation, ~2x fewer temporaries per call)
+    if len(rings) == 1:
+        A = rings[0]
+        B = np.concatenate([A[1:], A[:1]])
+    else:
+        A = np.vstack(rings)
+        B = np.vstack([np.concatenate([r[1:], r[:1]]) for r in rings])
+    ax, ay = A[:, 0][:, None], A[:, 1][:, None]
+    bx, by = B[:, 0][:, None], B[:, 1][:, None]
+    pyr = py[None, :]
+    cross = (bx - ax) * (pyr - ay) - (px[None, :] - ax) * (by - ay)
+    up = (ay <= pyr) & (by > pyr) & (cross > 0)
+    dn = (ay > pyr) & (by <= pyr) & (cross < 0)
+    return up.sum(axis=0).astype(np.int64) - dn.sum(axis=0).astype(np.int64)
 
 
 def points_in_polygon(pts: np.ndarray, parts) -> np.ndarray:
