@@ -408,6 +408,13 @@ def _overlay_once(a_parts, b_parts, op: str, validate: bool = True):
     ea = _edges_of(a_parts)
     eb = _edges_of(b_parts)
     ea_c, eb_c = _split_edges(ea, eb)
+    if all(not e[4] for e in ea_c) and all(not e[4] for e in eb_c):
+        # zero cuts = the boundaries never touch (endpoint contacts and
+        # collinear overlaps all produce cuts): every ring lies wholly
+        # inside or outside the other geometry. Select whole rings with ONE
+        # edge-midpoint winding test per ring — ~25% of real alignment
+        # overlays take this path, skipping per-sub-edge classify + stitch.
+        return _containment_overlay(a_parts, b_parts, op)
     sub_a = _apply_cuts(ea_c)
     sub_b = _apply_cuts(eb_c)
     keys_a = {(e[0], e[1]) for e in sub_a}
@@ -429,6 +436,54 @@ def _overlay_once(a_parts, b_parts, op: str, validate: bool = True):
     else:
         raise ValueError(f"unknown op {op!r}")
     return _stitch(sel)
+
+
+def _ring_key_dedupe(r: np.ndarray) -> np.ndarray:
+    """Drop vertices whose quantized key equals the previous one (and a last
+    vertex keying equal to the first) — the same collapse the sub-edge chain
+    in _apply_cuts applies, so the containment fast path emits bit-identical
+    rings to the stitch path."""
+    K = np.round(r * _QK).astype(np.int64)
+    keep = np.ones(len(r), dtype=bool)
+    keep[1:] = np.any(K[1:] != K[:-1], axis=1)
+    idx = np.nonzero(keep)[0]
+    if len(idx) > 1 and np.array_equal(K[idx[0]], K[idx[-1]]):
+        keep[idx[-1]] = False
+    return r[keep]
+
+
+def _containment_overlay(a_parts, b_parts, op: str):
+    """Overlay for the no-boundary-contact case: classification is per RING
+    (one edge-midpoint winding test each — identical in/out result to the
+    per-sub-edge path since every edge of an untouched ring shares the
+    label), assembly via the same _rings_to_parts as the stitch path."""
+    def rings_with_mids(parts):
+        rs, mids = [], []
+        for rings in parts:
+            for r in rings:
+                rr = _ring_key_dedupe(r)
+                if len(rr) < 3:
+                    continue
+                rs.append(rr)
+                mids.append(((rr[0, 0] + rr[1, 0]) * 0.5,
+                             (rr[0, 1] + rr[1, 1]) * 0.5))
+        return rs, np.asarray(mids, dtype=np.float64).reshape(-1, 2)
+
+    ra, ma = rings_with_mids(a_parts)
+    rb, mb = rings_with_mids(b_parts)
+    in_b = points_in_polygon(ma, b_parts) if len(ra) else np.zeros(0, bool)
+    in_a = points_in_polygon(mb, a_parts) if len(rb) else np.zeros(0, bool)
+    rings = []
+    if op == "intersection":
+        rings += [r for r, i in zip(ra, in_b) if i]
+        rings += [r for r, i in zip(rb, in_a) if i]
+    elif op == "union":
+        rings += [r for r, i in zip(ra, in_b) if not i]
+        rings += [r for r, i in zip(rb, in_a) if not i]
+    else:  # difference
+        rings += [r for r, i in zip(ra, in_b) if not i]
+        rings += [r[::-1].copy() for r, i in zip(rb, in_a) if i]
+    return _rings_to_parts(rings)
 
 
 def _vertex_edge_candidates(verts, ax, ay, bx, by):

@@ -127,3 +127,66 @@ def test_collinear_spike_fuzz(seed):
                     float)
     k, parts = g.make_valid(g.GEOM_POLYGON, [[g.snap(ring)]])
     assert area(parts) == pytest.approx(w * h, rel=1e-6)
+
+
+def test_containment_fast_path_matches_stitch_path():
+    """Zero-cut overlays (boundaries never touch) take the per-ring
+    containment fast path — its output must be BIT-IDENTICAL to the generic
+    split/classify/stitch path on the same inputs (fuzzed: containment,
+    hole-nesting, bbox-overlapping disjoint)."""
+    import numpy as np
+    from brdrq_ray.geom import boolean as bl
+    from brdrq_ray.geom import core as g
+
+    def sq(x0, y0, w, h):
+        return np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                         [x0, y0 + h]], float)
+
+    def slow(a, b, op):
+        ea, eb = bl._edges_of(a), bl._edges_of(b)
+        ea_c, eb_c = bl._split_edges(ea, eb)
+        sub_a, sub_b = bl._apply_cuts(ea_c), bl._apply_cuts(eb_c)
+        keys_a = {(e[0], e[1]) for e in sub_a}
+        keys_b = {(e[0], e[1]) for e in sub_b}
+        lab_a = bl._classify(sub_a, b, keys_b)
+        lab_b = bl._classify(sub_b, a, keys_a)
+        sel = []
+        if op == "intersection":
+            sel += [e for e, l in zip(sub_a, lab_a) if l in ("in", "shared_same")]
+            sel += [e for e, l in zip(sub_b, lab_b) if l == "in"]
+        elif op == "union":
+            sel += [e for e, l in zip(sub_a, lab_a) if l in ("out", "shared_same")]
+            sel += [e for e, l in zip(sub_b, lab_b) if l == "out"]
+        else:
+            sel += [e for e, l in zip(sub_a, lab_a) if l in ("out", "shared_opp")]
+            sel += [(e[1], e[0], e[4], e[5], e[2], e[3])
+                    for e, l in zip(sub_b, lab_b) if l == "in"]
+        return bl._stitch(sel)
+
+    def canon(parts):
+        return [[r.tolist() for r in p] for p in parts]
+
+    rng = np.random.default_rng(9)
+    checked = 0
+    for trial in range(120):
+        big = sq(0, 0, 10, 10)
+        k = rng.integers(0, 4)
+        if k == 0:
+            a, b = [[big]], [[sq(2 + rng.uniform(0, 2), 2 + rng.uniform(0, 2), 2, 2)]]
+        elif k == 1:  # disjoint but bbox-overlapping
+            a = [[np.array([[0, 0], [12, 0], [0, 6]], float)]]
+            b = [[sq(8, 4, 2, 2)]]
+        elif k == 2:  # b inside a's hole
+            a, b = [[big, sq(3, 3, 4, 4)[::-1].copy()]], [[sq(4, 4, 1.5, 1.5)]]
+        else:
+            a, b = [[sq(3, 3, 2, 2)]], [[big]]
+        dx, dy = g.snap(rng.uniform(0, 0.37, 2))
+        a = [[g.snap(r + [dx, dy]) for r in p] for p in a]
+        b = [[g.snap(r + [dx, dy]) for r in p] for p in b]
+        if bl._bbox_disjoint(a, b):
+            continue
+        for op in ("intersection", "union", "difference"):
+            assert canon(bl._containment_overlay(a, b, op)) == canon(slow(a, b, op)), \
+                (trial, op)
+            checked += 1
+    assert checked > 200
