@@ -47,9 +47,18 @@ class TilePlan:
     n_features: int
 
 
+#: skew model: one "row equivalent" per KB of packed geometry — align cost
+#: grows with vertex count, so a cell of few huge polygons is as hot as a
+#: cell of many small ones. Typical parcels (~600 B packed) stay below 1 KB,
+#: so row count dominates for ordinary data and the plan is unchanged.
+COST_BYTES_PER_ROW_EQUIV = 1024
+
+
 def _plan_stats_batch(batch: pa.Table) -> pa.Table:
     """Per-batch partial for the planning pre-pass: feature extent max and a
-    bbox-center histogram at PROBE_LEVEL."""
+    bbox-center histogram at PROBE_LEVEL, weighted two ways — row count and
+    packed-geometry bytes (the complexity proxy for cost-aware salting)."""
+    import pyarrow.compute as pc
     xmin = batch.column("xmin").to_numpy(zero_copy_only=False)
     xmax = batch.column("xmax").to_numpy(zero_copy_only=False)
     ymin = batch.column("ymin").to_numpy(zero_copy_only=False)
@@ -58,11 +67,17 @@ def _plan_stats_batch(batch: pa.Table) -> pa.Table:
     ext = np.maximum(xmax - xmin, ymax - ymin)[ok]
     cx = ((xmin + xmax) * 0.5)[ok]
     cy = ((ymin + ymax) * 0.5)[ok]
+    gbytes = (pc.binary_length(batch.column("geom")).to_numpy(zero_copy_only=False)
+              .astype(np.int64)[ok]
+              if "geom" in batch.column_names else np.zeros(int(ok.sum()), np.int64))
     cells = tiles.encode_cells(cx, cy, PROBE_LEVEL)
-    uniq, counts = np.unique(cells, return_counts=True)
+    uniq, inv, counts = np.unique(cells, return_inverse=True, return_counts=True)
+    bsum = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(bsum, inv, gbytes)
     return pa.table({
         "probe_cell": pa.array(uniq, pa.int64()),
         "n": pa.array(counts, pa.int64()),
+        "geom_bytes": pa.array(bsum, pa.int64()),
         "max_extent": pa.array(np.full(len(uniq), ext.max() if len(ext) else 0.0)),
     })
 
@@ -88,11 +103,19 @@ def plan_tiles(parsed_thematic: ray.data.Dataset, max_rd: float,
     partials = parsed_thematic.map_batches(_plan_stats_batch, batch_format="pyarrow")
     from ray.data.aggregate import Max, Sum
     agg = partials.groupby("probe_cell").aggregate(
-        Sum("n", alias_name="sum_n"), Max("max_extent", alias_name="mx"))
+        Sum("n", alias_name="sum_n"), Sum("geom_bytes", alias_name="sum_b"),
+        Max("max_extent", alias_name="mx"))
     hist = agg.to_pandas()  # ONE execution of the stats pass
     hist = hist.rename(columns={"sum_n": "sum(n)"})
     max_extent = float(hist["mx"].max()) if len(hist) else 0.0
-    n_features = int(hist["sum(n)"].sum()) if len(hist) else 0
+    n_features = int(hist["sum(n)"].sum()) if len(hist) else 0  # TRUE rows
+    # cost-aware effective count FOR SALTING ONLY: max(rows, geometry-KB)
+    # per probe cell — a cell of few huge polygons salts like a cell of many
+    # small ones (align cost grows with vertex count, not row count alone)
+    if len(hist):
+        hist["sum(n)"] = np.maximum(
+            hist["sum(n)"].to_numpy(),
+            hist["sum_b"].to_numpy() // COST_BYTES_PER_ROW_EQUIV)
     if plan_sample < 1.0:
         max_extent *= 1.5  # sampled estimate -> safety margin (guarded at runtime)
         n_features = int(n_features / plan_sample) if plan_sample > 0 else n_features

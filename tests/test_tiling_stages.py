@@ -68,3 +68,53 @@ def test_salt_reference_replication():
     for s in out.column("salt").to_pylist():
         per_salt[s] = per_salt.get(s, 0) + 1
     assert per_salt == {0: 3, 1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_cost_aware_salting(ray_session):
+    """Salting weighs geometry bytes, not just rows: a cell holding few HUGE
+    polygons (vertex-heavy, align cost ~ vertices) salts like a cell of many
+    small ones; ordinary sub-KB rows are unaffected (row count dominates)."""
+    import ray.data
+
+    from brdrq_ray.geom import core as g
+    from brdrq_ray.pipelines.autocorrect import plan_tiles
+
+    def circle(cx, cy, r, n):
+        a = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        return g.snap(np.column_stack([cx + r * np.cos(a), cy + r * np.sin(a)]))
+
+    def batch(cx, n_feats, n_verts):
+        rows = {"theme_id": [], "geom": [], "xmin": [], "ymin": [],
+                "xmax": [], "ymax": [], "props": []}
+        for i in range(n_feats):
+            ring = circle(cx, 5.0, 2.0, n_verts)
+            rows["theme_id"].append(f"T{cx}-{i}")
+            rows["geom"].append(g.pack_geom(g.GEOM_POLYGON, [[ring]]))
+            rows["xmin"].append(cx - 2.0); rows["xmax"].append(cx + 2.0)
+            rows["ymin"].append(3.0); rows["ymax"].append(7.0)
+            rows["props"].append("")
+        return pa.table({
+            "theme_id": pa.array(rows["theme_id"], pa.string()),
+            "geom": pa.array(rows["geom"], pa.binary()),
+            "xmin": pa.array(rows["xmin"]), "ymin": pa.array(rows["ymin"]),
+            "xmax": pa.array(rows["xmax"]), "ymax": pa.array(rows["ymax"]),
+            "props": pa.array(rows["props"], pa.string()),
+        })
+
+    # same row count per cell; one cell's features are ~50x heavier
+    thin = batch(5.0, 12, 16)        # ~300 B packed each
+    fat = batch(5005.0, 12, 1000)    # ~16 KB packed each
+    ds = ray.data.from_arrow(pa.concat_tables([thin, fat]))
+    plan = plan_tiles(ds, max_rd=2.0, hot_threshold=16)
+    assert plan.n_features == 24     # TRUE row count, not effective units
+
+    # locate the two owner cells and compare their salt
+    from brdrq_ray import tiles
+    thin_cell = int(tiles.encode_cells(np.array([5.0]), np.array([5.0]),
+                                       plan.level)[0])
+    fat_cell = int(tiles.encode_cells(np.array([5005.0]), np.array([5.0]),
+                                      plan.level)[0])
+    thin_salt = plan.salts.get(thin_cell, 1)
+    fat_salt = plan.salts.get(fat_cell, 1)
+    assert fat_salt > thin_salt      # complexity skew detected
+    assert thin_salt == 1            # 12 small rows under threshold 16
