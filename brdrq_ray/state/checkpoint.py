@@ -138,8 +138,9 @@ class CellWriter:
         self.phash = phash
 
     EMPTY = pa.schema([("part_key", pa.int64()), ("cell", pa.int64()),
-                       ("rows", pa.int64()), ("path", pa.string()),
-                       ("params_hash", pa.string()), ("wall_sec", pa.float64())])
+                       ("rows", pa.int64()), ("bytes", pa.int64()),
+                       ("path", pa.string()), ("params_hash", pa.string()),
+                       ("wall_sec", pa.float64())])
 
     def __call__(self, part_key: int, group: pa.Table) -> pa.Table:
         t0 = time.time()
@@ -150,9 +151,10 @@ class CellWriter:
         os.makedirs(part_dir, exist_ok=True)
         tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}")
         pq.write_table(group, tmp)
+        nbytes = os.path.getsize(tmp)
         os.replace(tmp, os.path.join(part_dir, "part.parquet"))
         rec = {"part_key": int(part_key), "cell": cell, "rows": group.num_rows,
-               "path": part_dir, "params_hash": self.phash,
+               "bytes": nbytes, "path": part_dir, "params_hash": self.phash,
                "wall_sec": time.time() - t0}
         # per-partition manifest record, written atomically AFTER the data: a
         # mid-run kill leaves every finished tile individually resumable (the
@@ -164,6 +166,7 @@ class CellWriter:
         return pa.table({"part_key": pa.array([rec["part_key"]], pa.int64()),
                          "cell": pa.array([cell], pa.int64()),
                          "rows": pa.array([group.num_rows], pa.int64()),
+                         "bytes": pa.array([nbytes], pa.int64()),
                          "path": pa.array([part_dir], pa.string()),
                          "params_hash": pa.array([self.phash], pa.string()),
                          "wall_sec": pa.array([rec["wall_sec"]], pa.float64())})
