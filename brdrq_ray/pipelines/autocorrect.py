@@ -399,6 +399,14 @@ def select_result_type(results: ray.data.Dataset, result_type: str,
     reference: remove_empty_features_from_diff_layers,
     plugin/brdrq/brdrq_utils.py:1513-1527)."""
     geom_col = RESULT_TYPES[result_type]
+    schema_names = results.schema().names
+    if geom_col not in schema_names:
+        raise ValueError(
+            f"result type {result_type!r} was not materialized — the "
+            f"alignment ran with a reduced slots= selection "
+            f"(available geometry columns: "
+            f"{[c for c in schema_names if c.endswith('_geom')]}); "
+            f"re-run with slots including {result_type!r}")
     is_diff = result_type != "result"
 
     def project(batch: pa.Table) -> pa.Table:

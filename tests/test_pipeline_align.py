@@ -207,3 +207,20 @@ def test_slots_projection_reduces_schema_and_bytes(ray_session, synth_tables):
                      if c.endswith("_geom"))
     lean_bytes = lean["result_geom"].map(len).sum()
     assert lean_bytes < full_bytes
+
+
+def test_select_result_type_on_reduced_slots_raises(ray_session, synth_tables):
+    """Requesting a slot that the alignment did not materialize fails with a
+    clear message instead of a KeyError deep in a batch task."""
+    import ray.data
+    from brdrq_ray.pipelines.autocorrect import run_alignment, select_result_type
+
+    theme, ref = synth_tables
+    cfg = al.AlignConfig(relevant_distance=2.0, od_strategy=al.OD_EXCLUDE)
+    lean = run_alignment(ray.data.from_arrow(theme), ray.data.from_arrow(ref),
+                         cfg, slots=("result",))
+    with pytest.raises(ValueError, match="not materialized"):
+        select_result_type(lean, "result_diff")
+    # the materialized slot still projects fine
+    out = select_result_type(lean, "result").to_pandas()
+    assert "geometry_wkt" in out.columns and len(out) > 0
