@@ -737,9 +737,25 @@ _BASE_ORACLE_SQL = {
                 FROM orders) GROUP BY band
         """,
         "global_minmax": """
-            SELECT min(value) AS min_value, max(value) AS max_value,
-                   min(user_id) AS min_user, max(user_id) AS max_user
-            FROM events
+            -- global stats composite: min/max + binned-quantile sketch
+            -- (bin = floor(value/0.5); quantile q = lower bound of the
+            -- smallest bin whose cumulative count reaches ceil(q*n) —
+            -- the exact formula binned_quantiles computes distributed)
+            WITH b AS (SELECT CAST(floor(value / 0.5) AS BIGINT) AS bin,
+                              count(*) AS c
+                       FROM events WHERE isfinite(value) GROUP BY 1),
+                 n AS (SELECT sum(c) AS total FROM b),
+                 cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cc FROM b)
+            SELECT (SELECT min(value) FROM events) AS min_value,
+                   (SELECT max(value) FROM events) AS max_value,
+                   (SELECT min(user_id) FROM events) AS min_user,
+                   (SELECT max(user_id) FROM events) AS max_user,
+                   (SELECT min(bin) * 0.5 FROM cum, n
+                    WHERE cc >= greatest(CAST(ceil(0.50 * total) AS BIGINT), 1)) AS p50_value_bin,
+                   (SELECT min(bin) * 0.5 FROM cum, n
+                    WHERE cc >= greatest(CAST(ceil(0.90 * total) AS BIGINT), 1)) AS p90_value_bin,
+                   (SELECT min(bin) * 0.5 FROM cum, n
+                    WHERE cc >= greatest(CAST(ceil(0.99 * total) AS BIGINT), 1)) AS p99_value_bin
         """,
         "listing_top1000": """
             SELECT o_orderkey, o_totalprice FROM orders

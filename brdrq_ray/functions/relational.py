@@ -487,15 +487,25 @@ def case_when_classification(sf_dir: str):
 
 
 def global_minmax(sf_dir: str):
-    """G2 analog: global min/max aggregate (the combined-bbox pattern)."""
+    """G2 analog + global stats composite: min/max aggregate (the
+    combined-bbox pattern) plus DETERMINISTIC binned quantiles of `value`
+    (mergeable histogram sketch, functions/sketches.binned_quantiles —
+    bin-resolution answers the SQL oracle reproduces with the same
+    floor/ceil formula, so the sketch family is driver-hash-gated)."""
+    from ..functions.sketches import binned_quantiles
     ds = read(sf_dir, "events", ["value", "user_id"])
     from ray.data.aggregate import Max, Min
     row = ds.aggregate(Min("value"), Max("value"), Min("user_id"), Max("user_id"))
+    qr = binned_quantiles(read(sf_dir, "events", ["value"]), "value",
+                          bin_width=0.5, qs=(0.5, 0.9, 0.99))
     return pa.table({
         "min_value": pa.array([row["min(value)"]], pa.float64()),
         "max_value": pa.array([row["max(value)"]], pa.float64()),
         "min_user": pa.array([row["min(user_id)"]], pa.int64()),
         "max_user": pa.array([row["max(user_id)"]], pa.int64()),
+        "p50_value_bin": pa.array([qr["quantiles"][0.5]], pa.float64()),
+        "p90_value_bin": pa.array([qr["quantiles"][0.9]], pa.float64()),
+        "p99_value_bin": pa.array([qr["quantiles"][0.99]], pa.float64()),
     })
 
 

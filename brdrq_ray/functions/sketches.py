@@ -171,3 +171,49 @@ def heavy_hitters(ds, col: str, k: int = 10, d: int = 4, w: int = 2048,
     df = pd.DataFrame({"value": cand_arr, "est_count": est.astype(np.int64)})
     return (df.sort_values(["est_count", "value"], ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def binned_quantiles(ds, col: str, bin_width: float, qs) -> dict:
+    """Mergeable fixed-width histogram sketch -> DETERMINISTIC quantiles.
+
+    Each batch emits one (bin, count) partial per occupied bin
+    (bin = floor(value / bin_width)); partials sum-merge through a tiny
+    groupby (the combiner already ran per batch, so the shuffle moves
+    occupied-bin rows, never data rows). The quantile answer is exact at
+    bin resolution and reproducible in ANSI SQL with the same floor/ceil
+    formula — unlike t-digest/KLL there is no merge-order dependence, so
+    the driver correctness gate can hash-compare it against DuckDB.
+
+    Returns {'quantiles': {q: bin_lo}, 'total': n}: for each q the LOWER
+    BOUND of the smallest bin whose cumulative count reaches ceil(q * n).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    w = float(bin_width)
+
+    def batch_hist(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[np.isfinite(v)]
+        bins = np.floor(v / w).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(u, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    hist = (ds.map_batches(batch_hist, batch_format="pyarrow")
+              .groupby("bin").aggregate(Sum("c", alias_name="csum"))
+              .to_pandas())
+    if "bin" not in hist.columns or not len(hist):  # empty input
+        return {"quantiles": {float(q): None for q in qs}, "total": 0}
+    hist = hist.sort_values("bin").reset_index(drop=True)
+    total = int(hist["csum"].sum())
+    out: dict = {}
+    if total == 0:
+        return {"quantiles": {float(q): None for q in qs}, "total": 0}
+    cum = hist["csum"].cumsum().to_numpy()
+    bins = hist["bin"].to_numpy()
+    for q in qs:
+        r = max(int(np.ceil(float(q) * total)), 1)
+        idx = int(np.searchsorted(cum, r))
+        out[float(q)] = float(bins[idx] * w)
+    return {"quantiles": out, "total": total}

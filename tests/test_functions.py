@@ -628,3 +628,29 @@ def test_ivf_scale_defaults_and_distributed_train(ray_session):
     assert np.mean(recalls) >= 0.6
     import shutil
     shutil.rmtree(idx["index_dir"], ignore_errors=True)
+
+
+def test_binned_quantiles(ray_session):
+    """Mergeable histogram quantiles: batching-invariant (sum-merge has no
+    order dependence), within bin_width of the exact quantile, and exact on
+    bin boundaries."""
+    import ray.data
+    from brdrq_ray.functions.sketches import binned_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = np.round(rng.gamma(4.0, 25.0, size=20_000), 2)
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+    w = 0.5
+    r1 = binned_quantiles(ray.data.from_arrow(t), "v", w, (0.5, 0.9, 0.99))
+    r2 = binned_quantiles(ray.data.from_arrow(t).repartition(13), "v", w,
+                          (0.5, 0.9, 0.99))
+    assert r1 == r2                       # block layout cannot change answers
+    assert r1["total"] == len(vals)
+    for q in (0.5, 0.9, 0.99):
+        exact = np.quantile(vals, q, method="inverted_cdf")
+        got = r1["quantiles"][q]
+        assert got <= exact <= got + w    # bin lower bound brackets the exact
+    # empty input
+    empty = pa.table({"v": pa.array([], pa.float64())})
+    r0 = binned_quantiles(ray.data.from_arrow(empty), "v", w, (0.5,))
+    assert r0["total"] == 0 and r0["quantiles"][0.5] is None
