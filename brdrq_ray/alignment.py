@@ -409,9 +409,14 @@ def align_prepared(theme_parts, prepared, od_parts, rd: float, cfg: AlignConfig)
     pr.used_refs = [(c[0], c[1]) for c in contributions]
     # snapped od varies continuously with rd (like partial contributions) ->
     # rd participates in the fingerprint whenever a snap strategy admits od
+    # partial snapping makes the result vary with rd whenever snap TARGETS
+    # exist (prepared non-empty) — gated on the config, not on n_psnap, so
+    # the rule is knowable without geometry and fingerprint_at stays
+    # bit-identical (a plateau cache must never share one rd's snapped
+    # geometry across the grid)
     rd_dependent = (any(c[1] == "partial" for c in contributions)
                     or (od_flag and cfg.od_strategy in _OD_SNAP_MODES)
-                    or n_psnap > 0)  # partial snap varies with rd too
+                    or (cfg.partial_snapping and bool(prepared)))
     pr.fingerprint = (tuple(sorted((str(c[0]), c[1]) for c in contributions)), od_flag,
                       rd if rd_dependent else 0.0)
     return pr
@@ -475,7 +480,11 @@ def fingerprint_at(prepared, od_parts, rd: float, cfg: AlignConfig):
         return ("identity",)
     od_used = bool(od_parts) and cfg.od_strategy != OD_EXCLUDE
     od_rd_dep = bool(od_parts) and cfg.od_strategy in _OD_SNAP_MODES
-    return _fingerprint(classify_at(prepared, rd, cfg), od_used, rd, od_rd_dep)
+    # partial snapping: same conservative rd-dependence rule as
+    # align_prepared (snap targets exist -> geometry varies with rd)
+    force_rd = cfg.partial_snapping and bool(prepared)
+    return _fingerprint(classify_at(prepared, rd, cfg), od_used, rd,
+                        od_rd_dep or force_rd)
 
 
 @dataclass

@@ -207,9 +207,11 @@ def broadcast_hash_join(sf_dir: str):
     (ray.put of ONE Arrow table once, zero-copy reads per actor) — no
     shuffle. The probe is two C++ kernels per batch (`pc.index_in` into the
     build keys + `take` of the payload columns), never a per-row Python
-    dict lookup. Unique-build-key semantics (index_in keeps the first
-    occurrence), matching the reference's keyed dict
-    (plugin/brdrq/brdrq_utils.py:1236-1291 analog)."""
+    dict lookup. Duplicate-build-key semantics: index_in keeps the FIRST
+    occurrence — a deliberate r4 change from the r3 dict build (which kept
+    the LAST); build sides are expected key-unique (the reference keys its
+    dict by unique feature id, plugin/brdrq/brdrq_utils.py:1236-1291
+    analog), so dedupe a non-unique build side explicitly before joining."""
     cust = pa.concat_tables([
         t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
         for t in ray.get(read(sf_dir, "customer",

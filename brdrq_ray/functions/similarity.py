@@ -161,14 +161,24 @@ def ivf_build(ds, n_clusters: int | None = 16, vec_col: str = "embedding",
     elif os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
 
-    n_vectors = ds.count()
-    n_clusters = resolve_n_clusters(n_clusters, n_vectors)
-    if distributed_train is None:
-        distributed_train = n_vectors > DISTRIBUTED_TRAIN_THRESHOLD
-    sample = np.asarray(ds.limit(train_sample).to_pandas()[vec_col].tolist())
+    # one count, only when something actually needs it (n_clusters derivation
+    # or the distributed-train decision) — never two passes, never a wasted
+    # pass when the caller supplied both knobs
+    if n_clusters is None or distributed_train is None:
+        n_vectors = ds.count()
+        n_clusters = resolve_n_clusters(n_clusters, n_vectors)
+        if distributed_train is None:
+            distributed_train = n_vectors > DISTRIBUTED_TRAIN_THRESHOLD
+    n_clusters = int(n_clusters)
+    # the init sample must COVER the codebook (kmeans_fit seeds centroids by
+    # sampling without replacement) — a derived sqrt(n) n_clusters above
+    # train_sample would otherwise silently shrink the codebook
+    sample_n = max(train_sample, 2 * n_clusters)
+    sample = np.asarray(ds.limit(sample_n).to_pandas()[vec_col].tolist())
     C = kmeans_fit(sample, n_clusters)
     if distributed_train:
         C = kmeans_refine_distributed(ds, C, iters=3, vec_col=vec_col)
+    n_clusters = len(C)  # truthful: == codebook size even if the data is tiny
     cref = ray.put(C)
 
     class AssignStage:
@@ -270,7 +280,8 @@ def ivf_probe(index: dict, queries: np.ndarray, k: int = 10, n_probe: int = 4,
 def ivf_knn(ds, queries: np.ndarray, k: int = 10, n_clusters: int | None = 16,
             n_probe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
             train_sample: int = 2048, index_dir: str | None = None,
-            cache_key: str | None = None) -> pd.DataFrame:
+            cache_key: str | None = None,
+            distributed_train: bool | None = None) -> pd.DataFrame:
     """IVF ANN, build + probe in one call (ad-hoc use; production keeps the
     ivf_build index and probes it repeatedly). ``n_clusters=None`` derives
     ~sqrt(n_vectors). ``cache_key`` (a content hash of the input the CALLER
@@ -279,18 +290,23 @@ def ivf_knn(ds, queries: np.ndarray, k: int = 10, n_clusters: int | None = 16,
     import os
     import shutil
 
-    if n_clusters is None:
-        n_clusters = resolve_n_clusters(None, ds.count())
+    if n_clusters is None or distributed_train is None:
+        n_vectors = ds.count()  # ONE count; ivf_build then skips its own
+        n_clusters = resolve_n_clusters(n_clusters, n_vectors)
+        if distributed_train is None:
+            distributed_train = n_vectors > DISTRIBUTED_TRAIN_THRESHOLD
     if cache_key and index_dir is None:
         index_dir = f"/tmp/brdrq_ivf_cache/{cache_key}-c{n_clusters}-t{train_sample}"
         if os.path.exists(os.path.join(index_dir, "_codebook.npy")):
             return ivf_probe(ivf_load(index_dir), queries, k, n_probe,
                              vec_col, id_col)
-        index = ivf_build(ds, n_clusters, vec_col, id_col, train_sample, index_dir)
+        index = ivf_build(ds, n_clusters, vec_col, id_col, train_sample,
+                          index_dir, distributed_train=distributed_train)
         return ivf_probe(index, queries, k, n_probe, vec_col, id_col)
 
     own_index = index_dir is None
-    index = ivf_build(ds, n_clusters, vec_col, id_col, train_sample, index_dir)
+    index = ivf_build(ds, n_clusters, vec_col, id_col, train_sample,
+                          index_dir, distributed_train=distributed_train)
     try:
         return ivf_probe(index, queries, k, n_probe, vec_col, id_col)
     finally:

@@ -79,7 +79,7 @@ def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     # base-256 polynomial hash mod Mersenne-61 == the byte string read as one
     # big-endian integer, reduced mod M — int.from_bytes + bigint mod are C
     # paths, removing the r2 per-character Python loop (~40x on long docs).
-    # SEMANTIC CHANGE vs r2 (intentional, SEMANTICS.md section 6): r2 used
+    # SEMANTIC CHANGE vs r2 (intentional, SEMANTICS.md section 18): r2 used
     # base 257, so r3+ values differ from any r2-persisted fingerprints; the
     # length is mixed in below so texts differing only by leading NUL bytes
     # ('\x00abc' vs 'abc' — invisible to a base-256 integer) stay distinct.

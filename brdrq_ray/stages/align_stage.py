@@ -41,7 +41,12 @@ ALL_SLOTS = tuple(GEOM_SLOTS)
 def result_schema(slots: tuple = ALL_SLOTS) -> pa.Schema:
     """The flat result-table schema for a slot selection. Fixed per job so
     empty groups still produce typed blocks and union/write_parquet never
-    see schema drift."""
+    see schema drift. Unknown slot names fail HERE (driver-side), not as a
+    KeyError deep inside a remote group task."""
+    bad = [s for s in slots if s not in GEOM_SLOTS]
+    if bad:
+        raise ValueError(f"unknown result slot(s) {bad}; "
+                         f"valid slots: {list(GEOM_SLOTS)}")
     fields = [("theme_id", pa.string()),
               ("brdr_id", pa.int64()),
               ("brdr_relevant_distance", pa.float64())]
@@ -80,10 +85,6 @@ def _brdr_id(theme_id: str) -> int:
     docs/autocorrectborders.md:202; ours must be reproducible across shuffles
     so it is a CRC of the user key)."""
     return zlib.crc32(str(theme_id).encode())
-
-
-def _empty_result_table() -> pa.Table:
-    return RESULT_SCHEMA.empty_table()
 
 
 def _emit_row(out: dict, theme_id, cell, props, pr: al.ProcessResult,

@@ -224,3 +224,12 @@ def test_select_result_type_on_reduced_slots_raises(ray_session, synth_tables):
     # the materialized slot still projects fine
     out = select_result_type(lean, "result").to_pandas()
     assert "geometry_wkt" in out.columns and len(out) > 0
+
+
+def test_unknown_slot_rejected_driver_side():
+    """A misspelled slots= entry fails fast in result_schema with the valid
+    names, never as a KeyError inside a remote group task."""
+    from brdrq_ray.stages.align_stage import result_schema
+
+    with pytest.raises(ValueError, match="unknown result slot"):
+        result_schema(("result_dif",))

@@ -146,3 +146,31 @@ def test_partial_snapping_job_roundtrip():
     assert cfg.partial_snap_max_segment_length == 1.5
     job2 = AlignJob.from_json(job.to_json())
     assert job2.partial_snapping is True
+
+
+def test_partial_snapping_evaluate_materializes_per_rd():
+    """Regression: evaluate-mode plateau caching must NOT share one rd's
+    snapped geometry across the grid — with partial_snapping ON the cheap
+    fingerprint is rd-dependent (same conservative rule as align_prepared),
+    so every materialized result equals align_one at its exact rd."""
+    from brdrq_ray.alignment import AlignConfig, align_one, evaluate_series
+
+    theme = [[sq(0.3, 0.4, 9.6, 9.5)]]
+    cands = [("P1", [[sq(0, 0, 10, 10)]])]
+    cfg = AlignConfig(relevant_distance=1.0, od_strategy="EXCLUDE",
+                      partial_snapping=True,
+                      partial_snap_strategy="PREFER_VERTICES")
+    distances = [0.2, 0.4, 0.6, 0.8, 1.0]
+    all_results, _ = evaluate_series("T1", theme, cands, distances, cfg,
+                                     materialize_all=True)
+    assert len(all_results) == len(distances)
+    moved = 0
+    for rd, pr in zip(distances, all_results):
+        ref = align_one(theme, cands, rd, cfg)
+        assert pr.rd == ref.rd
+        got = [r.tolist() for p in pr.result for r in p]
+        want = [r.tolist() for p in ref.result for r in p]
+        assert got == want, f"rd={rd}: plateau cache leaked another rd's snap"
+        if "partial_snap" in ref.remark:
+            moved += 1
+    assert moved >= 2  # the fixture actually snaps at several distances
