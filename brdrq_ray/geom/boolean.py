@@ -101,6 +101,68 @@ def _seg_intersections(e1, e2):
     return out
 
 
+#: above this Ea*Eb product the dense bbox-overlap matrix (the common-case
+#: fast path for parcel-sized polygons) is replaced by a bbox-grid pairing —
+#: two 100k-edge coastlines must never materialize 10^10 booleans
+_MAX_DENSE_PAIRS = 4_000_000
+
+
+def _grid_pairs(a_min_x, a_max_x, a_min_y, a_max_y,
+                b_min_x, b_max_x, b_min_y, b_max_y):
+    """Candidate (i, j) edge pairs via a uniform bbox grid — memory/time
+    ~linear in edges + true overlaps instead of the dense Ea x Eb matrix.
+    Returns EXACTLY the dense path's pair set in row-major order (grid
+    candidates are a superset of bbox-overlapping pairs; an exact bbox
+    filter + lexsort makes the result bit-identical)."""
+    med = float(np.median(np.concatenate([
+        np.maximum(a_max_x - a_min_x, a_max_y - a_min_y),
+        np.maximum(b_max_x - b_min_x, b_max_y - b_min_y)])))
+    cell = max(med, 1e-9)
+    inv = 1.0 / cell
+    bx0 = np.floor(b_min_x * inv).astype(np.int64)
+    bx1 = np.floor(b_max_x * inv).astype(np.int64)
+    by0 = np.floor(b_min_y * inv).astype(np.int64)
+    by1 = np.floor(b_max_y * inv).astype(np.int64)
+    span = (bx1 - bx0 + 1) * (by1 - by0 + 1)
+    grid: dict = {}
+    always: list = []
+    for j in range(len(bx0)):
+        if span[j] > 64:
+            always.append(j)
+            continue
+        for cx in range(bx0[j], bx1[j] + 1):
+            for cy in range(by0[j], by1[j] + 1):
+                grid.setdefault((cx, cy), []).append(j)
+    ax0 = np.floor(a_min_x * inv).astype(np.int64)
+    ax1 = np.floor(a_max_x * inv).astype(np.int64)
+    ay0 = np.floor(a_min_y * inv).astype(np.int64)
+    ay1 = np.floor(a_max_y * inv).astype(np.int64)
+    ii_l: list = []
+    jj_l: list = []
+    for i in range(len(ax0)):
+        seen: set = set()
+        for cx in range(ax0[i], ax1[i] + 1):
+            for cy in range(ay0[i], ay1[i] + 1):
+                js = grid.get((cx, cy))
+                if js:
+                    seen.update(js)
+        if always:
+            seen.update(always)
+        if seen:
+            ii_l.extend([i] * len(seen))
+            jj_l.extend(seen)
+    if not ii_l:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ii = np.array(ii_l, np.int64)
+    jj = np.array(jj_l, np.int64)
+    # exact bbox filter -> the dense pair set precisely
+    keep = ((a_min_x[ii] <= b_max_x[jj]) & (a_max_x[ii] >= b_min_x[jj])
+            & (a_min_y[ii] <= b_max_y[jj]) & (a_max_y[ii] >= b_min_y[jj]))
+    ii, jj = ii[keep], jj[keep]
+    order = np.lexsort((jj, ii))  # row-major: identical cut insertion order
+    return ii[order], jj[order]
+
+
 def _split_edges(edges_a, edges_b):
     """Split each edge list at mutual intersection points (shared float
     computation -> identical coordinates on both sides). Also splits at the
@@ -119,11 +181,15 @@ def _split_edges(edges_a, edges_b):
     b_max_x = np.maximum(B[:, 0], B[:, 2]) + SNAP
     b_min_y = np.minimum(B[:, 1], B[:, 3]) - SNAP
     b_max_y = np.maximum(B[:, 1], B[:, 3]) + SNAP
-    ov = ((a_min_x[:, None] <= b_max_x[None, :]) & (a_max_x[:, None] >= b_min_x[None, :])
-          & (a_min_y[:, None] <= b_max_y[None, :]) & (a_max_y[:, None] >= b_min_y[None, :]))
     cuts_a = [[] for _ in edges_a]
     cuts_b = [[] for _ in edges_b]
-    ii, jj = np.nonzero(ov)
+    if len(A) * len(B) <= _MAX_DENSE_PAIRS:
+        ov = ((a_min_x[:, None] <= b_max_x[None, :]) & (a_max_x[:, None] >= b_min_x[None, :])
+              & (a_min_y[:, None] <= b_max_y[None, :]) & (a_max_y[:, None] >= b_min_y[None, :]))
+        ii, jj = np.nonzero(ov)
+    else:
+        ii, jj = _grid_pairs(a_min_x, a_max_x, a_min_y, a_max_y,
+                             b_min_x, b_max_x, b_min_y, b_max_y)
     if len(ii):
         # vectorized proper-crossing solve over all candidate pairs; the rare
         # parallel/collinear pairs fall back to the scalar routine

@@ -190,3 +190,31 @@ def test_containment_fast_path_matches_stitch_path():
                 (trial, op)
             checked += 1
     assert checked > 200
+
+
+def test_grid_pair_path_matches_dense(monkeypatch):
+    """Above _MAX_DENSE_PAIRS the edge-pair prefilter switches from the
+    dense Ea x Eb matrix to a bbox grid — the pair SET and cut insertion
+    order (exact bbox filter + row-major lexsort) must make every overlay
+    bit-identical to the dense path."""
+    import numpy as np
+    from brdrq_ray.geom import boolean as bl
+    from brdrq_ray.geom import core as g
+
+    def circle(cx, cy, r, n):
+        a = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        return g.snap(np.column_stack([cx + r * np.cos(a), cy + r * np.sin(a)]))
+
+    rng = np.random.default_rng(21)
+    for trial in range(6):
+        n1, n2 = int(rng.integers(40, 120)), int(rng.integers(40, 120))
+        A = [[circle(0, 0, 10, n1)]]
+        B = [[circle(rng.uniform(2, 14), rng.uniform(-3, 3), 8, n2)]]
+        outs = {}
+        for name, thresh in (("dense", 10**12), ("grid", 0)):
+            monkeypatch.setattr(bl, "_MAX_DENSE_PAIRS", thresh)
+            outs[name] = [
+                [[r.tolist() for r in p]
+                 for p in bl.overlay(A, B, op, validate=False)]
+                for op in ("intersection", "union", "difference")]
+        assert outs["dense"] == outs["grid"], f"trial {trial}"
