@@ -667,11 +667,23 @@ def points_in_rings(pts: np.ndarray, rings) -> np.ndarray:
         B = np.vstack([np.concatenate([r[1:], r[:1]]) for r in rings])
     ax, ay = A[:, 0][:, None], A[:, 1][:, None]
     bx, by = B[:, 0][:, None], B[:, 1][:, None]
-    pyr = py[None, :]
-    cross = (bx - ax) * (pyr - ay) - (px[None, :] - ax) * (by - ay)
-    up = (ay <= pyr) & (by > pyr) & (cross > 0)
-    dn = (ay > pyr) & (by <= pyr) & (cross < 0)
-    return up.sum(axis=0).astype(np.int64) - dn.sum(axis=0).astype(np.int64)
+    # chunk the point axis so the (E x K) temporaries stay bounded (~32 MB)
+    # for huge boundaries x dense grids; per-chunk integer sums concatenate —
+    # bit-identical to the single broadcast
+    n_pts = len(px)
+    chunk = max(1, 4_000_000 // max(len(A), 1))
+    if n_pts <= chunk:
+        spans = [(0, n_pts)]
+    else:
+        spans = [(s, min(s + chunk, n_pts)) for s in range(0, n_pts, chunk)]
+    out = np.empty(n_pts, dtype=np.int64)
+    for s, e in spans:
+        pyr = py[None, s:e]
+        cross = (bx - ax) * (pyr - ay) - (px[None, s:e] - ax) * (by - ay)
+        up = (ay <= pyr) & (by > pyr) & (cross > 0)
+        dn = (ay > pyr) & (by <= pyr) & (cross < 0)
+        out[s:e] = up.sum(axis=0).astype(np.int64) - dn.sum(axis=0).astype(np.int64)
+    return out
 
 
 def points_in_polygon(pts: np.ndarray, parts) -> np.ndarray:
