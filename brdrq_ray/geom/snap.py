@@ -75,30 +75,44 @@ def snap_points(pts: np.ndarray, seg_a: np.ndarray, seg_b: np.ndarray,
     if k == 0:
         return out, moved
 
-    # nearest boundary projection
+    # nearest boundary projection — point axis chunked so the (k x n_segs)
+    # temporaries stay bounded (~32 MB) for huge rings x dense references;
+    # per-chunk argmins are independent, output bit-identical
     have_segs = len(seg_a) > 0
     if have_segs:
         ab = seg_b - seg_a
         ab2 = (ab * ab).sum(axis=1)
         ab2[ab2 == 0] = 1e-300
-        ap = pts[:, None, :] - seg_a[None, :, :]
-        t = np.clip((ap * ab[None, :, :]).sum(axis=2) / ab2[None, :], 0.0, 1.0)
-        proj = seg_a[None, :, :] + t[:, :, None] * ab[None, :, :]
-        dseg = np.hypot(pts[:, None, 0] - proj[:, :, 0], pts[:, None, 1] - proj[:, :, 1])
-        jmin = dseg.argmin(axis=1)
-        best_proj = proj[np.arange(k), jmin]
-        best_dseg = dseg[np.arange(k), jmin]
+        best_proj = np.empty_like(pts)
+        best_dseg = np.empty(k, dtype=np.float64)
+        chunk = max(1, 4_000_000 // len(seg_a))
+        for s in range(0, k, chunk):
+            p = pts[s:s + chunk]
+            ap = p[:, None, :] - seg_a[None, :, :]
+            t = np.clip((ap * ab[None, :, :]).sum(axis=2) / ab2[None, :], 0.0, 1.0)
+            proj = seg_a[None, :, :] + t[:, :, None] * ab[None, :, :]
+            dseg = np.hypot(p[:, None, 0] - proj[:, :, 0],
+                            p[:, None, 1] - proj[:, :, 1])
+            jmin = dseg.argmin(axis=1)
+            rows = np.arange(len(p))
+            best_proj[s:s + chunk] = proj[rows, jmin]
+            best_dseg[s:s + chunk] = dseg[rows, jmin]
     else:
         best_proj = pts
         best_dseg = np.full(k, np.inf)
 
     have_verts = len(vertices) > 0
     if have_verts:
-        dv = np.hypot(pts[:, None, 0] - vertices[None, :, 0],
-                      pts[:, None, 1] - vertices[None, :, 1])
-        vmin = dv.argmin(axis=1)
-        best_vert = vertices[vmin]
-        best_dvert = dv[np.arange(k), vmin]
+        best_vert = np.empty_like(pts)
+        best_dvert = np.empty(k, dtype=np.float64)
+        chunk = max(1, 4_000_000 // len(vertices))
+        for s in range(0, k, chunk):
+            p = pts[s:s + chunk]
+            dv = np.hypot(p[:, None, 0] - vertices[None, :, 0],
+                          p[:, None, 1] - vertices[None, :, 1])
+            vmin = dv.argmin(axis=1)
+            best_vert[s:s + chunk] = vertices[vmin]
+            best_dvert[s:s + chunk] = dv[np.arange(len(p)), vmin]
     else:
         best_vert = pts
         best_dvert = np.full(k, np.inf)
