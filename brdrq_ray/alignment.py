@@ -409,14 +409,14 @@ def align_prepared(theme_parts, prepared, od_parts, rd: float, cfg: AlignConfig)
     pr.used_refs = [(c[0], c[1]) for c in contributions]
     # snapped od varies continuously with rd (like partial contributions) ->
     # rd participates in the fingerprint whenever a snap strategy admits od
-    # partial snapping makes the result vary with rd whenever snap TARGETS
-    # exist (prepared non-empty) — gated on the config, not on n_psnap, so
-    # the rule is knowable without geometry and fingerprint_at stays
-    # bit-identical (a plateau cache must never share one rd's snapped
-    # geometry across the grid)
+    # NOTE: the fingerprint describes the CORE alignment outcome (pre
+    # partial-snap). With cfg.partial_snapping the snapped geometry still
+    # varies with rd inside an equal-fingerprint plateau — geometry caches
+    # must therefore not share across a plateau when the flag is on
+    # (_plateau_predictions skips its fp_cache); the fingerprint itself
+    # stays pre-snap so plateau/stability detection keeps working.
     rd_dependent = (any(c[1] == "partial" for c in contributions)
-                    or (od_flag and cfg.od_strategy in _OD_SNAP_MODES)
-                    or (cfg.partial_snapping and bool(prepared)))
+                    or (od_flag and cfg.od_strategy in _OD_SNAP_MODES))
     pr.fingerprint = (tuple(sorted((str(c[0]), c[1]) for c in contributions)), od_flag,
                       rd if rd_dependent else 0.0)
     return pr
@@ -480,11 +480,7 @@ def fingerprint_at(prepared, od_parts, rd: float, cfg: AlignConfig):
         return ("identity",)
     od_used = bool(od_parts) and cfg.od_strategy != OD_EXCLUDE
     od_rd_dep = bool(od_parts) and cfg.od_strategy in _OD_SNAP_MODES
-    # partial snapping: same conservative rd-dependence rule as
-    # align_prepared (snap targets exist -> geometry varies with rd)
-    force_rd = cfg.partial_snapping and bool(prepared)
-    return _fingerprint(classify_at(prepared, rd, cfg), od_used, rd,
-                        od_rd_dep or force_rd)
+    return _fingerprint(classify_at(prepared, rd, cfg), od_used, rd, od_rd_dep)
 
 
 @dataclass
@@ -570,20 +566,29 @@ def _plateau_predictions(theme_id, theme_parts, distances, fps, materialize,
     rep_cache: dict = {}
     fp_cache: dict = {}
 
+    # the fingerprint is the PRE-SNAP core outcome: with partial_snapping
+    # the snapped geometry still varies with rd inside an equal-fingerprint
+    # plateau, so geometry must NOT be shared across the plateau — each
+    # materialized index gets its own per-rd snap (plateau DETECTION still
+    # uses the core fingerprint, so stability/predictions are unaffected)
+    share_geometry = not cfg.partial_snapping
+
     def _materialize(idx):
-        # equal fingerprint => rd-independent outcome => identical geometry
-        # (the same invariant D4 plateau-merging rests on): materialize each
-        # DISTINCT fingerprint once and share it across its whole plateau —
-        # a flat 14-rd tail pays one closing, not fourteen. The shallow copy
-        # restamps rd; geometry is shared read-only.
+        # equal fingerprint => rd-independent CORE outcome => identical
+        # geometry when share_geometry (the invariant D4 plateau-merging
+        # rests on): materialize each DISTINCT fingerprint once and share it
+        # across its whole plateau — a flat 14-rd tail pays one closing, not
+        # fourteen. The shallow copy restamps rd; geometry is shared
+        # read-only.
         if idx not in rep_cache:
             fp = fps[idx]
-            if fp in fp_cache:
+            if share_geometry and fp in fp_cache:
                 pr = copy.copy(fp_cache[fp])
                 pr.rd = round_rd(distances[idx])
             else:
                 pr = materialize(idx)
-                fp_cache[fp] = pr
+                if share_geometry:
+                    fp_cache[fp] = pr
             rep_cache[idx] = pr
         return rep_cache[idx]
 

@@ -494,17 +494,40 @@ def global_minmax(sf_dir: str):
     (mergeable histogram sketch, functions/sketches.binned_quantiles —
     bin-resolution answers the SQL oracle reproduces with the same
     floor/ceil formula, so the sketch family is driver-hash-gated)."""
-    from ..functions.sketches import binned_quantiles
+    from ..functions.sketches import quantiles_from_hist
     ds = read(sf_dir, "events", ["value", "user_id"])
-    from ray.data.aggregate import Max, Min
-    row = ds.aggregate(Min("value"), Max("value"), Min("user_id"), Max("user_id"))
-    qr = binned_quantiles(read(sf_dir, "events", ["value"]), "value",
-                          bin_width=0.5, qs=(0.5, 0.9, 0.99))
+    w = 0.5
+
+    def partial(t: pa.Table) -> pa.Table:
+        # ONE scan: each batch emits min/max partials AND its histogram
+        # (bins/counts as list columns on a single row) — the driver merges
+        # n_batches tiny rows, never a second pass over the table
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        vf = v[np.isfinite(v)]
+        bins, cnts = np.unique(np.floor(vf / w).astype(np.int64),
+                               return_counts=True)
+        return pa.table({
+            "bins": pa.array([bins.tolist()], pa.list_(pa.int64())),
+            "counts": pa.array([cnts.tolist()], pa.list_(pa.int64())),
+            "vmin": pa.array([float(v.min()) if len(v) else np.inf]),
+            "vmax": pa.array([float(v.max()) if len(v) else -np.inf]),
+            "umin": pa.array([int(u.min()) if len(u) else 2**62], pa.int64()),
+            "umax": pa.array([int(u.max()) if len(u) else -2**62], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    import pandas as pd
+    allbins = np.concatenate([np.asarray(b, np.int64) for b in parts["bins"]])
+    allcnts = np.concatenate([np.asarray(c, np.int64) for c in parts["counts"]])
+    merged = pd.Series(allcnts).groupby(allbins).sum().sort_index()
+    qr = quantiles_from_hist(merged.index.to_numpy(), merged.to_numpy(),
+                             w, (0.5, 0.9, 0.99))
     return pa.table({
-        "min_value": pa.array([row["min(value)"]], pa.float64()),
-        "max_value": pa.array([row["max(value)"]], pa.float64()),
-        "min_user": pa.array([row["min(user_id)"]], pa.int64()),
-        "max_user": pa.array([row["max(user_id)"]], pa.int64()),
+        "min_value": pa.array([float(parts["vmin"].min())], pa.float64()),
+        "max_value": pa.array([float(parts["vmax"].max())], pa.float64()),
+        "min_user": pa.array([int(parts["umin"].min())], pa.int64()),
+        "max_user": pa.array([int(parts["umax"].max())], pa.int64()),
         "p50_value_bin": pa.array([qr["quantiles"][0.5]], pa.float64()),
         "p90_value_bin": pa.array([qr["quantiles"][0.9]], pa.float64()),
         "p99_value_bin": pa.array([qr["quantiles"][0.99]], pa.float64()),

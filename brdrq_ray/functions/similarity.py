@@ -290,9 +290,12 @@ def ivf_knn(ds, queries: np.ndarray, k: int = 10, n_clusters: int | None = 16,
     import os
     import shutil
 
-    if n_clusters is None or distributed_train is None:
-        n_vectors = ds.count()  # ONE count; ivf_build then skips its own
-        n_clusters = resolve_n_clusters(n_clusters, n_vectors)
+    if n_clusters is None:
+        # count only when the cache path NAME needs the derived value;
+        # with an explicit n_clusters a warm-cache probe pays no count at
+        # all (ivf_build decides distributed_train itself on a cold build)
+        n_vectors = ds.count()
+        n_clusters = resolve_n_clusters(None, n_vectors)
         if distributed_train is None:
             distributed_train = n_vectors > DISTRIBUTED_TRAIN_THRESHOLD
     if cache_key and index_dir is None:

@@ -206,14 +206,22 @@ def binned_quantiles(ds, col: str, bin_width: float, qs) -> dict:
     if "bin" not in hist.columns or not len(hist):  # empty input
         return {"quantiles": {float(q): None for q in qs}, "total": 0}
     hist = hist.sort_values("bin").reset_index(drop=True)
-    total = int(hist["csum"].sum())
-    out: dict = {}
+    return quantiles_from_hist(hist["bin"].to_numpy(),
+                               hist["csum"].to_numpy(), w, qs)
+
+
+def quantiles_from_hist(bins: np.ndarray, counts: np.ndarray,
+                        bin_width: float, qs) -> dict:
+    """The quantile formula shared by binned_quantiles and fused stat passes:
+    for each q, the lower bound of the smallest bin whose cumulative count
+    reaches ceil(q * n). ``bins`` must be sorted ascending."""
+    total = int(counts.sum()) if len(counts) else 0
     if total == 0:
         return {"quantiles": {float(q): None for q in qs}, "total": 0}
-    cum = hist["csum"].cumsum().to_numpy()
-    bins = hist["bin"].to_numpy()
+    cum = np.cumsum(counts)
+    out: dict = {}
     for q in qs:
         r = max(int(np.ceil(float(q) * total)), 1)
         idx = int(np.searchsorted(cum, r))
-        out[float(q)] = float(bins[idx] * w)
+        out[float(q)] = float(bins[idx] * bin_width)
     return {"quantiles": out, "total": total}

@@ -123,12 +123,12 @@ def _grid_pairs(a_min_x, a_max_x, a_min_y, a_max_y,
     bx1 = np.floor(b_max_x * inv).astype(np.int64)
     by0 = np.floor(b_min_y * inv).astype(np.int64)
     by1 = np.floor(b_max_y * inv).astype(np.int64)
-    span = (bx1 - bx0 + 1) * (by1 - by0 + 1)
+    span_b = (bx1 - bx0 + 1) * (by1 - by0 + 1)
     grid: dict = {}
-    always: list = []
-    for j in range(len(bx0)):
-        if span[j] > 64:
-            always.append(j)
+    long_b: list = []  # edges spanning many cells: vectorized filter below,
+    for j in range(len(bx0)):  # never flooded into the grid or pair lists
+        if span_b[j] > 64:
+            long_b.append(j)
             continue
         for cx in range(bx0[j], bx1[j] + 1):
             for cy in range(by0[j], by1[j] + 1):
@@ -137,30 +137,52 @@ def _grid_pairs(a_min_x, a_max_x, a_min_y, a_max_y,
     ax1 = np.floor(a_max_x * inv).astype(np.int64)
     ay0 = np.floor(a_min_y * inv).astype(np.int64)
     ay1 = np.floor(a_max_y * inv).astype(np.int64)
+    span_a = (ax1 - ax0 + 1) * (ay1 - ay0 + 1)
     ii_l: list = []
     jj_l: list = []
-    for i in range(len(ax0)):
+    long_a: list = []  # capped symmetrically — a long A edge must not walk
+    for i in range(len(ax0)):  # its (possibly billions-of-cells) 2-D span
+        if span_a[i] > 64:
+            long_a.append(i)
+            continue
         seen: set = set()
         for cx in range(ax0[i], ax1[i] + 1):
             for cy in range(ay0[i], ay1[i] + 1):
                 js = grid.get((cx, cy))
                 if js:
                     seen.update(js)
-        if always:
-            seen.update(always)
         if seen:
             ii_l.extend([i] * len(seen))
             jj_l.extend(seen)
-    if not ii_l:
+    ii_parts = [np.array(ii_l, np.int64)]
+    jj_parts = [np.array(jj_l, np.int64)]
+    # long edges: ONE vectorized bbox pass over the whole other side per
+    # long edge — O(long * other) time but bounded memory (one mask at a
+    # time), never a Python cell walk or an unfiltered cross product
+    for i in long_a:
+        m = ((a_min_x[i] <= b_max_x) & (a_max_x[i] >= b_min_x)
+             & (a_min_y[i] <= b_max_y) & (a_max_y[i] >= b_min_y))
+        js = np.nonzero(m)[0]
+        ii_parts.append(np.full(len(js), i, np.int64))
+        jj_parts.append(js)
+    for j in long_b:
+        m = ((a_min_x <= b_max_x[j]) & (a_max_x >= b_min_x[j])
+             & (a_min_y <= b_max_y[j]) & (a_max_y >= b_min_y[j]))
+        is_ = np.nonzero(m)[0]
+        ii_parts.append(is_)
+        jj_parts.append(np.full(len(is_), j, np.int64))
+    ii = np.concatenate(ii_parts)
+    jj = np.concatenate(jj_parts)
+    if len(ii) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    ii = np.array(ii_l, np.int64)
-    jj = np.array(jj_l, np.int64)
     # exact bbox filter -> the dense pair set precisely
     keep = ((a_min_x[ii] <= b_max_x[jj]) & (a_max_x[ii] >= b_min_x[jj])
             & (a_min_y[ii] <= b_max_y[jj]) & (a_max_y[ii] >= b_min_y[jj]))
     ii, jj = ii[keep], jj[keep]
-    order = np.lexsort((jj, ii))  # row-major: identical cut insertion order
-    return ii[order], jj[order]
+    # dedupe (a long_a x long_b pair appears in both passes) + row-major
+    # order: identical cut insertion order to the dense path
+    flat = np.unique(ii * np.int64(len(bx0)) + jj)
+    return flat // len(bx0), flat % len(bx0)
 
 
 def _split_edges(edges_a, edges_b):

@@ -648,6 +648,14 @@ def make_valid(kind: int, parts):
 # point in polygon (winding), vectorized over points
 # ---------------------------------------------------------------------------
 
+def chunk_spans(n: int, other_axis_len: int, budget: int = 4_000_000):
+    """(start, end) spans that keep an (other_axis_len x chunk) temporary
+    under ~``budget`` elements — the shared memory-bound for broadcast
+    kernels (winding, snapping, distances) over huge geometries."""
+    step = max(1, budget // max(other_axis_len, 1))
+    return [(s, min(s + step, n)) for s in range(0, n, step)]
+
+
 def points_in_rings(pts: np.ndarray, rings) -> np.ndarray:
     """Winding number of each point w.r.t. the union of rings (shells CCW,
     holes CW): result != 0 means inside. Boundary points are implementation-
@@ -671,13 +679,8 @@ def points_in_rings(pts: np.ndarray, rings) -> np.ndarray:
     # for huge boundaries x dense grids; per-chunk integer sums concatenate —
     # bit-identical to the single broadcast
     n_pts = len(px)
-    chunk = max(1, 4_000_000 // max(len(A), 1))
-    if n_pts <= chunk:
-        spans = [(0, n_pts)]
-    else:
-        spans = [(s, min(s + chunk, n_pts)) for s in range(0, n_pts, chunk)]
     out = np.empty(n_pts, dtype=np.int64)
-    for s, e in spans:
+    for s, e in chunk_spans(n_pts, len(A)):
         pyr = py[None, s:e]
         cross = (bx - ax) * (pyr - ay) - (px[None, s:e] - ax) * (by - ay)
         up = (ay <= pyr) & (by > pyr) & (cross > 0)

@@ -85,9 +85,8 @@ def snap_points(pts: np.ndarray, seg_a: np.ndarray, seg_b: np.ndarray,
         ab2[ab2 == 0] = 1e-300
         best_proj = np.empty_like(pts)
         best_dseg = np.empty(k, dtype=np.float64)
-        chunk = max(1, 4_000_000 // len(seg_a))
-        for s in range(0, k, chunk):
-            p = pts[s:s + chunk]
+        for s, e in g.chunk_spans(k, len(seg_a)):
+            p = pts[s:e]
             ap = p[:, None, :] - seg_a[None, :, :]
             t = np.clip((ap * ab[None, :, :]).sum(axis=2) / ab2[None, :], 0.0, 1.0)
             proj = seg_a[None, :, :] + t[:, :, None] * ab[None, :, :]
@@ -95,8 +94,8 @@ def snap_points(pts: np.ndarray, seg_a: np.ndarray, seg_b: np.ndarray,
                             p[:, None, 1] - proj[:, :, 1])
             jmin = dseg.argmin(axis=1)
             rows = np.arange(len(p))
-            best_proj[s:s + chunk] = proj[rows, jmin]
-            best_dseg[s:s + chunk] = dseg[rows, jmin]
+            best_proj[s:e] = proj[rows, jmin]
+            best_dseg[s:e] = dseg[rows, jmin]
     else:
         best_proj = pts
         best_dseg = np.full(k, np.inf)
@@ -105,14 +104,13 @@ def snap_points(pts: np.ndarray, seg_a: np.ndarray, seg_b: np.ndarray,
     if have_verts:
         best_vert = np.empty_like(pts)
         best_dvert = np.empty(k, dtype=np.float64)
-        chunk = max(1, 4_000_000 // len(vertices))
-        for s in range(0, k, chunk):
-            p = pts[s:s + chunk]
+        for s, e in g.chunk_spans(k, len(vertices)):
+            p = pts[s:e]
             dv = np.hypot(p[:, None, 0] - vertices[None, :, 0],
                           p[:, None, 1] - vertices[None, :, 1])
             vmin = dv.argmin(axis=1)
-            best_vert[s:s + chunk] = vertices[vmin]
-            best_dvert[s:s + chunk] = dv[np.arange(len(p)), vmin]
+            best_vert[s:e] = vertices[vmin]
+            best_dvert[s:e] = dv[np.arange(len(p)), vmin]
     else:
         best_vert = pts
         best_dvert = np.full(k, np.inf)

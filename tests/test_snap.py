@@ -130,8 +130,12 @@ def test_partial_snapping_polygon_alignment():
     a_min = g.geom_area(g.GEOM_POLYGON, pr_on.result_diff_min)
     a_sym = g.geom_area(g.GEOM_POLYGON, pr_on.result_diff)
     assert a_sym == pytest.approx(a_plus + a_min, abs=1e-6)
-    # snapped results vary with rd -> fingerprint must be rd-dependent
-    assert pr_on.fingerprint != align_one(theme, cands, 0.8, cfg).fingerprint
+    # the fingerprint stays the PRE-SNAP core outcome (plateau detection
+    # needs it rd-stable); geometry caches must not share across a plateau
+    # instead — covered by test_partial_snapping_evaluate_materializes_per_rd
+    assert pr_on.fingerprint == align_one(theme, cands, 0.8, cfg).fingerprint
+    assert [r.tolist() for p in pr_on.result for r in p] != \
+        [r.tolist() for p in align_one(theme, cands, 0.4, cfg).result for r in p]
 
 
 def test_partial_snapping_job_roundtrip():
@@ -174,3 +178,16 @@ def test_partial_snapping_evaluate_materializes_per_rd():
         if "partial_snap" in ref.remark:
             moved += 1
     assert moved >= 2  # the fixture actually snaps at several distances
+
+    # predictions mode: plateau detection runs on the PRE-SNAP core
+    # fingerprint, so stability plateaus (and therefore predictions) still
+    # exist with partial_snapping on — the rd-forced-fingerprint variant
+    # would emit zero predictions for every feature with candidates
+    _, preds = evaluate_series("T1", theme, cands, distances, cfg,
+                               materialize_all=False)
+    assert len(preds) >= 1
+    # and the prediction geometry is snapped at its own representative rd
+    rep = preds[0]
+    ref = align_one(theme, cands, rep.rd, cfg)
+    assert [r.tolist() for p in rep.pr.result for r in p] == \
+           [r.tolist() for p in ref.result for r in p]
