@@ -101,9 +101,12 @@ def entry() -> Any:
 
     from brdrq_ray.alignment import AlignConfig, OD_EXCLUDE
     from brdrq_ray.pipelines.documents import align_documents, span_sequence_table
+    from brdrq_ray.sources.documents import read_interleaved_documents
 
     fdir = _fixture_dir("/root/testdata/sf0.001")
-    docs = ray.data.read_parquet(f"{fdir}/documents.parquet")
+    # format-dispatching source (Lance in production per the north rule;
+    # parquet in this sandbox — same contract either way)
+    docs = read_interleaved_documents(f"{fdir}/documents.parquet")
     ref = ray.data.read_parquet(f"{fdir}/reference.parquet")
     aligned = align_documents(docs, ref, AlignConfig(relevant_distance=2.0,
                                                      od_strategy=OD_EXCLUDE))
@@ -150,10 +153,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from brdrq_ray.alignment import AlignConfig, OD_EXCLUDE
         from brdrq_ray.pipelines.documents import align_documents, span_sequence_table
+        from brdrq_ray.sources.documents import read_interleaved_documents
 
         fdir = _fixture_dir(sf_dir)
         aligned = align_documents(
-            ray.data.read_parquet(f"{fdir}/documents.parquet"),
+            read_interleaved_documents(f"{fdir}/documents.parquet"),
             ray.data.read_parquet(f"{fdir}/reference.parquet"),
             AlignConfig(relevant_distance=2.0, od_strategy=OD_EXCLUDE))
         return span_sequence_table(aligned, with_text=False)

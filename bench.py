@@ -102,7 +102,8 @@ def run_headline() -> dict:
         # the headline measures the SCALE path: reference replicated through
         # the shuffle (broadcast fast path exists but would sidestep the
         # exchange the scaling criterion is about)
-        out = align_documents(ray.data.read_parquet(f"{fdir}/documents.parquet"),
+        from brdrq_ray.sources.documents import read_interleaved_documents
+        out = align_documents(read_interleaved_documents(f"{fdir}/documents.parquet"),
                               ray.data.read_parquet(f"{fdir}/reference.parquet"),
                               AlignConfig(relevant_distance=2.0, od_strategy=OD_EXCLUDE),
                               hot_threshold=hot, broadcast_reference=False)
