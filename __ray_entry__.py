@@ -20,6 +20,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from brdrq_ray.functions.sampling import fraction_threshold as _fthr
+
+# exact integer sampling thresholds (round(p * 2^60)) shared between the Ray
+# side and the oracle SQL so float rounding can never flip a membership bit
+_SAMPLE_THR_10 = _fthr(0.10)
+_SAMPLE_THR_TRAIN = _fthr(0.05)
+_SAMPLE_THR_VAL = _fthr(0.5)
+_SAMPLE_THR_TEST = _fthr(1.0)
+
 
 # --------------------------------------------------------------------------
 # geometry fixture management (deterministic, cached per scale under /tmp)
@@ -244,22 +253,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["quality_score"], 6)
 
     def normalize_split(sf_dir: str):
-        """Text normalization + deterministic hash split, one driver row:
-        both are pure per-row functions of (doc_id, text), so they compose
-        in a single map_batches with aligned rows."""
+        """Composite driver row: text normalization + deterministic hash
+        split + the three deterministic sampling operators
+        (functions/sampling.py) — Bernoulli 10%, per-stratum fractions, and
+        exact-k-per-stratum smallest-hash reservoir (k=25, flagged via a
+        broadcast membership set). Everything is a pure function of
+        (seed, doc_id), so the row set is stable across partitionings and
+        SQL-reproducible."""
+        import pyarrow as pa
         import ray.data
+        from brdrq_ray.functions.sampling import (
+            fraction_threshold, hash60, stratified_take_k)
         from brdrq_ray.functions.text import hash_split_batch, normalize_text_batch
 
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                    columns=["doc_id", "text"])
 
-        def both(b):
+        thr_10 = fraction_threshold(0.10)
+        thr_by_split = {"train": fraction_threshold(0.05),
+                        "val": fraction_threshold(0.5),
+                        "test": fraction_threshold(1.0)}
+
+        def with_split(b):
             norm = normalize_text_batch(b).select(["doc_id", "text_norm"])
             spl = hash_split_batch(b)
             return (norm.append_column("split_bucket", spl.column("split_bucket"))
                         .append_column("split", spl.column("split")))
 
-        return ds.map_batches(both, batch_format="pyarrow")
+        base = ds.map_batches(with_split, batch_format="pyarrow")
+
+        # exact-k reservoir per stratum -> small membership set (strata x 25)
+        top = stratified_take_k(base, k=25, strata_col="split", id_col="doc_id",
+                                seed="s1")
+        member = set(zip(top.column("strata").to_pylist(),
+                         top.column("id").to_pylist()))
+
+        def add_samples(b: pa.Table) -> pa.Table:
+            import numpy as np
+            ids = b.column("doc_id").to_pylist()
+            splits = b.column("split").to_pylist()
+            h = hash60(ids, seed="s1")
+            limits = np.fromiter((thr_by_split[s] for s in splits),
+                                 dtype=np.int64, count=len(splits))
+            in_top = [(s, str(i)) in member for s, i in zip(splits, ids)]
+            return (b.append_column("keep_10pct", pa.array(h < thr_10))
+                     .append_column("strat_keep", pa.array(h < limits))
+                     .append_column("in_top25", pa.array(in_top, pa.bool_())))
+
+        return base.map_batches(add_samples, batch_format="pyarrow")
 
     def hll_distinct(sf_dir: str):
         import pandas as pd
@@ -800,17 +841,29 @@ _BASE_ORACLE_SQL = {
             SELECT doc_id, text, lang, source, n_chars FROM documents
             QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
         """,
-        "normalize_split": """
+        "normalize_split": f"""
+            WITH h AS (
+                SELECT doc_id, text,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) % 100 AS split_bucket,
+                       CAST('0x' || substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) AS h60
+                FROM documents),
+            s AS (
+                SELECT *, CASE WHEN split_bucket < 10 THEN 'test'
+                               WHEN split_bucket < 20 THEN 'val'
+                               ELSE 'train' END AS split
+                FROM h)
             SELECT doc_id,
                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm,
-                   split_bucket,
-                   CASE WHEN split_bucket < 10 THEN 'test'
-                        WHEN split_bucket < 20 THEN 'val'
-                        ELSE 'train' END AS split
-            FROM (SELECT doc_id, text,
-                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                              AS BIGINT) % 100 AS split_bucket
-                  FROM documents)
+                   split_bucket, split,
+                   h60 < {_SAMPLE_THR_10} AS keep_10pct,
+                   h60 < (CASE split WHEN 'train' THEN {_SAMPLE_THR_TRAIN}
+                                     WHEN 'val' THEN {_SAMPLE_THR_VAL}
+                                     ELSE {_SAMPLE_THR_TEST} END) AS strat_keep,
+                   row_number() OVER (PARTITION BY split ORDER BY h60, doc_id)
+                       <= 25 AS in_top25
+            FROM s
         """,
         "token_count": """
             SELECT doc_id,

@@ -1,0 +1,108 @@
+"""Deterministic sampling operators (functions/sampling.py)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from brdrq_ray.functions.sampling import (
+    SIXTY_BITS, fraction_threshold, hash60, hash_sample, stratified_sample,
+    stratified_take_k)
+
+
+def _docs_table(n=400, seed=9):
+    rng = np.random.default_rng(seed)
+    strata = rng.choice(["a", "b", "c"], size=n, p=[0.6, 0.3, 0.1])
+    return pa.table({
+        "doc_id": [f"d{i:05d}" for i in range(n)],
+        "stratum": strata,
+        "val": rng.integers(0, 1000, size=n),
+    })
+
+
+def test_fraction_threshold_exact():
+    assert fraction_threshold(0.0) == 0
+    assert fraction_threshold(1.0) == SIXTY_BITS
+    assert fraction_threshold(0.5) == SIXTY_BITS // 2
+    with pytest.raises(ValueError):
+        fraction_threshold(1.5)
+
+
+def test_hash60_matches_md5_prefix():
+    ids = ["x", "42", "d00010"]
+    got = hash60(ids, seed="s1")
+    for i, v in zip(ids, got):
+        assert v == int(hashlib.md5(f"s1|{i}".encode()).hexdigest()[:15], 16)
+
+
+def test_hash_sample_deterministic_and_partition_invariant(ray_session):
+    import ray.data
+
+    tbl = _docs_table()
+    a = hash_sample(ray.data.from_arrow(tbl), 0.25, id_col="doc_id",
+                    seed="z").to_pandas()
+    b = hash_sample(ray.data.from_arrow(tbl).repartition(7), 0.25,
+                    id_col="doc_id", seed="z").to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # rate is near the fraction (md5 uniformity; generous tolerance)
+    assert 0.15 < len(a) / len(tbl) < 0.35
+    # membership is the pure per-row predicate
+    expect = {i for i in tbl.column("doc_id").to_pylist()
+              if hash60([i], "z")[0] < fraction_threshold(0.25)}
+    assert set(a["doc_id"]) == expect
+
+
+def test_stratified_sample_per_stratum_fractions(ray_session):
+    import ray.data
+
+    tbl = _docs_table()
+    out = stratified_sample(ray.data.from_arrow(tbl),
+                            {"a": 0.0, "b": 1.0}, strata_col="stratum",
+                            id_col="doc_id", seed="q",
+                            default=0.5).to_pandas()
+    assert (out["stratum"] != "a").all()
+    n_b = (np.asarray(tbl.column("stratum")) == "b").sum()
+    assert (out["stratum"] == "b").sum() == n_b  # fraction 1.0 keeps all
+    # default applies to stratum c
+    c_ids = [i for i, s in zip(tbl.column("doc_id").to_pylist(),
+                               tbl.column("stratum").to_pylist()) if s == "c"]
+    expect_c = {i for i in c_ids
+                if hash60([i], "q")[0] < fraction_threshold(0.5)}
+    assert set(out[out["stratum"] == "c"]["doc_id"]) == expect_c
+
+
+def test_stratified_take_k_matches_brute_force(ray_session):
+    import ray.data
+
+    tbl = _docs_table()
+    k = 7
+    got = stratified_take_k(ray.data.from_arrow(tbl).repartition(5), k=k,
+                            strata_col="stratum", id_col="doc_id", seed="r")
+    gd = got.to_pandas()
+    # brute force: k smallest (hash, id) per stratum over the whole table
+    ids = tbl.column("doc_id").to_pylist()
+    strata = tbl.column("stratum").to_pylist()
+    h = hash60(ids, "r")
+    import pandas as pd
+    bf = (pd.DataFrame({"strata": strata, "id": ids, "sample_hash60": h})
+            .sort_values(["strata", "sample_hash60", "id"], kind="mergesort")
+            .groupby("strata", sort=False).head(k)
+            .sort_values(["strata", "sample_hash60", "id"])
+            .reset_index(drop=True))
+    gd = gd.sort_values(["strata", "sample_hash60", "id"]).reset_index(drop=True)
+    assert gd.equals(bf)
+    assert (gd.groupby("strata").size() == k).all()
+
+
+def test_stratified_take_k_small_stratum(ray_session):
+    import ray.data
+
+    tbl = pa.table({"doc_id": ["a", "b", "c"], "stratum": ["x", "x", "y"]})
+    got = stratified_take_k(ray.data.from_arrow(tbl), k=5,
+                            strata_col="stratum", id_col="doc_id")
+    gd = got.to_pandas()
+    assert len(gd) == 3  # min(k, stratum size) rows each
+    assert set(gd["strata"]) == {"x", "y"}
