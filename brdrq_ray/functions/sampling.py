@@ -91,6 +91,46 @@ def stratified_sample(ds, fractions: dict[str, float], strata_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def mix_corpora(sources: dict[str, tuple], id_col: str = "doc_id",
+                seed: str = "mix"):
+    """Weighted corpus mixing for pretraining: each source contributes
+    floor(w) full epochs plus a deterministic Bernoulli(frac(w)) sample as
+    the final partial epoch (weight 2.3 -> 2 full copies + a 0.3 sample).
+    Rows gain (source, epoch) columns; the partial epoch uses a per-epoch
+    seed so repeated rows and sampled rows are reproducible independently.
+
+    ``sources``: {name: (dataset, weight)} with weight >= 0. Returns the
+    lazy union — no shuffle, no materialization; each leg is a pure per-row
+    filter over its source, so the mix streams and scales like its inputs.
+    Downstream training order is the consumer's concern (a global
+    random_shuffle, or Ray's iter over randomized blocks)."""
+    legs = []
+    for name, (ds, weight) in sources.items():
+        if weight < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {weight}")
+        full, frac = int(weight), weight - int(weight)
+        for ep in range(full):
+            legs.append(_tag(ds, name, ep))
+        if frac > 0:
+            part = hash_sample(ds, frac, id_col=id_col,
+                               seed=f"{seed}|{name}|ep{full}")
+            legs.append(_tag(part, name, full))
+    if not legs:
+        raise ValueError("mix_corpora needs at least one source with weight > 0")
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.union(leg)
+    return out
+
+
+def _tag(ds, source: str, epoch: int):
+    def add(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return (batch.append_column("source", pa.array([source] * n))
+                     .append_column("epoch", pa.array([epoch] * n, pa.int32())))
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
 def stratified_take_k(ds, k: int, strata_col: str, id_col: str = "doc_id",
                       seed: str = "") -> pa.Table:
     """Exactly min(k, stratum size) rows per stratum: the k smallest

@@ -106,3 +106,48 @@ def test_stratified_take_k_small_stratum(ray_session):
     gd = got.to_pandas()
     assert len(gd) == 3  # min(k, stratum size) rows each
     assert set(gd["strata"]) == {"x", "y"}
+
+
+def test_mix_corpora_weights_and_determinism(ray_session):
+    import ray.data
+    from brdrq_ray.functions.sampling import mix_corpora
+
+    a = _docs_table(n=200, seed=1)
+    b = _docs_table(n=100, seed=2)
+    mixed = mix_corpora({"wiki": (ray.data.from_arrow(a), 2.3),
+                         "web": (ray.data.from_arrow(b), 0.5)},
+                        id_col="doc_id").to_pandas()
+    wiki = mixed[mixed["source"] == "wiki"]
+    web = mixed[mixed["source"] == "web"]
+    # two full epochs of wiki ...
+    assert (wiki.groupby("epoch").size()[[0, 1]] == 200).all()
+    # ... plus a ~0.3 partial epoch (deterministic, so an exact count)
+    part = wiki[wiki["epoch"] == 2]
+    assert 30 < len(part) < 90
+    # partial-epoch membership is the documented hash predicate
+    # (float frac of 2.3 is not exactly 0.3; recompute as the operator does)
+    w = 2.3
+    expect = {i for i in a.column("doc_id").to_pylist()
+              if hash60([i], "mix|wiki|ep2")[0] < fraction_threshold(w - int(w))}
+    assert set(part["doc_id"]) == expect
+    # web: no full epoch, one 0.5 sample
+    assert set(web["epoch"]) == {0}
+    assert 25 < len(web) < 75
+    # rerun -> identical mix
+    again = mix_corpora({"wiki": (ray.data.from_arrow(a), 2.3),
+                         "web": (ray.data.from_arrow(b), 0.5)},
+                        id_col="doc_id").to_pandas()
+    key = ["source", "epoch", "doc_id"]
+    assert (mixed.sort_values(key).reset_index(drop=True)[key]
+            .equals(again.sort_values(key).reset_index(drop=True)[key]))
+
+
+def test_mix_corpora_rejects_bad_weights(ray_session):
+    import ray.data
+    from brdrq_ray.functions.sampling import mix_corpora
+
+    ds = ray.data.from_arrow(_docs_table(n=10))
+    with pytest.raises(ValueError):
+        mix_corpora({"x": (ds, -1.0)})
+    with pytest.raises(ValueError):
+        mix_corpora({"x": (ds, 0.0)})
