@@ -36,6 +36,16 @@ from .boolean import overlay, union_many
 SEGMENTS_PER_QUADRANT = 10
 
 
+def _next_rows(a: np.ndarray) -> np.ndarray:
+    """np.roll(a, -1, axis=0) element-for-element, without roll's overhead."""
+    return np.concatenate((a[1:], a[:1]))
+
+
+def _prev_rows(a: np.ndarray) -> np.ndarray:
+    """np.roll(a, 1, axis=0) element-for-element."""
+    return np.concatenate((a[-1:], a[:-1]))
+
+
 def _disc(cx: float, cy: float, r: float, n_per_quad: int = SEGMENTS_PER_QUADRANT) -> np.ndarray:
     n = max(8, 4 * n_per_quad)
     ang = np.linspace(0.0, 2.0 * math.pi, n, endpoint=False)
@@ -103,13 +113,13 @@ def _raw_offset_chain(ring: np.ndarray, r: float, side: int,
     1e-6 cell). Mitered joins keep every edge long and every corner a single
     point, so erode(dilate(P)) is numerically exact on unchanged geometry."""
     pts: list = []
-    d = np.roll(ring, -1, axis=0) - ring
+    d = _next_rows(ring) - ring
     L = np.hypot(d[:, 0], d[:, 1])
     keep = L > 1e-12
     ring = ring[keep]
     if len(ring) < 3:
         return np.empty((0, 2))
-    d = np.roll(ring, -1, axis=0) - ring
+    d = _next_rows(ring) - ring
     L = np.hypot(d[:, 0], d[:, 1])
     u = d / L[:, None]
     nr = np.column_stack([u[:, 1], -u[:, 0]]) * side
@@ -152,8 +162,8 @@ def _simplify_ring(ring: np.ndarray, tol: float = 2e-6) -> np.ndarray:
     the erode winding field. ``tol`` stays at snap scale (2*SNAP), so each
     removal moves the boundary by less than the 1e-6 snap grid."""
     while len(ring) > 3:
-        prev = np.roll(ring, 1, axis=0)
-        nxt = np.roll(ring, -1, axis=0)
+        prev = _prev_rows(ring)
+        nxt = _next_rows(ring)
         chord = nxt - prev
         clen = np.hypot(chord[:, 0], chord[:, 1])
         mid = ring - prev
@@ -289,7 +299,7 @@ def _perimeter(parts) -> float:
     total = 0.0
     for rings in parts:
         for ring in rings:
-            d = np.roll(ring, -1, axis=0) - ring
+            d = _next_rows(ring) - ring
             total += float(np.hypot(d[:, 0], d[:, 1]).sum())
     return total
 
@@ -311,7 +321,7 @@ def _dirty_parts(parts, r: float) -> set:
     for pid, rings in enumerate(parts):
         for ring in rings:
             n = len(ring)
-            nxt = np.roll(ring, -1, axis=0)
+            nxt = _next_rows(ring)
             A_list.append(ring)
             B_list.append(nxt)
             ring_id.append(np.full(n, rid))
@@ -324,7 +334,7 @@ def _dirty_parts(parts, r: float) -> set:
             ok = L > 1e-12
             u = np.zeros_like(d)
             u[ok] = d[ok] / L[ok, None]
-            dots = (u * np.roll(u, -1, axis=0)).sum(axis=1)
+            dots = (u * _next_rows(u)).sum(axis=1)
             if (dots < -0.5).any():
                 dirty.add(pid)
             rid += 1

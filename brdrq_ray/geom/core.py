@@ -318,7 +318,9 @@ def geom_centroid(kind: int, parts) -> tuple[float, float]:
                 a = abs(a) * sgn
                 if len(r) >= 3 and a != 0:
                     x, y = r[:, 0], r[:, 1]
-                    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+                    # concatenate == roll(-1) element-for-element, ~2x cheaper
+                    x1 = np.concatenate((x[1:], x[:1]))
+                    y1 = np.concatenate((y[1:], y[:1]))
                     cross = x * y1 - x1 * y
                     # orient contribution to match |a| sign
                     ra = ring_signed_area(r)
