@@ -128,9 +128,21 @@ def run_queries() -> dict:
 
     qs = entrymod.queries()
     qs["hash_join_broadcast"] = rel.broadcast_hash_join
+
+    def _curation(sf_dir: str):
+        import ray.data
+        from brdrq_ray.pipelines.curation import CurationConfig, curate_and_pack
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        _, packed = curate_and_pack(
+            docs, CurationConfig(quality_min=0.3, jaccard_threshold=0.5))
+        return packed
+
+    qs["curation_e2e"] = _curation
     names = ["metrics_agg", "grouped_topk", "hash_join", "hash_join_broadcast",
              "asof_join",
              "exact_dedup_documents", "token_count", "knn_top5", "minhash_pairs",
+             "curation_e2e",
              "align_predict", "align_evaluate", "autoupdate", "spatial_semi_join",
              "semi_anti_join", "correction", "media_decode"]
     reps = max(1, int(os.environ.get("BRDRQ_QUERY_REPS", "2")))

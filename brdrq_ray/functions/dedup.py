@@ -485,15 +485,60 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
                 batch_format="pandas"))
 
 
+def _clusters_union_find(edges) -> "ray.data.Dataset":
+    """Driver-side components for a small (bounded) edge table: path-halving
+    union-find with union-by-min so each root IS the min member — the same
+    (doc_id, cluster_id = min member) contract as the distributed path."""
+    import pandas as pd
+    import ray.data
+
+    df = pd.DataFrame(edges.take_all())
+    if df.empty:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(df["node"].tolist(), df["nbr"].tolist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN so the root is always the smallest member id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    nodes = sorted(parent)
+    out = pa.table({"doc_id": pa.array(nodes, pa.int64()),
+                    "cluster_id": pa.array([find(n) for n in nodes], pa.int64())})
+    return ray.data.from_arrow(out)
+
+
 def duplicate_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b",
-                       rounds: int = 5):
+                       max_rounds: int = 64, small_limit: int = 262_144):
     """Connected components over near-dup pairs -> (doc_id, cluster_id) with
     cluster_id = min member id. Distributed min-label propagation: each round
     every node adopts the minimum label in its 1-hop neighborhood, expressed
     as a hash join (edges x labels on the neighbor) + groupby-min — all
     dataset ops, nothing driver-side, so the pair graph can be arbitrarily
-    large. `rounds` must be >= the cluster diameter (near-dup clusters are
-    shallow; 5 covers diameter-32 chains via label shortcutting).
+    large. Each round also propagates along the current label POINTERS
+    (n -> label(n)), so effective distance doubles per round (pointer
+    jumping). Labels only ever decrease, so the loop runs until the label
+    sum is unchanged (= converged) — needing ~log2(diameter)+2 rounds;
+    ``max_rounds`` (default 64 ≅ diameter 2^63) is only a runaway guard.
+
+    Hybrid small path: at or below ``small_limit`` directed edges (the pair
+    table is the NEAR-DUP graph, already a tiny fraction of the corpus) the
+    components are solved driver-side with union-find — identical output
+    (min member id per component), none of the per-round shuffles. The
+    count is read from the materialized edge table's metadata, so the
+    decision costs nothing; above the limit the distributed path runs.
     """
     from ray.data.aggregate import Min
 
@@ -504,6 +549,9 @@ def duplicate_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b",
                          "nbr": pa.concat_arrays([b, a])})
 
     edges = pairs.map_batches(seed_edges, batch_format="pyarrow").materialize()
+
+    if edges.count() <= small_limit:
+        return _clusters_union_find(edges)
 
     def seed_labels(batch: pa.Table) -> pa.Table:
         return pa.table({"lnode": batch.column("node"),
@@ -548,12 +596,22 @@ def duplicate_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b",
                           "label": labs.to_numpy().astype("int64")}),
         ], ignore_index=True)
 
+    def label_ptr_edges(batch: pa.Table) -> pa.Table:
+        # pointer-jumping edges: (n -> label(n)) so each round ALSO delivers
+        # label(label(n)) to n — effective propagation distance doubles per
+        # round (true shortcutting; 1-hop alone needs diameter rounds)
+        return pa.table({"node": batch.column("lnode"),
+                         "nbr": batch.column("label")})
+
     prev_sum = None
-    for _ in range(rounds):
+    for _ in range(max_rounds):
         # message passing: each edge (node, nbr) delivers label(nbr) to node —
         # expressed as the tagged-union groupby join (no native join: its hash
-        # partitioner trips on empty partitions in iterated pipelines)
-        tagged = (edges.map_batches(edge_side, batch_format="pyarrow")
+        # partitioner trips on empty partitions in iterated pipelines).
+        # Edges = graph edges + this round's label pointers.
+        round_edges = edges.union(
+            labels.map_batches(label_ptr_edges, batch_format="pyarrow"))
+        tagged = (round_edges.map_batches(edge_side, batch_format="pyarrow")
                   .union(labels.map_batches(label_side, batch_format="pyarrow")))
         msgs = tagged.groupby("bucket").map_groups(propagate_bucket,
                                                    batch_format="pandas")

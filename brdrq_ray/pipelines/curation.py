@@ -1,0 +1,138 @@
+"""End-to-end training-corpus curation pipeline.
+
+Composes the LLM-data operators into ONE streaming Dataset DAG — the shape a
+100 TB pretraining-data run actually executes, and the proof that the
+operator family composes (each stage is individually driver/oracle-gated;
+this module is about the glue):
+
+    read -> annotate (quality score, language ID, token count)
+         -> filter (quality floor, language allowlist)          [per-row]
+         -> exact dedup (content-hash bucket shuffle, min-id)   [1 shuffle]
+         -> near-dup removal (MinHash-LSH -> clusters -> anti-  [sketch-table
+            join losers out; keep the min-id representative)     shuffles only]
+         -> deterministic Bernoulli downsample                  [per-row]
+         -> greedy sequence packing (bucketed)                  [1 shuffle]
+
+Scale notes:
+- Everything between the read and the pack streams; nothing materializes
+  the corpus. The only full-corpus exchanges are exact dedup's hash-bucket
+  groupby and the pack's bucket groupby; near-dup only shuffles the MinHash
+  band/sketch table and the loser-id set (functions/dedup.py docstrings).
+- Near-dup losers are removed with the distributed tagged-union anti-join
+  (functions/relational.py::semi_join(anti=True)) — the loser set never
+  lands on the driver, so a 50%-duplicate web crawl works the same as a
+  clean corpus.
+- Every stage is a deterministic pure function of its input (+ the seed),
+  so a re-run — or a re-run of ONE failed shard — reproduces the same
+  curated corpus (the sampling contract, functions/sampling.py).
+
+No reference counterpart (brdrQ aligns borders); this is the
+training-data-engine half of the north rule's scope.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+@dataclass
+class CurationConfig:
+    col: str = "text"
+    id_col: str = "doc_id"
+    quality_min: float = 0.30
+    languages: tuple | None = None        # e.g. ("en", "nl"); None = keep all
+    near_dup: bool = True
+    jaccard_threshold: float = 0.7
+    sample_fraction: float | None = None  # None = keep everything
+    seed: str = "curate"
+    # near-dup knobs pass through to minhash_lsh_pairs
+    minhash_kwargs: dict = field(default_factory=dict)
+
+
+def annotate_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Dataset:
+    """Quality features + language ID + whitespace token count as columns.
+    Vectorized batch fns; LangId is an actor pool (profiles built per actor)."""
+    from ..functions.text import LangIdStage, quality_score_batch, token_count_batch
+
+    ds = ds.map_batches(lambda b: quality_score_batch(b, col=cfg.col),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(LangIdStage, batch_format="pyarrow",
+                        concurrency=(1, 8))
+    return ds.map_batches(lambda b: token_count_batch(b, col=cfg.col),
+                          batch_format="pyarrow")
+
+
+def filter_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Dataset:
+    """Quality floor + language allowlist, one vectorized filter per batch."""
+    langs = tuple(cfg.languages) if cfg.languages else None
+
+    def keep(b: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(b.column("quality_score"), cfg.quality_min)
+        if langs is not None:
+            # filter on the PREDICTED language (LangIdStage's lang_pred) —
+            # curation cannot assume the input carries trusted labels
+            mask = pc.and_(mask, pc.is_in(b.column("lang_pred"),
+                                          value_set=pa.array(langs)))
+        return b.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def remove_near_duplicates(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Dataset:
+    """Drop every near-dup cluster member except the min-id representative.
+
+    duplicate_clusters labels each clustered doc with cluster_id = min member
+    id, so the loser set is exactly {doc_id != cluster_id}; losers are
+    anti-joined out distributedly (no driver-side id set)."""
+    from ..functions.dedup import duplicate_clusters, minhash_lsh_pairs
+    from ..functions.relational import semi_join
+
+    pairs = minhash_lsh_pairs(ds, col=cfg.col, id_col=cfg.id_col,
+                              jaccard_threshold=cfg.jaccard_threshold,
+                              **cfg.minhash_kwargs)
+    clusters = duplicate_clusters(pairs)
+
+    def losers(b: pa.Table) -> pa.Table:
+        m = pc.not_equal(b.column("doc_id"), b.column("cluster_id"))
+        return b.filter(m).select(["doc_id"])
+
+    loser_ids = clusters.map_batches(losers, batch_format="pyarrow")
+    return semi_join(ds, loser_ids, on=cfg.id_col, anti=True)
+
+
+def curate_documents(ds: ray.data.Dataset,
+                     cfg: CurationConfig | None = None) -> ray.data.Dataset:
+    """The full annotate -> filter -> dedup -> near-dup -> sample chain.
+    Returns the curated corpus with the annotation columns attached."""
+    from ..functions.dedup import exact_dedup
+    from ..functions.sampling import hash_sample
+
+    cfg = cfg or CurationConfig()
+    ds = annotate_documents(ds, cfg)
+    ds = filter_documents(ds, cfg)
+    ds = exact_dedup(ds, col=cfg.col, id_col=cfg.id_col)
+    if cfg.near_dup:
+        ds = remove_near_duplicates(ds, cfg)
+    if cfg.sample_fraction is not None:
+        ds = hash_sample(ds, cfg.sample_fraction, id_col=cfg.id_col,
+                         seed=cfg.seed)
+    return ds
+
+
+def curate_and_pack(ds: ray.data.Dataset, cfg: CurationConfig | None = None,
+                    token_budget: int = 2048):
+    """Curate, then assign the survivors to fixed-budget training sequences.
+    Returns (curated_ds, packed_ds) — packed is (doc_id, ws_tokens, seq_id,
+    seq_offset) from functions.text.pack_sequences."""
+    from ..functions.text import pack_sequences
+
+    cfg = cfg or CurationConfig()
+    curated = curate_documents(ds, cfg)
+    packed = pack_sequences(curated, token_budget=token_budget,
+                            id_col=cfg.id_col, col=cfg.col)
+    return curated, packed
