@@ -14,10 +14,14 @@ this module is about the glue):
          -> greedy sequence packing (bucketed)                  [1 shuffle]
 
 Scale notes:
-- Everything between the read and the pack streams; nothing materializes
-  the corpus. The only full-corpus exchanges are exact dedup's hash-bucket
-  groupby and the pack's bucket groupby; near-dup only shuffles the MinHash
-  band/sketch table and the loser-id set (functions/dedup.py docstrings).
+- Everything streams except ONE deliberate pipeline checkpoint: the curated
+  corpus is pinned (spill-backed materialize; at 100 TB: a parquet
+  checkpoint) before the near-dup stage, because near-dup consumes its
+  input three times (sketch, candidate-text fetch, anti-join) and a lazy
+  input would re-execute the annotate/filter/dedup upstream per consumer.
+  The only full-corpus exchanges are exact dedup's hash-bucket groupby and
+  the pack's bucket groupby; near-dup only shuffles the MinHash band/sketch
+  table and the loser-id set (functions/dedup.py docstrings).
 - Near-dup losers are removed with the distributed tagged-union anti-join
   (functions/relational.py::semi_join(anti=True)) — the loser set never
   lands on the driver, so a 50%-duplicate web crawl works the same as a
@@ -117,6 +121,13 @@ def curate_documents(ds: ray.data.Dataset,
     ds = filter_documents(ds, cfg)
     ds = exact_dedup(ds, col=cfg.col, id_col=cfg.id_col)
     if cfg.near_dup:
+        # The near-dup stage consumes its input THREE times (sketch pass,
+        # candidate-text fetch, anti-join); a lazy input would re-execute
+        # the whole annotate->filter->dedup upstream per consumer. Pin the
+        # curated-so-far corpus ONCE — object-store blocks, spill-backed
+        # (the 100 TB analog is a parquet checkpoint between major stages,
+        # exactly what a resumable production run wants here anyway).
+        ds = ds.materialize()
         ds = remove_near_duplicates(ds, cfg)
     if cfg.sample_fraction is not None:
         ds = hash_sample(ds, cfg.sample_fraction, id_col=cfg.id_col,
