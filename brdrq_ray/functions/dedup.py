@@ -230,10 +230,22 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
                       jaccard_threshold: float = 0.7, text_lookup=None,
-                      broadcast_texts_limit: int = 100_000):
+                      broadcast_texts_limit: int = 100_000,
+                      max_group_pairs: int = 32_768):
     """MinHash-LSH near-dup candidate pairs, verified by true n-gram Jaccard.
 
     Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b (ids int64).
+
+    Degenerate-bucket guard: a collision group of c members wants C(c,2)
+    pairs — boilerplate/empty documents routinely produce groups of 10^4+
+    members at web scale, which would emit 10^8 pair rows from ONE bucket.
+    Groups whose all-pairs count exceeds ``max_group_pairs`` (default 32768
+    = groups of >257 members) emit a spanning STAR around the group's min
+    id (c-1 edges) instead: connectivity for the duplicate_clusters path is
+    preserved exactly (every member still reaches the hub, and clusters are
+    re-verified by true Jaccard either way); only the exhaustive pair
+    LISTING is truncated for such groups, and a truly-duplicate group
+    star-verifies identically.
 
     Scale path (default): verification fetches ONLY the candidate texts from
     the input dataset — the corpus is never materialized driver-side and never
@@ -282,6 +294,12 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
         out_a, out_b = [], []
         for ci in np.nonzero(counts >= 2)[0]:  # collision groups only (rare)
             s, c = starts[ci], counts[ci]
+            if c * (c - 1) // 2 > max_group_pairs:
+                # degenerate bucket: spanning star around the min id (ids
+                # are ascending within the sorted group, so ids[s] is it)
+                out_a.append(np.broadcast_to(ids[s], c - 1).copy())
+                out_b.append(ids[s + 1:s + c])
+                continue
             ia, ib = np.triu_indices(c, k=1)
             out_a.append(ids[s + ia])
             out_b.append(ids[s + ib])

@@ -377,6 +377,33 @@ def test_duplicate_clusters(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_minhash_degenerate_bucket_star_guard(ray_session):
+    """A collision group over the pair cap emits a spanning star (c-1 edges)
+    around its min id instead of C(c,2) pairs; clustering is unchanged."""
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.functions.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    doc = "identical boilerplate footer repeated across the whole crawl " * 5
+    tbl = pa.table({"doc_id": pa.array(list(range(40)), pa.int64()),
+                    "text": pa.array([doc] * 40, pa.string())})
+    capped = minhash_lsh_pairs(ray.data.from_arrow(tbl),
+                               jaccard_threshold=0.9,
+                               max_group_pairs=16).to_pandas()
+    # star: every pair involves the hub id 0, one edge per other member
+    assert len(capped) == 39
+    assert (capped["id_a"] == 0).all()
+    assert sorted(capped["id_b"]) == list(range(1, 40))
+    cl = duplicate_clusters(
+        ray.data.from_arrow(pa.Table.from_pandas(
+            capped[["id_a", "id_b"]], preserve_index=False))).to_pandas()
+    assert cl["cluster_id"].nunique() == 1 and len(cl) == 40
+    # below the cap the exhaustive listing is unchanged
+    full = minhash_lsh_pairs(ray.data.from_arrow(tbl),
+                             jaccard_threshold=0.9).to_pandas()
+    assert len(full) == 40 * 39 // 2
+
+
 def test_cell_level_override_guard(ray_session):
     import pytest as _pt
     import ray.data
