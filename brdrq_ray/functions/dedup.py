@@ -326,6 +326,25 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
     cand = (cand.map_batches(pair_bucket, batch_format="pyarrow")
             .groupby("pbucket").map_groups(pair_dedupe, batch_format="pandas"))
 
+    return _verify_candidate_pairs(
+        cand, ds, id_col=id_col, col=col, shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+        broadcast_texts_limit=broadcast_texts_limit,
+        text_lookup=text_lookup, n_shuffle_buckets=n_shuffle_buckets)
+
+
+def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
+                            col: str = "text", shingle_k: int = 3,
+                            jaccard_threshold: float = 0.7,
+                            broadcast_texts_limit: int = 100_000,
+                            text_lookup=None, n_shuffle_buckets: int = 64):
+    """True n-gram-Jaccard verification of candidate (id_a, id_b) pairs
+    against the corpus ``ds`` (candidate texts fetched column-pruned, never
+    the whole corpus — path selection documented in minhash_lsh_pairs).
+    Shared by minhash_lsh_pairs and minhash_pairs_incremental."""
+    import ray
+    import ray.data
+
     EMPTY = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
@@ -876,3 +895,258 @@ def embedding_neardup_pairs(ds, dim: int, threshold: float = 0.95,
                            batch_format="pyarrow", concurrency=(1, 8))
               .map_batches(add_shard, batch_format="pyarrow")
               .groupby("shard").map_groups(shard_cosine, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# persisted MinHash band index + incremental near-dup (the daily-crawl shape)
+# ---------------------------------------------------------------------------
+
+_INDEX_PARAMS = "_minhash_index.json"
+
+
+def _band_sketch(ds, *, col, id_col, num_perm, bands, shingle_k):
+    return ds.map_batches(MinHashBandStage,
+                          fn_constructor_kwargs=dict(
+                              num_perm=num_perm, bands=bands,
+                              shingle_k=shingle_k, col=col, id_col=id_col),
+                          batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _band_key(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+    """64-bit fold of (band_id, band_hash) — a SHARD router and PREFILTER key
+    only: grouping downstream is always on the exact (band_id, band_hash)
+    pair, so a fold collision costs one spurious candidate row, never a
+    wrong pair."""
+    return (band_hash.astype(np.uint64)
+            ^ (band_id.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+
+
+def _shard_of(key: np.ndarray, n_shards: int) -> np.ndarray:
+    return (((key * np.uint64(0xBF58476D1CE4E5B9)) >> np.uint64(33))
+            % np.uint64(n_shards))
+
+
+def build_minhash_index(ds, index_dir: str, col: str = "text",
+                        id_col: str = "doc_id", num_perm: int = 64,
+                        bands: int = 16, shingle_k: int = 3,
+                        n_shards: int = 64) -> dict:
+    """Persist the corpus's MinHash band table as a hive-partitioned parquet
+    inverted file: rows (doc_id, band_id, band_hash), partitioned by
+    shard = mix(band_key) % n_shards. An INCREMENT (new documents arriving
+    against a historical corpus) then sketches only itself and reads only
+    the shards its own band keys touch (minhash_pairs_incremental) — the
+    historical corpus is never re-sketched, re-shuffled or re-scanned.
+    Returns the index handle {'index_dir', params...}."""
+    import json
+    import os
+    import shutil
+
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    params = dict(col=col, id_col=id_col, num_perm=num_perm, bands=bands,
+                  shingle_k=shingle_k, n_shards=n_shards)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        key = _band_key(t.column("band_id").to_numpy(zero_copy_only=False),
+                        t.column("band_hash").to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "shard", pa.array(_shard_of(key, n_shards).astype(np.int32),
+                              pa.int32()))
+
+    (_band_sketch(ds, **{k: params[k] for k in
+                         ("col", "id_col", "num_perm", "bands", "shingle_k")})
+     .map_batches(add_shard, batch_format="pyarrow")
+     .write_parquet(index_dir, partition_cols=["shard"]))
+    with open(os.path.join(index_dir, _INDEX_PARAMS), "w") as f:
+        json.dump(params, f)
+    return {"index_dir": index_dir, **params}
+
+
+def append_minhash_index(new_ds, index_dir: str) -> None:
+    """Fold an increment's band rows into an existing index: new parquet
+    files land inside the same shard partitions; nothing is rewritten, so
+    appends are cheap and crash-safe (a half-written file is re-appended on
+    retry; duplicate band rows only duplicate candidates, never pairs —
+    the global pair dedupe absorbs them)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, _INDEX_PARAMS)) as f:
+        p = json.load(f)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        key = _band_key(t.column("band_id").to_numpy(zero_copy_only=False),
+                        t.column("band_hash").to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "shard", pa.array(_shard_of(key, p["n_shards"]).astype(np.int32),
+                              pa.int32()))
+
+    (_band_sketch(new_ds, col=p["col"], id_col=p["id_col"],
+                  num_perm=p["num_perm"], bands=p["bands"],
+                  shingle_k=p["shingle_k"])
+     .map_batches(add_shard, batch_format="pyarrow")
+     .write_parquet(index_dir, partition_cols=["shard"]))
+
+
+def minhash_pairs_incremental(new_ds, index_dir: str, corpus_ds=None,
+                              jaccard_threshold: float = 0.7,
+                              broadcast_texts_limit: int = 100_000,
+                              max_group_pairs: int = 32_768,
+                              return_info: bool = False):
+    """Near-dup pairs INTRODUCED by an increment: verified (id_a, id_b,
+    jaccard) with at least one end in ``new_ds`` and the other in the
+    indexed corpus or the increment itself.
+
+    The historical corpus is touched only through the band index: the
+    increment is sketched, its band keys select which index shards to read,
+    and within those shards only exactly-matching (band_id, band_hash) rows
+    survive a broadcast searchsorted prefilter — read I/O is proportional
+    to the increment's collision footprint, never to corpus size. Pair
+    formation restricts to pairs touching a new document (degenerate
+    groups emit one hub edge per new member instead of new x group).
+
+    ``corpus_ds`` supplies candidate texts for verification (column-pruned
+    candidate-only fetch, same machinery as minhash_lsh_pairs); without it
+    old-half texts are unavailable, old candidates verify as jaccard 0 and
+    only new-new pairs survive — pass the corpus for the real contract.
+    Output schema matches minhash_lsh_pairs exactly."""
+    import glob
+    import json
+    import os
+
+    import ray
+    import ray.data
+
+    with open(os.path.join(index_dir, _INDEX_PARAMS)) as f:
+        p = json.load(f)
+    id_col, col, n_shards = p["id_col"], p["col"], p["n_shards"]
+    n_shuffle_buckets = 64
+
+    new_band = _band_sketch(new_ds, col=col, id_col=id_col,
+                            num_perm=p["num_perm"], bands=p["bands"],
+                            shingle_k=p["shingle_k"]).materialize()
+
+    # the increment's band-key set (increment-sized, bounded): one sorted
+    # array broadcast once — selects shards AND prefilters rows within them
+    key_parts = [
+        _band_key(b.column("band_id").to_numpy(zero_copy_only=False),
+                  b.column("band_hash").to_numpy(zero_copy_only=False))
+        for b in new_band.iter_batches(batch_format="pyarrow")]
+    keys = (np.unique(np.concatenate(key_parts)) if key_parts
+            else np.empty(0, np.uint64))
+    shards = np.unique(_shard_of(keys, n_shards)).tolist()
+    files: list[str] = []
+    for s in shards:
+        files.extend(sorted(glob.glob(f"{index_dir}/shard={int(s)}/*.parquet")))
+    key_ref = ray.put(keys)  # sorted (np.unique)
+
+    BAND_SCHEMA = pa.schema([(id_col, pa.int64()), ("band_id", pa.int32()),
+                             ("band_hash", pa.int64()),
+                             ("is_new", pa.int8())])
+
+    class KeepColliding:
+        def __init__(self):
+            self.keys = ray.get(key_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = _band_key(
+                t.column("band_id").cast(pa.int32()).to_numpy(zero_copy_only=False),
+                t.column("band_hash").cast(pa.int64()).to_numpy(zero_copy_only=False))
+            if len(self.keys) == 0:
+                hit = np.zeros(len(k), bool)
+            else:
+                pos = np.searchsorted(self.keys, k)
+                pos[pos == len(self.keys)] = 0
+                hit = self.keys[pos] == k
+            kept = t.filter(pa.array(hit))
+            return pa.table({id_col: kept.column(id_col).cast(pa.int64()),
+                             "band_id": kept.column("band_id").cast(pa.int32()),
+                             "band_hash": kept.column("band_hash").cast(pa.int64()),
+                             "is_new": pa.array(np.zeros(kept.num_rows, np.int8))})
+
+    def mark_new(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                         "band_id": t.column("band_id"),
+                         "band_hash": t.column("band_hash"),
+                         "is_new": pa.array(np.ones(t.num_rows, np.int8))})
+
+    sides = new_band.map_batches(mark_new, batch_format="pyarrow")
+    if files:
+        old_cand = ray.data.read_parquet(files).map_batches(
+            KeepColliding, batch_format="pyarrow", concurrency=(1, 8))
+        sides = sides.union(old_cand)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        bi = t.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = ((bh ^ (bi * np.int64(0x9E3779B9)))
+                  % n_shuffle_buckets).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def inc_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band_id", "band_hash", id_col])
+        bi = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        new_grp = np.ones(len(g), bool)
+        new_grp[1:] = (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])
+        codes = np.cumsum(new_grp) - 1
+        counts = np.bincount(codes)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ids = g[id_col].to_numpy()
+        isnew = g["is_new"].to_numpy().astype(bool)
+        out_a, out_b = [], []
+        for ci in np.nonzero(counts >= 2)[0]:
+            s, c = starts[ci], counts[ci]
+            nw = np.nonzero(isnew[s:s + c])[0]
+            if len(nw) == 0:
+                continue
+            gi = ids[s:s + c]
+            if len(nw) * c > max_group_pairs:
+                # degenerate group: one hub edge per NEW member (the group
+                # min id, or the second-min when the new member IS the min)
+                hub = gi[0]
+                xs = gi[nw]
+                partners = np.where(xs == hub, gi[1], hub)
+                keep = xs != partners
+                out_a.append(np.minimum(xs, partners)[keep])
+                out_b.append(np.maximum(xs, partners)[keep])
+                continue
+            ia = np.repeat(nw, c)
+            ib = np.tile(np.arange(c), len(nw))
+            keep = gi[ia] != gi[ib]
+            out_a.append(np.minimum(gi[ia], gi[ib])[keep])
+            out_b.append(np.maximum(gi[ia], gi[ib])[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        df = pd.DataFrame({"id_a": np.concatenate(out_a),
+                           "id_b": np.concatenate(out_b)})
+        return df.drop_duplicates(["id_a", "id_b"])
+
+    cand = (sides.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(inc_pairs, batch_format="pandas"))
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t.column("id_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = ((a * np.int64(1_000_003) + b)
+                  % n_shuffle_buckets).astype(np.int32)
+        return t.append_column("pbucket", pa.array(bucket, pa.int32()))
+
+    def pair_dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    cand = (cand.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("pbucket").map_groups(pair_dedupe, batch_format="pandas"))
+
+    texts_ds = new_ds.select_columns([id_col, col])
+    if corpus_ds is not None:
+        texts_ds = corpus_ds.select_columns([id_col, col]).union(texts_ds)
+    out = _verify_candidate_pairs(cand, texts_ds, id_col=id_col, col=col,
+                                  shingle_k=p["shingle_k"],
+                                  jaccard_threshold=jaccard_threshold,
+                                  broadcast_texts_limit=broadcast_texts_limit)
+    if return_info:
+        return out, {"shards_read": len(shards), "n_shards": n_shards,
+                     "files_read": len(files),
+                     "new_band_rows": new_band.count()}
+    return out

@@ -363,6 +363,79 @@ def semi_join(data: ray.data.Dataset, keys: ray.data.Dataset, on: str,
     return tagged.groupby("__b").map_groups(grp, batch_format="pyarrow")
 
 
+def lookup_join(data: ray.data.Dataset, lookup: ray.data.Dataset, on: str,
+                value_col: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Distributed left LOOKUP join: attach ``value_col`` from ``lookup`` to
+    every ``data`` row (null where no match; if a key repeats in ``lookup``
+    the first occurrence in bucket order wins). Same tagged-union bucketed
+    machinery as :func:`semi_join` — one shuffle, schema-generic, no
+    driver-side key set, and no reliance on the platform hash join (whose
+    fixed hash partitioner over-partitions small inputs)."""
+    from .vhash import bucket_i32
+
+    def _arrow_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    def _schema_of(d) -> pa.Schema:
+        sch = d.schema()
+        base = getattr(sch, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        if isinstance(sch, pa.Schema):
+            return sch
+        return pa.schema([(n, _arrow_type(t))
+                          for n, t in zip(sch.names, sch.types)])
+
+    data_schema = _schema_of(data)
+    val_type = _schema_of(lookup).field(value_col).type
+    key_type = data_schema.field(on).type
+    out_schema = pa.schema(list(data_schema) + [pa.field(value_col, val_type)])
+
+    def bucket_of(t: pa.Table) -> pa.Array:
+        return bucket_i32(t.column(on).cast(key_type), n_buckets)
+
+    def data_side(t: pa.Table) -> pa.Table:
+        return (t.append_column(value_col, pa.nulls(t.num_rows, val_type))
+                 .append_column("__mark", pa.array(np.zeros(t.num_rows, np.int8)))
+                 .append_column("__b", bucket_of(t)))
+
+    def lookup_side(t: pa.Table) -> pa.Table:
+        cols = {}
+        for f in data_schema:
+            if f.name == on:
+                cols[on] = t.column(on).cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(t.num_rows, f.type)
+        cols[value_col] = t.column(value_col).cast(val_type)
+        out = pa.table(cols)
+        return (out.append_column("__mark", pa.array(np.ones(t.num_rows, np.int8)))
+                   .append_column("__b", bucket_of(out)))
+
+    def grp(g: pa.Table) -> pa.Table:
+        marks = g.column("__mark").to_numpy(zero_copy_only=False)
+        rows = g.filter(pa.array(marks == 0))
+        if rows.num_rows == 0:
+            return out_schema.empty_table()
+        lut = g.filter(pa.array(marks == 1))
+        if lut.num_rows == 0:
+            return rows.drop_columns(["__mark", "__b"])
+        idx = pc.index_in(rows.column(on),
+                          value_set=lut.column(on).combine_chunks())
+        vals = lut.column(value_col).combine_chunks().take(idx)
+        i = rows.schema.get_field_index(value_col)
+        return rows.set_column(i, value_col, vals).drop_columns(["__mark", "__b"])
+
+    tagged = (data.map_batches(data_side, batch_format="pyarrow")
+              .union(lookup.select_columns([on, value_col])
+                     .map_batches(lookup_side, batch_format="pyarrow")))
+    return tagged.groupby("__b").map_groups(grp, batch_format="pyarrow")
+
+
 def semi_join_customers(sf_dir: str):
     """Customers with at least one order above 300k — the distributed
     semi-join exercised against the driver tables (oracle: IN-subquery)."""

@@ -315,3 +315,140 @@ def redact_pii_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     for cname, arr in counts.items():
         out = out.append_column(cname, arr)
     return out
+
+
+# --- boilerplate-line removal (C4/CCNet-style line-level dedup) --------------
+
+def remove_boilerplate_lines(ds, col: str = "text", id_col: str = "doc_id",
+                             min_docs: int = 5, n_buckets: int = 64,
+                             broadcast_limit: int = 4_000_000):
+    """Remove lines that occur in >= ``min_docs`` distinct documents — the
+    C4/CCNet line-level dedup that strips cookie banners, nav bars and
+    footers from a web corpus. The text column is rewritten in place
+    (kept lines keep their original, untrimmed bytes; matching is on the
+    TRIMMED line; whitespace-only lines are never counted or removed).
+
+    Scale shape: pass 1 computes per-batch partial doc-frequencies of line
+    hashes (distinct (doc, line) within a batch is exact — a document lives
+    in one row), then one groupby-sum over line hashes; the frequent-line
+    set is bounded by total_lines/min_docs. Pass 2 is hybrid: at or below
+    ``broadcast_limit`` frequent lines the sorted hash array ships once via
+    ray.put and every batch filters its lines with one searchsorted (zero
+    shuffles); above it the corpus explodes to lines, the frequent set is
+    anti-joined out distributedly (relational.semi_join), documents are
+    reassembled by a bucketed groupby and the cleaned text joins back with
+    the platform hash join — no driver-side set at any size.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .vhash import bucket_i32, hash64
+
+    def line_freq(batch: pa.Table) -> pa.Table:
+        s = batch.column(col).to_pandas().fillna("")
+        lines = s.str.split("\n").explode().str.strip()
+        mask = lines.notna().to_numpy() & (lines != "").to_numpy()
+        if not mask.any():
+            return pa.table({"line_hash": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        h = hash64(lines.to_numpy(dtype=object)[mask]).view(np.int64)
+        doc = lines.index.to_numpy()[mask].astype(np.int64)
+        order = np.lexsort((h, doc))
+        hd, dd = h[order], doc[order]
+        first = np.ones(len(hd), bool)
+        first[1:] = (dd[1:] != dd[:-1]) | (hd[1:] != hd[:-1])
+        uh, cnt = np.unique(hd[first], return_counts=True)
+        return pa.table({"line_hash": pa.array(uh, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    bad = (ds.map_batches(line_freq, batch_format="pyarrow")
+           .groupby("line_hash").aggregate(Sum("cnt", alias_name="cnt"))
+           .map_batches(lambda t: t.filter(
+               pc.greater_equal(t.column("cnt"), min_docs))
+               .select(["line_hash"]), batch_format="pyarrow")
+           .materialize())
+    n_bad = bad.count()
+    if n_bad == 0:
+        return ds
+
+    if n_bad <= broadcast_limit:
+        chunks = [b.column("line_hash").to_numpy(zero_copy_only=False)
+                  for b in bad.iter_batches(batch_format="pyarrow")]
+        bad_ref = ray.put(np.sort(np.concatenate(chunks)))
+
+        class StripLines:
+            def __init__(self):
+                self.bad = ray.get(bad_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                s = batch.column(col).to_pandas().fillna("")
+                lines = s.str.split("\n").explode()
+                stripped = lines.str.strip().fillna("")
+                h = hash64(stripped.to_numpy(dtype=object)).view(np.int64)
+                pos = np.searchsorted(self.bad, h)
+                pos[pos == len(self.bad)] = 0
+                is_bad = (self.bad[pos] == h) & (stripped != "").to_numpy()
+                keep = lines[~is_bad].fillna("")
+                joined = keep.groupby(level=0).agg("\n".join)
+                out = pd.Series(np.full(len(s), "", dtype=object))
+                out.update(joined)
+                i = batch.schema.get_field_index(col)
+                return batch.set_column(i, col,
+                                        pa.array(out.tolist(), pa.string()))
+
+        return ds.map_batches(StripLines, batch_format="pyarrow",
+                              concurrency=(1, 8))
+
+    # ---- distributed leg (frequent-line set too large for any broadcast) ---
+    from .relational import semi_join
+
+    def explode_lines(batch: pa.Table) -> pa.Table:
+        s = batch.column(col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        lines = s.str.split("\n").explode().fillna("")
+        doc = lines.index.to_numpy().astype(np.int64)
+        cnts = np.bincount(doc, minlength=len(s))
+        line_idx = (np.arange(len(doc), dtype=np.int64)
+                    - np.repeat(np.cumsum(cnts) - cnts, cnts))
+        stripped = lines.str.strip()
+        h = hash64(stripped.to_numpy(dtype=object)).view(np.int64)
+        # whitespace-only lines are structure, not boilerplate: map them all
+        # to one sentinel hash. line_freq never counts empty lines, so the
+        # sentinel (like any fixed value) is absent from `bad` up to a 2^-64
+        # hash collision — the same risk class every hash in this file has.
+        h = np.where((stripped == "").to_numpy(), np.int64(0), h)
+        return pa.table({id_col: pa.array(ids[doc]),
+                         "line_idx": pa.array(line_idx, pa.int64()),
+                         "line": pa.array(lines.tolist(), pa.string()),
+                         "line_hash": pa.array(h, pa.int64())})
+
+    kept = semi_join(ds.map_batches(explode_lines, batch_format="pyarrow"),
+                     bad, on="line_hash", anti=True, n_buckets=n_buckets)
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "db", bucket_i32(t.column(id_col).cast(pa.string()), n_buckets))
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "line_idx"])
+        joined = g.groupby(id_col, sort=False)["line"].agg("\n".join)
+        return pd.DataFrame({id_col: joined.index.to_numpy(),
+                             "__clean": joined.to_numpy()})
+
+    cleaned = (kept.map_batches(add_doc_bucket, batch_format="pyarrow")
+               .groupby("db").map_groups(reassemble, batch_format="pandas"))
+
+    # join the cleaned text back onto the full corpus (docs whose every line
+    # was boilerplate fall out of `cleaned` and become empty strings)
+    from .relational import lookup_join
+
+    joined = lookup_join(ds.drop_columns([col]), cleaned, on=id_col,
+                         value_col="__clean", n_buckets=n_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = t.append_column(col, pc.fill_null(t.column("__clean"), ""))
+        return out.drop_columns(["__clean"])
+
+    return joined.map_batches(finish, batch_format="pyarrow")

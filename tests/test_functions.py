@@ -681,3 +681,130 @@ def test_binned_quantiles(ray_session):
     empty = pa.table({"v": pa.array([], pa.float64())})
     r0 = binned_quantiles(ray.data.from_arrow(empty), "v", w, (0.5,))
     assert r0["total"] == 0 and r0["quantiles"][0.5] is None
+
+
+def test_remove_boilerplate_lines_both_legs(ray_session):
+    """C4-style frequent-line removal: both the broadcast and the distributed
+    leg strip lines occurring in >= min_docs docs, keep unique lines with
+    their original (untrimmed) bytes, preserve blank-line structure and
+    non-text columns, and turn all-boilerplate docs into empty strings."""
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.functions.text import remove_boilerplate_lines
+
+    docs = [(f"unique opening {i}\nAccept all cookies\nbody {i} words\n\n"
+             f"  Subscribe to our newsletter  \nclosing {i}")
+            for i in range(10)]
+    docs += ["only boilerplate\nAccept all cookies",  # partial survivor
+             "Accept all cookies"]                    # becomes empty
+    tbl = pa.table({"doc_id": pa.array(list(range(12)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                    "extra": pa.array([f"e{i}" for i in range(12)])})
+    frames = {}
+    for leg, kw in [("broadcast", {}), ("distributed", {"broadcast_limit": 0})]:
+        out = (remove_boilerplate_lines(ray.data.from_arrow(tbl), min_docs=5,
+                                        **kw)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out.iloc[0]["text"] == \
+            "unique opening 0\nbody 0 words\n\nclosing 0"
+        assert out.iloc[10]["text"] == "only boilerplate"
+        assert out.iloc[11]["text"] == ""
+        assert list(out["extra"]) == [f"e{i}" for i in range(12)]
+        frames[leg] = out[["doc_id", "text"]]
+    assert frames["broadcast"].equals(frames["distributed"])
+    # no frequent lines -> input passes through untouched
+    clean = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["a\nb", "c\nd"])})
+    out = (remove_boilerplate_lines(ray.data.from_arrow(clean), min_docs=5)
+           .to_pandas().sort_values("doc_id"))
+    assert list(out["text"]) == ["a\nb", "c\nd"]
+
+
+def test_lookup_join(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.functions.relational import lookup_join
+
+    data = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                     "payload": pa.array(["a", "b", "c", "d"])})
+    lut = pa.table({"k": pa.array([2, 4, 9], pa.int64()),
+                    "v": pa.array([20.0, 40.0, 90.0], pa.float64())})
+    out = (lookup_join(ray.data.from_arrow(data), ray.data.from_arrow(lut),
+                       on="k", value_col="v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(out.columns) == ["k", "payload", "v"]
+    assert list(out["payload"]) == ["a", "b", "c", "d"]
+    assert out["v"].tolist()[1] == 20.0 and out["v"].tolist()[3] == 40.0
+    assert out["v"].isna().tolist() == [True, False, True, False]
+
+
+def test_minhash_incremental_index(ray_session, tmp_path):
+    """Incremental near-dup against a persisted band index must equal the
+    full-corpus run restricted to pairs touching the increment, read only
+    the shards the increment's band keys select, and keep working across
+    appends."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.functions.dedup import (
+        append_minhash_index, build_minhash_index, minhash_lsh_pairs,
+        minhash_pairs_incremental)
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "parcel", "border", "map", "road"]
+    old_texts = {i: " ".join(rng.choice(words, size=20)) for i in range(40)}
+    new_texts = {}
+    for j in range(10):
+        nid = 1000 + j
+        if j < 5:                      # near-dups of indexed docs
+            new_texts[nid] = old_texts[j] + " tail"
+        elif j == 5:                   # a new-new near-dup cluster
+            new_texts[nid] = " ".join(rng.choice(words, size=20))
+        elif j < 8:
+            new_texts[nid] = new_texts[1005] + (" x" if j == 6 else " y")
+        else:                          # unique
+            new_texts[nid] = " ".join(rng.choice(words, size=20)) + f" m{j}"
+    old = pa.table({"doc_id": pa.array(list(old_texts), pa.int64()),
+                    "text": pa.array(list(old_texts.values()))})
+    new = pa.table({"doc_id": pa.array(list(new_texts), pa.int64()),
+                    "text": pa.array(list(new_texts.values()))})
+    idx_dir = str(tmp_path / "mhidx")
+
+    build_minhash_index(ray.data.from_arrow(old), idx_dir, n_shards=64)
+    inc, info = minhash_pairs_incremental(
+        ray.data.from_arrow(new), idx_dir,
+        corpus_ds=ray.data.from_arrow(old), jaccard_threshold=0.5,
+        return_info=True)
+    inc = inc.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    both = pa.concat_tables([old, new])
+    full = minhash_lsh_pairs(ray.data.from_arrow(both),
+                             jaccard_threshold=0.5).to_pandas()
+    want = (full[(full["id_a"] >= 1000) | (full["id_b"] >= 1000)]
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert len(want) > 0
+    assert (inc[["id_a", "id_b"]].astype("int64").values.tolist()
+            == want[["id_a", "id_b"]].astype("int64").values.tolist())
+    assert np.allclose(inc["jaccard"], want["jaccard"])
+
+    # I/O selectivity: a 1-doc increment has <= bands distinct band keys, so
+    # it can touch at most 16 of the 64 shards
+    one = pa.table({"doc_id": pa.array([3000], pa.int64()),
+                    "text": pa.array([old_texts[0] + " tiny"])})
+    _, info1 = minhash_pairs_incremental(
+        ray.data.from_arrow(one), idx_dir,
+        corpus_ds=ray.data.from_arrow(old), jaccard_threshold=0.5,
+        return_info=True)
+    assert info1["shards_read"] <= 16 < info1["n_shards"]
+
+    # append the first increment; a second increment near-dups a FIRST-
+    # increment doc and must find it through the index
+    append_minhash_index(ray.data.from_arrow(new), idx_dir)
+    new2 = pa.table({"doc_id": pa.array([2000], pa.int64()),
+                     "text": pa.array([new_texts[1008] + " z"])})
+    inc2 = minhash_pairs_incremental(
+        ray.data.from_arrow(new2), idx_dir,
+        corpus_ds=ray.data.from_arrow(both),
+        jaccard_threshold=0.5).to_pandas()
+    assert (1008, 2000) in set(zip(inc2["id_a"], inc2["id_b"]))
