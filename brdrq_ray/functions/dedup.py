@@ -98,14 +98,16 @@ class MinHasher:
         return vals.min(axis=0)
 
 
-def _shingle_hashes(texts, k: int):
+def _shingle_hashes(texts, k: int, dedupe: bool = True):
     """Vectorized word-shingle hashing for a batch of texts.
 
     Returns (doc_idx, shingle_hash) for the DEDUPED shingle set of every doc,
     sorted by doc — one pandas split/explode, one vectorized word hash, and
     k-1 splitmix64 folds over the window array; no per-shingle Python. Docs
     with 1 <= len < k words contribute one shingle over the whitespace-joined
-    text (the scalar fallback); empty docs contribute nothing."""
+    text (the scalar fallback); empty docs contribute nothing.
+    ``dedupe=False`` returns every window occurrence (doc-sorted, duplicates
+    kept) — the repetition-ratio signal needs the multiset."""
     from .vhash import hash64, splitmix64
 
     s = pd.Series(np.asarray(texts, dtype=object)).fillna("").astype(str)
@@ -142,6 +144,8 @@ def _shingle_hashes(texts, k: int):
     # set semantics: dedupe (doc, shingle)
     order = np.lexsort((acc, win_doc))
     d, a = win_doc[order], acc[order]
+    if not dedupe:
+        return d, a
     keep = np.ones(len(d), dtype=bool)
     keep[1:] = (d[1:] != d[:-1]) | (a[1:] != a[:-1])
     return d[keep], a[keep]
@@ -1150,3 +1154,69 @@ def minhash_pairs_incremental(new_ds, index_dir: str, corpus_ds=None,
                      "files_read": len(files),
                      "new_band_rows": new_band.count()}
     return out
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(ds, benchmark_ds, col: str = "text", id_col: str = "doc_id",
+                  bench_col: str | None = None, shingle_k: int = 13,
+                  max_hits: int = 0, broadcast_limit: int = 8_000_000,
+                  mark_only: bool = False):
+    """Benchmark decontamination (the GPT-3-style 13-gram rule): drop
+    training documents sharing more than ``max_hits`` DISTINCT word
+    ``shingle_k``-grams with the evaluation/benchmark set; benchmark texts
+    shorter than ``shingle_k`` words match on their whole (whitespace-joined,
+    lowercased) text — the same short-doc rule the MinHash sketcher uses.
+
+    Scale shape: the benchmark side is small by definition — its distinct
+    shingle-hash set is collected once (a ValueError above
+    ``broadcast_limit`` hashes tells the caller to raise ``shingle_k`` or
+    split the benchmark), ships once via ray.put, and the corpus streams
+    through one vectorized shingle + searchsorted membership pass per batch
+    (zero shuffles). ``mark_only=True`` keeps every row and just appends the
+    ``contam_hits`` count column for auditing."""
+    import ray
+
+    bench_col = bench_col or col
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        _, a = _shingle_hashes(
+            t.column(bench_col).to_numpy(zero_copy_only=False), shingle_k)
+        return pa.table({"sh": pa.array(np.unique(a).view(np.int64), pa.int64())})
+
+    parts = [b.column("sh").to_numpy(zero_copy_only=False)
+             for b in (benchmark_ds.map_batches(bench_shingles,
+                                                batch_format="pyarrow")
+                       .iter_batches(batch_format="pyarrow"))]
+    bench = (np.unique(np.concatenate(parts)).view(np.uint64) if parts
+             else np.empty(0, np.uint64))
+    if len(bench) > broadcast_limit:
+        raise ValueError(
+            f"benchmark shingle set ({len(bench)}) exceeds broadcast_limit "
+            f"({broadcast_limit}); raise shingle_k or split the benchmark")
+    bench_ref = ray.put(bench)
+
+    class Decontaminate:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            hits = np.zeros(n, np.int64)
+            if n and len(self.bench):
+                d, a = _shingle_hashes(
+                    batch.column(col).to_numpy(zero_copy_only=False), shingle_k)
+                if len(a):
+                    pos = np.searchsorted(self.bench, a)
+                    pos[pos == len(self.bench)] = 0
+                    hit = self.bench[pos] == a
+                    hits = np.bincount(d[hit], minlength=n).astype(np.int64)
+            out = batch.append_column("contam_hits", pa.array(hits, pa.int64()))
+            if mark_only:
+                return out
+            return out.filter(pa.array(hits <= max_hits))
+
+    return ds.map_batches(Decontaminate, batch_format="pyarrow",
+                          concurrency=(1, 8))

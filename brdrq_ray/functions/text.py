@@ -452,3 +452,25 @@ def remove_boilerplate_lines(ds, col: str = "text", id_col: str = "doc_id",
         return out.drop_columns(["__clean"])
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def repetition_ratio_batch(batch: pa.Table, col: str = "text",
+                           k: int = 3) -> pa.Table:
+    """Within-document repetition signal: 1 - distinct/total word k-gram
+    windows (0 = no repeated k-gram, -> 1 for a document looping one
+    phrase; docs with fewer than k words score 0). The standard
+    quality-filter companion to the corpus-level dedups — repetitive docs
+    (keyword stuffing, generated spam) score high and get filtered.
+    Vectorized on the MinHash sketcher's shingle kernel (multiset + set
+    counts per doc, no per-window Python)."""
+    from .dedup import _shingle_hashes
+
+    texts = batch.column(col).to_numpy(zero_copy_only=False)
+    n = len(texts)
+    d_all, _ = _shingle_hashes(texts, k, dedupe=False)
+    d_set, _ = _shingle_hashes(texts, k)
+    total = np.bincount(d_all, minlength=n).astype(np.float64)
+    distinct = np.bincount(d_set, minlength=n).astype(np.float64)
+    ratio = np.where(total > 0, 1.0 - distinct / np.maximum(total, 1.0), 0.0)
+    return batch.append_column("repetition_ratio",
+                               pa.array(ratio, pa.float64()))

@@ -5,8 +5,11 @@ Composes the LLM-data operators into ONE streaming Dataset DAG — the shape a
 operator family composes (each stage is individually driver/oracle-gated;
 this module is about the glue):
 
-    read -> annotate (quality score, language ID, token count)
-         -> filter (quality floor, language allowlist)          [per-row]
+    read -> [boilerplate-line removal]                          [opt-in]
+         -> annotate (quality score, language ID, token count)
+         -> filter (quality floor, language allowlist,
+                    [repetition-ratio ceiling])                 [per-row]
+         -> [13-gram benchmark decontamination]                 [opt-in]
          -> exact dedup (content-hash bucket shuffle, min-id)   [1 shuffle]
          -> near-dup removal (MinHash-LSH -> clusters -> anti-  [sketch-table
             join losers out; keep the min-id representative)     shuffles only]
@@ -56,6 +59,11 @@ class CurationConfig:
     seed: str = "curate"
     # near-dup knobs pass through to minhash_lsh_pairs
     minhash_kwargs: dict = field(default_factory=dict)
+    # optional stages (None = stage off)
+    boilerplate_min_docs: int | None = None   # C4 frequent-line removal
+    repetition_max: float | None = None       # drop docs above this ratio
+    benchmark: object | None = None           # Dataset -> 13-gram decontam
+    decontam_shingle_k: int = 13
 
 
 def annotate_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Dataset:
@@ -72,8 +80,15 @@ def annotate_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Da
 
 
 def filter_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Dataset:
-    """Quality floor + language allowlist, one vectorized filter per batch."""
+    """Quality floor + language allowlist (+ optional repetition ceiling),
+    one vectorized filter per batch."""
     langs = tuple(cfg.languages) if cfg.languages else None
+
+    if cfg.repetition_max is not None:
+        from ..functions.text import repetition_ratio_batch
+
+        ds = ds.map_batches(lambda b: repetition_ratio_batch(b, col=cfg.col),
+                            batch_format="pyarrow")
 
     def keep(b: pa.Table) -> pa.Table:
         mask = pc.greater_equal(b.column("quality_score"), cfg.quality_min)
@@ -82,6 +97,9 @@ def filter_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Data
             # curation cannot assume the input carries trusted labels
             mask = pc.and_(mask, pc.is_in(b.column("lang_pred"),
                                           value_set=pa.array(langs)))
+        if cfg.repetition_max is not None:
+            mask = pc.and_(mask, pc.less_equal(b.column("repetition_ratio"),
+                                               cfg.repetition_max))
         return b.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -117,8 +135,18 @@ def curate_documents(ds: ray.data.Dataset,
     from ..functions.sampling import hash_sample
 
     cfg = cfg or CurationConfig()
+    if cfg.boilerplate_min_docs is not None:
+        from ..functions.text import remove_boilerplate_lines
+
+        ds = remove_boilerplate_lines(ds, col=cfg.col, id_col=cfg.id_col,
+                                      min_docs=cfg.boilerplate_min_docs)
     ds = annotate_documents(ds, cfg)
     ds = filter_documents(ds, cfg)
+    if cfg.benchmark is not None:
+        from ..functions.dedup import decontaminate
+
+        ds = decontaminate(ds, cfg.benchmark, col=cfg.col, id_col=cfg.id_col,
+                           shingle_k=cfg.decontam_shingle_k)
     ds = exact_dedup(ds, col=cfg.col, id_col=cfg.id_col)
     if cfg.near_dup:
         # The near-dup stage consumes its input THREE times (sketch pass,

@@ -147,3 +147,32 @@ def test_clusters_small_path_equals_distributed(ray_session):
     assert small.equals(dist)
     # chain collapses to one cluster rooted at its min member
     assert (small[small["doc_id"].between(100, 131)]["cluster_id"] == 100).all()
+
+
+def test_optional_stages_boilerplate_repetition_decontam(ray_session):
+    """The three opt-in stages compose: frequent lines are stripped before
+    annotation, repetitive docs and benchmark-leaking docs drop."""
+    import pyarrow as pa
+    import ray.data
+
+    bench_q = ("what is the tallest mountain in the wide green world today "
+               "friends ask")
+    footer = "Accept all cookies and subscribe"
+    texts, ids = [], []
+    for i in range(8):
+        ids.append(i)
+        texts.append(GOOD.replace("fox", f"fox{i}") + f" unique {i}\n{footer}")
+    ids.append(50)   # repetitive spam
+    texts.append("buy cheap stuff now " * 30)
+    ids.append(60)   # benchmark leak
+    texts.append(GOOD + " " + bench_q)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    bench = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array([bench_q])}))
+    cfg = CurationConfig(quality_min=0.2, near_dup=False,
+                         boilerplate_min_docs=5, repetition_max=0.5,
+                         benchmark=bench)
+    out = curate_documents(ray.data.from_arrow(tbl), cfg).to_pandas()
+    assert set(out["doc_id"]) == set(range(8))
+    assert not out["text"].str.contains("cookies").any()

@@ -808,3 +808,62 @@ def test_minhash_incremental_index(ray_session, tmp_path):
         corpus_ds=ray.data.from_arrow(both),
         jaccard_threshold=0.5).to_pandas()
     assert (1008, 2000) in set(zip(inc2["id_a"], inc2["id_b"]))
+
+
+def test_decontaminate(ray_session):
+    """GPT-3-style 13-gram decontamination: docs sharing a benchmark
+    k-gram drop; clean docs keep; mark_only audits without dropping."""
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.functions.dedup import decontaminate
+
+    bench_q = "what is the tallest mountain in the wide green world today friends ask"
+    assert len(bench_q.split()) == 13
+    bench = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([bench_q])})
+    docs = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array([
+            f"intro words then {bench_q} and some trailing words",  # leaked
+            "a completely clean document about rivers and boats "
+            "drifting slowly past the old stone bridges of the town",
+            bench_q,                                                # verbatim
+        ])})
+    out = (decontaminate(ray.data.from_arrow(docs), ray.data.from_arrow(bench),
+                         shingle_k=13)
+           .to_pandas().sort_values("doc_id"))
+    assert list(out["doc_id"]) == [11]
+    marked = (decontaminate(ray.data.from_arrow(docs),
+                            ray.data.from_arrow(bench), shingle_k=13,
+                            mark_only=True)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(marked) == 3
+    assert marked["contam_hits"].tolist()[0] >= 1
+    assert marked["contam_hits"].tolist()[1] == 0
+    assert marked["contam_hits"].tolist()[2] >= 1
+    # short benchmark (< k words) matches on its exact joined text
+    short_bench = pa.table({"doc_id": pa.array([2], pa.int64()),
+                            "text": pa.array(["secret probe phrase"])})
+    short_docs = pa.table({
+        "doc_id": pa.array([20, 21], pa.int64()),
+        "text": pa.array(["secret probe phrase", "another short doc"])})
+    out2 = (decontaminate(ray.data.from_arrow(short_docs),
+                          ray.data.from_arrow(short_bench), shingle_k=13)
+            .to_pandas())
+    assert list(out2["doc_id"]) == [21]
+
+
+def test_repetition_ratio():
+    import pyarrow as pa
+    from brdrq_ray.functions.text import repetition_ratio_batch
+
+    t = pa.table({"text": pa.array([
+        "one two three " * 20,                      # looping phrase -> high
+        "all these words appear exactly once here",  # no repeats -> 0
+        "ab",                                        # < k words -> 0
+        "",                                          # empty -> 0
+    ])})
+    out = repetition_ratio_batch(t, k=3)
+    r = out.column("repetition_ratio").to_pylist()
+    assert r[0] > 0.9
+    assert r[1] == 0.0 and r[2] == 0.0 and r[3] == 0.0
