@@ -79,6 +79,28 @@ def _word_shingles(text: str, k: int = 3) -> set[int]:
 _MERSENNE = (1 << 61) - 1
 
 
+def _id_shuffle_bucket(*cols, n_buckets: int) -> pa.Array:
+    """Hash-bucket of one or two ID columns of ANY type — int64 corpora and
+    the north rule's string doc_ids alike (vhash.hash64 handles both). Used
+    only to spread shuffles; bucket values never reach results."""
+    from .vhash import hash64
+
+    h = hash64(cols[0], categorize=False)
+    for c in cols[1:]:
+        h = h * np.uint64(0x9E3779B97F4A7C15) + hash64(c, categorize=False)
+    return pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32())
+
+
+def _ids_restored(series: "pd.Series") -> np.ndarray:
+    """Recover id values from a pandas column that passed through the
+    tagged-union null promotion (int64 + nulls -> float64, exact below
+    2^53); string ids come back as object and pass through untouched."""
+    vals = series.to_numpy()
+    if vals.dtype == np.float64:
+        return vals.astype(np.int64)
+    return vals
+
+
 class MinHasher:
     """num_perm universal-hash minhash signatures; coefficient table built
     once (actor state when used via map_batches(Cls))."""
@@ -238,7 +260,9 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
                       max_group_pairs: int = 32_768):
     """MinHash-LSH near-dup candidate pairs, verified by true n-gram Jaccard.
 
-    Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b (ids int64).
+    Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b (ids keep
+    their input type — int64 corpora and the north rule's string doc_ids
+    both work; string pairs order lexicographically).
 
     Degenerate-bucket guard: a collision group of c members wants C(c,2)
     pairs — boilerplate/empty documents routinely produce groups of 10^4+
@@ -319,10 +343,11 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
     # the same pair can still surface from bands in DIFFERENT buckets -> one
     # global dedupe, again hash-bucketed and vectorized
     def pair_bucket(t: pa.Table) -> pa.Table:
-        a = t.column("id_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        b = t.column("id_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        bucket = ((a * np.int64(1_000_003) + b) % n_shuffle_buckets).astype(np.int32)
-        return t.append_column("pbucket", pa.array(bucket, pa.int32()))
+        bucket = _id_shuffle_bucket(
+            t.column("id_a").to_numpy(zero_copy_only=False),
+            t.column("id_b").to_numpy(zero_copy_only=False),
+            n_buckets=n_shuffle_buckets)
+        return t.append_column("pbucket", bucket)
 
     def pair_dedupe(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
@@ -349,9 +374,10 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
     import ray
     import ray.data
 
-    EMPTY = pa.table({"id_a": pa.array([], pa.int64()),
-                      "id_b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
+    def _empty_pairs(batch: pa.Table) -> pa.Table:
+        # id-typed empty result (int64 corpora and string doc_ids alike)
+        return (batch.select(["id_a", "id_b"]).slice(0, 0)
+                .append_column("jaccard", pa.array([], pa.float64())))
 
     if text_lookup is not None:
         class Verify:
@@ -360,7 +386,7 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
 
             def __call__(self, batch: pa.Table) -> pa.Table:
                 if batch.num_rows == 0:
-                    return EMPTY
+                    return _empty_pairs(batch)
                 df = batch.to_pandas().drop_duplicates(["id_a", "id_b"])
                 jac = [ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""), shingle_k)
                        for a, b in zip(df["id_a"], df["id_b"])]
@@ -376,11 +402,17 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
     cand = cand.materialize()  # candidate pairs: small by construction
     n_pairs = cand.count()
     if n_pairs == 0:
-        return ray.data.from_arrow(EMPTY)
+        sch = cand.schema()
+        base = getattr(sch, "base_schema", sch)
+        id_t = (base.field("id_a").type if isinstance(base, pa.Schema)
+                else pa.int64())
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], id_t), "id_b": pa.array([], id_t),
+            "jaccard": pa.array([], pa.float64())}))
 
     def pair_keys(t: pa.Table) -> pa.Table:
-        a = t.column("id_a").cast(pa.int64()).combine_chunks()
-        b = t.column("id_b").cast(pa.int64()).combine_chunks()
+        a = t.column("id_a").combine_chunks()
+        b = t.column("id_b").combine_chunks()
         return pa.table({id_col: pa.concat_arrays([a, b])})
 
     key_ds = cand.map_batches(pair_keys, batch_format="pyarrow")
@@ -396,8 +428,8 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
         # never texts) and filter the corpus with one vectorized pc.is_in
         chunks = []
         for b in key_ds.iter_batches(batch_format="pyarrow"):
-            chunks.extend(b.column(id_col).cast(pa.int64()).chunks)
-        uniq = pc.unique(pa.chunked_array(chunks, pa.int64()))
+            chunks.extend(b.column(id_col).chunks)
+        uniq = pc.unique(pa.chunked_array(chunks))
         ids_ref = ray.put(uniq)
 
         class KeepCandidateTexts:
@@ -410,7 +442,7 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
 
             def __call__(self, batch: pa.Table) -> pa.Table:
                 keep = pc.fill_null(
-                    pc.is_in(batch.column(id_col).cast(pa.int64()),
+                    pc.is_in(batch.column(id_col).cast(self.value_set.type),
                              value_set=self.value_set), False)
                 return batch.select([id_col, col]).filter(keep)
 
@@ -430,7 +462,7 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
 
             def __call__(self, batch: pa.Table) -> pa.Table:
                 if batch.num_rows == 0:
-                    return EMPTY
+                    return _empty_pairs(batch)
                 df = batch.to_pandas()
                 jac = [ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""),
                                      shingle_k)
@@ -446,28 +478,27 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
     # (tagged union on the doc id — one shuffle of candidate-sized data,
     # grouped by a HASH BUCKET of the id: one vectorized pandas merge per
     # bucket, never one Python call per candidate doc)
-    def _key_bucket(keys_i64: np.ndarray) -> pa.Array:
-        mixed = (keys_i64.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
-        return pa.array((mixed % n_shuffle_buckets).astype(np.int32), pa.int32())
-
     def doc_side(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        key = t.column(id_col).cast(pa.int64())
+        key = t.column(id_col).combine_chunks()
         return pa.table({"key": key,
-                         "kb": _key_bucket(key.to_numpy(zero_copy_only=False)),
+                         "kb": _id_shuffle_bucket(
+                             key.to_numpy(zero_copy_only=False),
+                             n_buckets=n_shuffle_buckets),
                          "role": pa.array(np.zeros(n, np.int8)),
-                         "id_a": pa.nulls(n, pa.int64()),
-                         "id_b": pa.nulls(n, pa.int64()),
+                         "id_a": pa.nulls(n, key.type),
+                         "id_b": pa.nulls(n, key.type),
                          "text": t.column(col)})
 
     def pair_sides(t: pa.Table) -> pa.Table:
-        a = t.column("id_a").cast(pa.int64()).combine_chunks()
-        b = t.column("id_b").cast(pa.int64()).combine_chunks()
+        a = t.column("id_a").combine_chunks()
+        b = t.column("id_b").combine_chunks()
         n = t.num_rows
         key = pa.concat_arrays([a, b])
         return pa.table({
             "key": key,
-            "kb": _key_bucket(key.to_numpy(zero_copy_only=False)),
+            "kb": _id_shuffle_bucket(key.to_numpy(zero_copy_only=False),
+                                     n_buckets=n_shuffle_buckets),
             "role": pa.array(np.concatenate([np.ones(n, np.int8),
                                              np.full(n, 2, np.int8)])),
             "id_a": pa.concat_arrays([a, a]),
@@ -487,8 +518,8 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
         if doc.empty or halves.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "role": [], "text": []})
         m = halves.merge(doc, on="key", how="inner")
-        return pd.DataFrame({"id_a": m["id_a"].astype("int64"),
-                             "id_b": m["id_b"].astype("int64"),
+        return pd.DataFrame({"id_a": _ids_restored(m["id_a"]),
+                             "id_b": _ids_restored(m["id_b"]),
                              "role": m["role"],
                              "text": m["text"]})
 
@@ -510,15 +541,15 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
                for ta, tb in zip(m["text_a"], m["text_b"])]
         m["jaccard"] = jac
         m = m[m["jaccard"] >= jaccard_threshold]
-        return pd.DataFrame({"id_a": m["id_a"].astype("int64"),
-                             "id_b": m["id_b"].astype("int64"),
+        return pd.DataFrame({"id_a": _ids_restored(m["id_a"]),
+                             "id_b": _ids_restored(m["id_b"]),
                              "jaccard": m["jaccard"]})
 
     def pair_bucket2(t: pa.Table) -> pa.Table:
-        a = t.column("id_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        b = t.column("id_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        bucket = ((a * np.int64(1_000_003) + b) % 64).astype(np.int32)
-        return t.append_column("vb", pa.array(bucket, pa.int32()))
+        bucket = _id_shuffle_bucket(
+            t.column("id_a").to_numpy(zero_copy_only=False),
+            t.column("id_b").to_numpy(zero_copy_only=False), n_buckets=64)
+        return t.append_column("vb", bucket)
 
     return (halves.map_batches(pair_bucket2, batch_format="pyarrow")
             .groupby("vb").map_groups(
@@ -535,12 +566,16 @@ def _clusters_union_find(edges) -> "ray.data.Dataset":
 
     df = pd.DataFrame(edges.take_all())
     if df.empty:
+        sch = edges.schema()
+        base = getattr(sch, "base_schema", sch)
+        node_t = (base.field("node").type if isinstance(base, pa.Schema)
+                  else pa.int64())
         return ray.data.from_arrow(pa.table({
-            "doc_id": pa.array([], pa.int64()),
-            "cluster_id": pa.array([], pa.int64())}))
-    parent: dict[int, int] = {}
+            "doc_id": pa.array([], node_t),
+            "cluster_id": pa.array([], node_t)}))
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         while parent[x] != x:
             parent[x] = parent[parent[x]]
             x = parent[x]
@@ -556,8 +591,8 @@ def _clusters_union_find(edges) -> "ray.data.Dataset":
             parent[hi] = lo
 
     nodes = sorted(parent)
-    out = pa.table({"doc_id": pa.array(nodes, pa.int64()),
-                    "cluster_id": pa.array([find(n) for n in nodes], pa.int64())})
+    out = pa.table({"doc_id": pa.array(nodes),
+                    "cluster_id": pa.array([find(n) for n in nodes])})
     return ray.data.from_arrow(out)
 
 
@@ -584,8 +619,8 @@ def duplicate_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b",
     from ray.data.aggregate import Min
 
     def seed_edges(batch: pa.Table) -> pa.Table:
-        a = batch.column(id_col_a).cast(pa.int64()).combine_chunks()
-        b = batch.column(id_col_b).cast(pa.int64()).combine_chunks()
+        a = batch.column(id_col_a).combine_chunks()
+        b = batch.column(id_col_b).combine_chunks()
         return pa.table({"node": pa.concat_arrays([a, b]),
                          "nbr": pa.concat_arrays([b, a])})
 
@@ -604,21 +639,21 @@ def duplicate_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b",
     n_shuffle_buckets = 64
 
     def edge_side(batch: pa.Table) -> pa.Table:
-        key = batch.column("nbr")
-        bucket = (np.abs(key.to_numpy(zero_copy_only=False))
-                  % n_shuffle_buckets).astype(np.int32)
-        return pa.table({"bucket": pa.array(bucket, pa.int32()),
+        key = batch.column("nbr").combine_chunks()
+        return pa.table({"bucket": _id_shuffle_bucket(
+                             key.to_numpy(zero_copy_only=False),
+                             n_buckets=n_shuffle_buckets),
                          "key": key,
                          "node": batch.column("node"),
-                         "label": pa.nulls(batch.num_rows, pa.int64())})
+                         "label": pa.nulls(batch.num_rows, key.type)})
 
     def label_side(batch: pa.Table) -> pa.Table:
-        key = batch.column("lnode")
-        bucket = (np.abs(key.to_numpy(zero_copy_only=False))
-                  % n_shuffle_buckets).astype(np.int32)
-        return pa.table({"bucket": pa.array(bucket, pa.int32()),
+        key = batch.column("lnode").combine_chunks()
+        return pa.table({"bucket": _id_shuffle_bucket(
+                             key.to_numpy(zero_copy_only=False),
+                             n_buckets=n_shuffle_buckets),
                          "key": key,
-                         "node": pa.nulls(batch.num_rows, pa.int64()),
+                         "node": pa.nulls(batch.num_rows, key.type),
                          "label": batch.column("label")})
 
     def propagate_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -631,10 +666,10 @@ def duplicate_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b",
         lab_of_key = edges_g["key"].map(labs)
         ok = lab_of_key.notna()
         return pd.concat([
-            pd.DataFrame({"lnode": edges_g.loc[ok, "node"].astype("int64").to_numpy(),
-                          "label": lab_of_key[ok].astype("int64").to_numpy()}),
-            pd.DataFrame({"lnode": labs.index.to_numpy().astype("int64"),
-                          "label": labs.to_numpy().astype("int64")}),
+            pd.DataFrame({"lnode": _ids_restored(edges_g.loc[ok, "node"]),
+                          "label": _ids_restored(lab_of_key[ok])}),
+            pd.DataFrame({"lnode": _ids_restored(labs.index.to_series()),
+                          "label": _ids_restored(labs)}),
         ], ignore_index=True)
 
     def label_ptr_edges(batch: pa.Table) -> pa.Table:
@@ -658,9 +693,25 @@ def duplicate_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b",
                                                    batch_format="pandas")
         labels = (msgs.groupby("lnode").aggregate(Min("label", alias_name="label"))
                   .materialize())
-        # labels only ever DECREASE, so an unchanged label sum = converged —
-        # near-dup graphs usually settle in 2-3 rounds, not the worst case
-        cur_sum = labels.sum("label")
+        # labels only ever DECREASE (lexicographically for string ids), so
+        # an unchanged label multiset = converged. The test is a distributed
+        # hash CHECKSUM (type-generic, unlike the r3 numeric label sum):
+        # per batch, exact sums of the two 32-bit halves of hash64(label)
+        # (no wraparound below 2^32 rows/batch, so the total depends only on
+        # the label MULTISET, never on batching); a false convergence needs
+        # a simultaneous collision of both half-sums (~2^-64).
+        def _chk(t: pa.Table) -> pa.Table:
+            from .vhash import hash64
+            h = hash64(t.column("label").to_numpy(zero_copy_only=False),
+                       categorize=False)
+            return pa.table({
+                "chk_hi": pa.array([int((h >> np.uint64(32))
+                                        .sum(dtype=np.uint64))], pa.int64()),
+                "chk_lo": pa.array([int((h & np.uint64(0xFFFFFFFF))
+                                        .sum(dtype=np.uint64))], pa.int64())})
+
+        chk = labels.map_batches(_chk, batch_format="pyarrow").materialize()
+        cur_sum = (chk.sum("chk_hi"), chk.sum("chk_lo"))
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -801,10 +852,11 @@ def simhash_neardup_pairs(ds, col: str = "text", id_col: str = "doc_id",
 
     # the same pair surfaces from agreeing blocks in DIFFERENT buckets
     def pair_bucket(t: pa.Table) -> pa.Table:
-        a = t.column("id_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        b = t.column("id_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        bucket = ((a * np.int64(1_000_003) + b) % n_shuffle_buckets).astype(np.int32)
-        return t.append_column("pbucket", pa.array(bucket, pa.int32()))
+        bucket = _id_shuffle_bucket(
+            t.column("id_a").to_numpy(zero_copy_only=False),
+            t.column("id_b").to_numpy(zero_copy_only=False),
+            n_buckets=n_shuffle_buckets)
+        return t.append_column("pbucket", bucket)
 
     def pair_dedupe(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b", "hamming"]]
@@ -1044,9 +1096,13 @@ def minhash_pairs_incremental(new_ds, index_dir: str, corpus_ds=None,
         files.extend(sorted(glob.glob(f"{index_dir}/shard={int(s)}/*.parquet")))
     key_ref = ray.put(keys)  # sorted (np.unique)
 
-    BAND_SCHEMA = pa.schema([(id_col, pa.int64()), ("band_id", pa.int32()),
-                             ("band_hash", pa.int64()),
-                             ("is_new", pa.int8())])
+    # id columns keep the corpus's own type (int64 and string ids alike);
+    # the new side's type anchors the union schema, the parquet side casts
+    # to it (a string id can round-trip as large_string)
+    new_sch = new_band.schema()
+    new_base = getattr(new_sch, "base_schema", new_sch)
+    id_type = (new_base.field(id_col).type if isinstance(new_base, pa.Schema)
+               else pa.int64())
 
     class KeepColliding:
         def __init__(self):
@@ -1063,13 +1119,13 @@ def minhash_pairs_incremental(new_ds, index_dir: str, corpus_ds=None,
                 pos[pos == len(self.keys)] = 0
                 hit = self.keys[pos] == k
             kept = t.filter(pa.array(hit))
-            return pa.table({id_col: kept.column(id_col).cast(pa.int64()),
+            return pa.table({id_col: kept.column(id_col).cast(id_type),
                              "band_id": kept.column("band_id").cast(pa.int32()),
                              "band_hash": kept.column("band_hash").cast(pa.int64()),
                              "is_new": pa.array(np.zeros(kept.num_rows, np.int8))})
 
     def mark_new(t: pa.Table) -> pa.Table:
-        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+        return pa.table({id_col: t.column(id_col),
                          "band_id": t.column("band_id"),
                          "band_hash": t.column("band_hash"),
                          "is_new": pa.array(np.ones(t.num_rows, np.int8))})
@@ -1130,11 +1186,11 @@ def minhash_pairs_incremental(new_ds, index_dir: str, corpus_ds=None,
             .groupby("bucket").map_groups(inc_pairs, batch_format="pandas"))
 
     def pair_bucket(t: pa.Table) -> pa.Table:
-        a = t.column("id_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        b = t.column("id_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        bucket = ((a * np.int64(1_000_003) + b)
-                  % n_shuffle_buckets).astype(np.int32)
-        return t.append_column("pbucket", pa.array(bucket, pa.int32()))
+        bucket = _id_shuffle_bucket(
+            t.column("id_a").to_numpy(zero_copy_only=False),
+            t.column("id_b").to_numpy(zero_copy_only=False),
+            n_buckets=n_shuffle_buckets)
+        return t.append_column("pbucket", bucket)
 
     def pair_dedupe(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -175,3 +176,56 @@ def curate_and_pack(ds: ray.data.Dataset, cfg: CurationConfig | None = None,
     packed = pack_sequences(curated, token_budget=token_budget,
                             id_col=cfg.id_col, col=cfg.col)
     return curated, packed
+
+
+# --- interleaved documents (the north-rule input shape) ----------------------
+
+def extract_document_text(batch: pa.Table, col: str = "text",
+                          sep: str = " ") -> pa.Table:
+    """(doc_id, spans) -> (doc_id, text): concatenate each document's
+    text-kind spans in span order. Pure Arrow work — offsets arithmetic +
+    one C++ binary_join per batch, no Python per span."""
+    import pyarrow.compute as pc
+
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    offsets = spans.offsets.to_numpy(zero_copy_only=False)
+    offsets = offsets - offsets[0]
+    n_per_doc = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(batch.num_rows), n_per_doc)
+    is_text = pc.equal(flat.field("kind"), "text").to_numpy(zero_copy_only=False)
+    sel = np.nonzero(is_text)[0]
+    kept_counts = np.bincount(doc_idx[sel], minlength=batch.num_rows)
+    new_off = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32)
+    texts = pc.fill_null(flat.field("text").take(pa.array(sel)), "")
+    lst = pa.ListArray.from_arrays(pa.array(new_off, pa.int32()),
+                                   texts.combine_chunks()
+                                   if isinstance(texts, pa.ChunkedArray)
+                                   else texts)
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     col: pc.binary_join(lst, sep)})
+
+
+def curate_interleaved(docs: ray.data.Dataset,
+                       cfg: CurationConfig | None = None) -> ray.data.Dataset:
+    """Curation over the north rule's interleaved span table
+    (doc_id, spans: list<struct<kind, text, media_ref, offset>>): a
+    document's curation text is the concatenation of its text-kind spans;
+    SURVIVING documents keep their span sequences byte-for-byte (kind,
+    text, media_ref, order — the per-row invariant the reference contract
+    pins). One span-table projection pass feeds the flat curation DAG, and
+    survivors are selected with the distributed semi-join — the span table
+    itself is never shuffled or rewritten. ``docs`` is consumed twice
+    (projection + semi-join); from parquet/Lance both are streaming
+    re-reads, so nothing materializes."""
+    from ..functions.relational import semi_join
+
+    cfg = cfg or CurationConfig()
+    flat = docs.map_batches(
+        lambda b: extract_document_text(b, col=cfg.col),
+        batch_format="pyarrow")
+    kept = curate_documents(flat, cfg)
+    ids = kept.select_columns([cfg.id_col])
+    return semi_join(docs, ids, on=cfg.id_col)

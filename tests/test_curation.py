@@ -176,3 +176,101 @@ def test_optional_stages_boilerplate_repetition_decontam(ray_session):
     out = curate_documents(ray.data.from_arrow(tbl), cfg).to_pandas()
     assert set(out["doc_id"]) == set(range(8))
     assert not out["text"].str.contains("cookies").any()
+
+
+def test_curate_interleaved_preserves_span_sequences(ray_session):
+    """Curation over the interleaved span table: survivors keep their span
+    sequences byte-for-byte (kind, text, media_ref, order); duplicate-text
+    docs collapse to the min-id representative even when their media spans
+    differ."""
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.pipelines.curation import (curate_interleaved,
+                                              extract_document_text)
+
+    def doc(i, text_parts, media=None):
+        spans = []
+        for j, t in enumerate(text_parts):
+            spans.append({"kind": "text", "text": t,
+                          "media_ref": "", "offset": j})
+        if media:
+            spans.insert(1, {"kind": "image", "text": "",
+                             "media_ref": media, "offset": 99})
+        return {"doc_id": i, "spans": spans}
+
+    rows = [doc(0, [GOOD, "extra tail zero"], media="img0"),
+            doc(1, [GOOD, "extra tail zero"], media="DIFFERENT"),  # text dup of 0
+            doc(2, [OTHER, "unique second span two"], media="img2"),
+            doc(3, ["x"])]                                         # junk: too short
+    tbl = pa.Table.from_pylist(rows)
+    cfg = CurationConfig(quality_min=0.40, near_dup=False)
+    out = (curate_interleaved(ray.data.from_arrow(tbl), cfg)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc1 (text dup, higher id) and doc3 (junk) dropped; 0 and 2 survive
+    assert list(out["doc_id"]) == [0, 2]
+    orig = tbl.to_pylist()
+    for _, row in out.iterrows():
+        want = next(r["spans"] for r in orig if r["doc_id"] == row["doc_id"])
+        assert list(row["spans"]) == want  # byte-for-byte span sequence
+    # the text projection concatenates text spans only, in order
+    flat = extract_document_text(tbl).to_pylist()
+    assert flat[0]["text"] == GOOD + " extra tail zero"
+    assert flat[3]["text"] == "x"
+
+
+def test_string_ids_dedup_family(ray_session, tmp_path):
+    """The north rule's doc_id is a STRING — the whole near-dup family must
+    work without integer ids: pair listing, both cluster paths (identical),
+    and the incremental band index through a parquet round-trip."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.functions.dedup import (
+        build_minhash_index, duplicate_clusters, minhash_lsh_pairs,
+        minhash_pairs_incremental)
+
+    rng = np.random.default_rng(4)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    old_texts = {f"doc-{i:04d}": " ".join(rng.choice(words, size=20))
+                 for i in range(30)}
+    new_texts = {"new-0001": old_texts["doc-0003"] + " tail",
+                 "new-0002": " ".join(rng.choice(words, size=20))}
+    old = pa.table({"doc_id": pa.array(list(old_texts)),
+                    "text": pa.array(list(old_texts.values()))})
+    new = pa.table({"doc_id": pa.array(list(new_texts)),
+                    "text": pa.array(list(new_texts.values()))})
+
+    pairs = minhash_lsh_pairs(ray.data.from_arrow(pa.concat_tables([old, new])),
+                              jaccard_threshold=0.5)
+    small = (duplicate_clusters(pairs).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    dist = (duplicate_clusters(pairs, small_limit=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert small.equals(dist)
+    assert dict(zip(small["doc_id"], small["cluster_id"]))["new-0001"] == "doc-0003"
+
+    idx_dir = str(tmp_path / "mhidx_str")
+    build_minhash_index(ray.data.from_arrow(old), idx_dir, n_shards=16)
+    inc = minhash_pairs_incremental(ray.data.from_arrow(new), idx_dir,
+                                    corpus_ds=ray.data.from_arrow(old),
+                                    jaccard_threshold=0.5).to_pandas()
+    assert ("doc-0003", "new-0001") in set(zip(inc["id_a"], inc["id_b"]))
+
+
+def test_curate_interleaved_fixture_string_ids(ray_session):
+    """The interleaved fixture (string doc_ids, text+media+geometry spans)
+    runs the full curation DAG including near-dup; survivors' span
+    sequences stay byte-identical across forced block slices."""
+    import ray.data
+    from brdrq_ray.pipelines.curation import curate_interleaved
+    from brdrq_ray.sources.fixtures import make_documents_table
+
+    tbl = make_documents_table(n_docs=120)
+    ds = ray.data.from_arrow(tbl).repartition(6)  # force block slices
+    out = curate_interleaved(
+        ds, CurationConfig(quality_min=0.0, near_dup=True,
+                           jaccard_threshold=0.5)).to_pandas()
+    assert 0 < len(out) <= tbl.num_rows
+    orig = {r["doc_id"]: r["spans"] for r in tbl.to_pylist()}
+    for _, row in out.iterrows():
+        assert list(row["spans"]) == orig[row["doc_id"]]
