@@ -81,13 +81,23 @@ _MERSENNE = (1 << 61) - 1
 
 def _id_shuffle_bucket(*cols, n_buckets: int) -> pa.Array:
     """Hash-bucket of one or two ID columns of ANY type — int64 corpora and
-    the north rule's string doc_ids alike (vhash.hash64 handles both). Used
-    only to spread shuffles; bucket values never reach results."""
-    from .vhash import hash64
+    the north rule's string doc_ids alike. Used only to spread shuffles;
+    bucket values never reach results (so the int fast path and the string
+    path may disagree freely)."""
+    from .vhash import hash64, splitmix64
 
-    h = hash64(cols[0], categorize=False)
+    def one(c) -> np.ndarray:
+        arr = np.asarray(c)
+        if np.issubdtype(arr.dtype, np.integer):
+            # C path — no per-element object boxing for int ids
+            with np.errstate(over="ignore"):
+                return splitmix64(arr.astype(np.uint64))
+        return hash64(c, categorize=False)
+
+    h = one(cols[0])
     for c in cols[1:]:
-        h = h * np.uint64(0x9E3779B97F4A7C15) + hash64(c, categorize=False)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15) + one(c)
     return pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32())
 
 

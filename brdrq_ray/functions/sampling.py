@@ -163,3 +163,136 @@ def stratified_take_k(ds, k: int, strata_col: str, id_col: str = "doc_id",
     df = (df.sort_values(["strata", "sample_hash60", "id"], kind="mergesort")
             .groupby("strata", sort=False).head(k).reset_index(drop=True))
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def select_token_budget(ds, budget: int, score_col: str = "quality_score",
+                        token_col: str = "ws_tokens", id_col: str = "doc_id",
+                        seed: str = "budget", n_bins: int = 4096,
+                        score_range: tuple = (0.0, 1.0),
+                        driver_limit: int = 262_144, max_depth: int = 4):
+    """Select the highest-scoring documents until a global TOKEN budget —
+    exactly the maximal prefix of the corpus sorted by (score DESC,
+    hash60(seed, id) ASC, id ASC) whose token sum stays <= ``budget`` — the
+    "best docs that fit the training budget" cut of a curation run.
+
+    No global sort: a token-weighted score histogram (one streaming
+    combiner pass, n_bins rows to the driver) finds the boundary bin; bins
+    above it are selected wholesale, and the boundary bin is REFINED
+    recursively (histogram again over just that bin's score range) until it
+    holds <= ``driver_limit`` docs, which are then cut exactly driver-side.
+    Each refinement pass streams the corpus with a cheap range filter, so
+    at 100 TB the op is max_depth column-pruned scans + one tiny driver
+    sort — never an all-to-all exchange. Deterministic: RNG-free, batching-
+    and partitioning-independent (the hash tie-break is a pure function of
+    the id).
+
+    Returns the filtered Dataset (selection only, original columns)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo, hi = float(score_range[0]), float(score_range[1])
+    if not lo < hi:
+        raise ValueError(f"empty score_range {score_range}")
+    remaining = int(budget)
+    # fully-selected region grows downward from `hi`; docs with
+    # score >= full_cut are in wholesale
+    full_cut = hi + 1.0  # nothing selected yet
+
+    cur_lo, cur_hi = lo, hi
+    boundary_ids: np.ndarray | None = None
+
+    for depth in range(max_depth):
+        width = (cur_hi - cur_lo) / n_bins
+        # the very top of the full range is inclusive (s == hi is a real
+        # score); refined ranges exclude their top edge — those docs belong
+        # to the wholesale region already
+        inclusive = depth == 0
+
+        def hist(batch: pa.Table, _lo=cur_lo, _hi=cur_hi, _w=width,
+                 _inc=inclusive) -> pa.Table:
+            s = batch.column(score_col).to_numpy(zero_copy_only=False)
+            t = batch.column(token_col).to_numpy(zero_copy_only=False)
+            m = (s >= _lo) & ((s <= _hi) if _inc else (s < _hi))
+            if not m.any():
+                return pa.table({"bin": pa.array([], pa.int32()),
+                                 "tok": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            b = np.minimum(((s[m] - _lo) / _w).astype(np.int64), n_bins - 1)
+            tok = np.bincount(b, weights=t[m].astype(np.float64),
+                              minlength=n_bins).astype(np.int64)
+            cnt = np.bincount(b, minlength=n_bins)
+            nz = np.nonzero(cnt)[0]
+            return pa.table({"bin": pa.array(nz.astype(np.int32), pa.int32()),
+                             "tok": pa.array(tok[nz], pa.int64()),
+                             "n": pa.array(cnt[nz].astype(np.int64), pa.int64())})
+
+        h = (ds.map_batches(hist, batch_format="pyarrow")
+             .groupby("bin").aggregate(Sum("tok", alias_name="tok"),
+                                       Sum("n", alias_name="n"))
+             .to_pandas().sort_values("bin", ascending=False))
+        if h.empty:
+            boundary_ids = np.empty(0, dtype=object)
+            break
+        cum = h["tok"].cumsum()
+        fits = cum <= remaining
+        take_whole = h[fits]
+        if fits.all():
+            # everything in range fits: select the whole candidate region
+            full_cut = cur_lo
+            boundary_ids = np.empty(0, dtype=object)
+            break
+        boundary_row = h[~fits].iloc[0]
+        if len(take_whole):
+            # bins strictly above the boundary bin are selected wholesale
+            top_edge = cur_lo + float(boundary_row["bin"] + 1) * width
+            full_cut = min(full_cut, top_edge)
+            remaining -= int(take_whole["tok"].sum())
+        b_lo = cur_lo + float(boundary_row["bin"]) * width
+        b_hi = cur_lo + float(boundary_row["bin"] + 1) * width
+        if int(boundary_row["n"]) <= driver_limit or depth == max_depth - 1:
+            # boundary bin small enough (or depth exhausted): cut it exactly.
+            # Membership uses the SAME discretization as the histogram, so
+            # float edge cases land in the same bin in both passes.
+            def in_bin(batch: pa.Table, _lo=cur_lo, _hi=cur_hi, _w=width,
+                       _inc=inclusive, _b=int(boundary_row["bin"])) -> pa.Table:
+                s = batch.column(score_col).to_numpy(zero_copy_only=False)
+                m = (s >= _lo) & ((s <= _hi) if _inc else (s < _hi))
+                b = np.minimum(((s - _lo) / _w).astype(np.int64), n_bins - 1)
+                m &= b == _b
+                return batch.select([id_col, score_col, token_col]).filter(
+                    pa.array(m))
+
+            rows = ds.map_batches(in_bin, batch_format="pyarrow").take_all()
+            df = pd.DataFrame(rows)
+            if df.empty:
+                boundary_ids = np.empty(0, dtype=object)
+                break
+            df["h"] = hash60([str(v) for v in df[id_col]], seed)
+            df = df.sort_values([score_col, "h", id_col],
+                                ascending=[False, True, True],
+                                kind="mergesort")
+            sel = df[df[token_col].cumsum() <= remaining]
+            boundary_ids = sel[id_col].to_numpy()
+            break
+        cur_lo, cur_hi = b_lo, b_hi
+
+    bid_ref = ray.put(boundary_ids if boundary_ids is not None
+                      else np.empty(0, dtype=object))
+    cut = full_cut
+
+    class KeepSelected:
+        def __init__(self):
+            self.bids = ray.get(bid_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = batch.column(score_col).to_numpy(zero_copy_only=False)
+            keep = s >= cut
+            if len(self.bids):
+                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+                keep = keep | pd.Series(ids).isin(self.bids).to_numpy()
+            return batch.filter(pa.array(keep))
+
+    return ds.map_batches(KeepSelected, batch_format="pyarrow",
+                          concurrency=(1, 8))

@@ -65,6 +65,7 @@ class CurationConfig:
     repetition_max: float | None = None       # drop docs above this ratio
     benchmark: object | None = None           # Dataset -> 13-gram decontam
     decontam_shingle_k: int = 13
+    token_budget_total: int | None = None     # keep best docs until budget
 
 
 def annotate_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Dataset:
@@ -161,6 +162,14 @@ def curate_documents(ds: ray.data.Dataset,
     if cfg.sample_fraction is not None:
         ds = hash_sample(ds, cfg.sample_fraction, id_col=cfg.id_col,
                          seed=cfg.seed)
+    if cfg.token_budget_total is not None:
+        # final cut: the best-quality survivors that fit the training
+        # budget (exact sort-prefix semantics, no global sort). Multiple
+        # histogram passes consume the input — pin it once, like near-dup.
+        from ..functions.sampling import select_token_budget
+
+        ds = select_token_budget(ds.materialize(), cfg.token_budget_total,
+                                 id_col=cfg.id_col, seed=cfg.seed)
     return ds
 
 

@@ -274,3 +274,33 @@ def test_curate_interleaved_fixture_string_ids(ray_session):
     orig = {r["doc_id"]: r["spans"] for r in tbl.to_pylist()}
     for _, row in out.iterrows():
         assert list(row["spans"]) == orig[row["doc_id"]]
+
+
+def test_token_budget_stage(ray_session):
+    """token_budget_total keeps the best-quality survivors that fit the
+    budget, exactly the deterministic sort-prefix."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.functions.sampling import hash60
+
+    texts, ids = [], []
+    for i in range(12):
+        ids.append(i)
+        texts.append(GOOD.replace("fox", f"fox{i}") + f" unique marker {i}")
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    cfg = CurationConfig(quality_min=0.0, near_dup=False,
+                         token_budget_total=120)
+    out = curate_documents(ray.data.from_arrow(tbl), cfg).to_pandas()
+    assert 0 < len(out) < 12
+    assert out["ws_tokens"].sum() <= 120
+    # equals the pandas sort-prefix over the annotated corpus
+    full = curate_documents(ray.data.from_arrow(tbl),
+                            CurationConfig(quality_min=0.0, near_dup=False)
+                            ).to_pandas()
+    full["h"] = hash60([str(v) for v in full["doc_id"]], "curate")
+    ordered = full.sort_values(["quality_score", "h", "doc_id"],
+                               ascending=[False, True, True], kind="mergesort")
+    want = set(ordered[ordered["ws_tokens"].cumsum() <= 120]["doc_id"])
+    assert set(out["doc_id"]) == want

@@ -151,3 +151,52 @@ def test_mix_corpora_rejects_bad_weights(ray_session):
         mix_corpora({"x": (ds, -1.0)})
     with pytest.raises(ValueError):
         mix_corpora({"x": (ds, 0.0)})
+
+
+def test_select_token_budget_equals_sort_prefix(ray_session):
+    """select_token_budget == maximal prefix of (score DESC, hash60 ASC,
+    id ASC) with token cumsum <= budget — across budgets, partitionings,
+    and a recursion-forcing tiny driver_limit."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.functions.sampling import hash60, select_token_budget
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "quality_score": np.round(rng.uniform(0, 1, n), 3),  # many ties
+        "ws_tokens": rng.integers(1, 400, n).astype(np.int64),
+    })
+    df["h"] = hash60([str(v) for v in df["doc_id"]], "budget")
+    order = df.sort_values(["quality_score", "h", "doc_id"],
+                           ascending=[False, True, True], kind="mergesort")
+
+    tbl = pa.Table.from_pandas(df.drop(columns=["h"]), preserve_index=False)
+    for budget in (0, 5_000, 60_000, 10**9):
+        want = set(order[order["ws_tokens"].cumsum() <= budget]["doc_id"])
+        for blocks in (1, 7):
+            ds = ray.data.from_arrow(tbl).repartition(blocks)
+            out = select_token_budget(ds, budget).to_pandas()
+            got = set(out["doc_id"]) if len(out) else set()
+            assert got == want, (budget, blocks, len(got), len(want))
+    # recursion path: driver_limit smaller than any bin population
+    ds = ray.data.from_arrow(tbl)
+    got = set(select_token_budget(ds, 60_000, driver_limit=4, n_bins=8,
+                                  max_depth=5).to_pandas()["doc_id"])
+    want = set(order[order["ws_tokens"].cumsum() <= 60_000]["doc_id"])
+    assert got == want
+    # string ids work the same
+    tbl_s = tbl.set_column(0, "doc_id",
+                           pa.array([f"d{v:05d}" for v in df["doc_id"]]))
+    dfs = df.copy()
+    dfs["doc_id"] = [f"d{v:05d}" for v in df["doc_id"]]
+    dfs["h"] = hash60(dfs["doc_id"], "budget")
+    orders = dfs.sort_values(["quality_score", "h", "doc_id"],
+                             ascending=[False, True, True], kind="mergesort")
+    want_s = set(orders[orders["ws_tokens"].cumsum() <= 60_000]["doc_id"])
+    got_s = set(select_token_budget(ray.data.from_arrow(tbl_s), 60_000)
+                .to_pandas()["doc_id"])
+    assert got_s == want_s
