@@ -29,6 +29,11 @@ _SAMPLE_THR_TRAIN = _fthr(0.05)
 _SAMPLE_THR_VAL = _fthr(0.5)
 _SAMPLE_THR_TEST = _fthr(1.0)
 
+# global token budget for the token_count composite (same literal lands in
+# the oracle SQL's window-cumsum predicate). ~60% of the sf0.01 corpus'
+# 27k tokens, so the flag is load-bearing at the driver's gate scale.
+_TOKEN_BUDGET = 16_000
+
 
 # --------------------------------------------------------------------------
 # geometry fixture management (deterministic, cached per scale under /tmp)
@@ -227,10 +232,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def token_count(sf_dir: str):
         import ray.data
         from brdrq_ray.functions.text import token_count_batch
+        # composite since r4: per-doc whitespace token count + the global
+        # token-budget selection flag (functions/sampling.token_budget_cut —
+        # exact sort-prefix by (score DESC, hash60 ASC, id ASC), recursive
+        # histogram refinement, never a global sort). The score is a
+        # SQL-reproducible pseudo-score (hash60 % 1000 / 1000) so the DuckDB
+        # window-cumsum oracle checks the selection value-for-value.
+        import numpy as np
+        import pyarrow as pa
+        from brdrq_ray.functions.sampling import flag_token_budget, hash60
+
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                    columns=["doc_id", "text"])
-        return ds.map_batches(lambda b: token_count_batch(b).select(["doc_id", "ws_tokens"]),
-                              batch_format="pyarrow")
+
+        def prep(b: pa.Table) -> pa.Table:
+            t = token_count_batch(b).select(["doc_id", "ws_tokens"])
+            h = hash60(t.column("doc_id").to_pylist(), "score")
+            score = (h % 1000).astype(np.float64) / 1000.0
+            return t.append_column("pseudo_score", pa.array(score))
+
+        # token_budget_cut re-scans the input (histogram refinement passes):
+        # pin the prepared projection once, like the curation stage does
+        base = ds.map_batches(prep, batch_format="pyarrow").materialize()
+        out = flag_token_budget(base, _TOKEN_BUDGET, score_col="pseudo_score")
+        return _round_floats(out, ["pseudo_score"], 6)
 
     def fingerprint_md5(sf_dir: str):
         import ray.data
@@ -865,10 +890,24 @@ _BASE_ORACLE_SQL = {
                        <= 25 AS in_top25
             FROM s
         """,
-        "token_count": """
-            SELECT doc_id,
-                   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
-            FROM documents
+        "token_count": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+                       (CAST('0x' || substr(md5('score|' || doc_id), 1, 15)
+                             AS BIGINT) % 1000) / 1000.0 AS pseudo_score,
+                       CAST('0x' || substr(md5('budget|' || doc_id), 1, 15)
+                            AS BIGINT) AS h60
+                FROM documents),
+            s AS (
+                SELECT doc_id, ws_tokens, pseudo_score,
+                       sum(ws_tokens) OVER (
+                           ORDER BY pseudo_score DESC, h60 ASC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t)
+            SELECT doc_id, ws_tokens, round(pseudo_score, 6) AS pseudo_score,
+                   cum <= {_TOKEN_BUDGET} AS in_budget
+            FROM s
         """,
         "fingerprint_md5": """
             SELECT doc_id,

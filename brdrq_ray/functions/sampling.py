@@ -165,15 +165,15 @@ def stratified_take_k(ds, k: int, strata_col: str, id_col: str = "doc_id",
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def select_token_budget(ds, budget: int, score_col: str = "quality_score",
-                        token_col: str = "ws_tokens", id_col: str = "doc_id",
-                        seed: str = "budget", n_bins: int = 4096,
-                        score_range: tuple = (0.0, 1.0),
-                        driver_limit: int = 262_144, max_depth: int = 4):
-    """Select the highest-scoring documents until a global TOKEN budget —
-    exactly the maximal prefix of the corpus sorted by (score DESC,
-    hash60(seed, id) ASC, id ASC) whose token sum stays <= ``budget`` — the
-    "best docs that fit the training budget" cut of a curation run.
+def token_budget_cut(ds, budget: int, score_col: str = "quality_score",
+                     token_col: str = "ws_tokens", id_col: str = "doc_id",
+                     seed: str = "budget", n_bins: int = 4096,
+                     score_range: tuple = (0.0, 1.0),
+                     driver_limit: int = 262_144, max_depth: int = 4):
+    """Find the global token-budget boundary: the maximal prefix of the
+    corpus sorted by (score DESC, hash60(seed, id) ASC, id ASC) whose token
+    sum stays <= ``budget``. Returns ``(full_cut, boundary_ids)`` — a row is
+    selected iff ``score >= full_cut`` OR its id is in ``boundary_ids``.
 
     No global sort: a token-weighted score histogram (one streaming
     combiner pass, n_bins rows to the driver) finds the boundary bin; bins
@@ -184,12 +184,8 @@ def select_token_budget(ds, budget: int, score_col: str = "quality_score",
     at 100 TB the op is max_depth column-pruned scans + one tiny driver
     sort — never an all-to-all exchange. Deterministic: RNG-free, batching-
     and partitioning-independent (the hash tie-break is a pure function of
-    the id).
-
-    Returns the filtered Dataset (selection only, original columns)."""
+    the id)."""
     import pandas as pd
-    import pyarrow.compute as pc
-    import ray
     from ray.data.aggregate import Sum
 
     lo, hi = float(score_range[0]), float(score_range[1])
@@ -278,21 +274,74 @@ def select_token_budget(ds, budget: int, score_col: str = "quality_score",
             break
         cur_lo, cur_hi = b_lo, b_hi
 
-    bid_ref = ray.put(boundary_ids if boundary_ids is not None
-                      else np.empty(0, dtype=object))
-    cut = full_cut
+    if boundary_ids is None:
+        boundary_ids = np.empty(0, dtype=object)
+    return full_cut, boundary_ids
+
+
+def _budget_membership(batch: pa.Table, cut: float, bids, score_col: str,
+                       id_col: str) -> np.ndarray:
+    import pandas as pd
+
+    s = batch.column(score_col).to_numpy(zero_copy_only=False)
+    keep = s >= cut
+    if len(bids):
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keep = keep | pd.Series(ids).isin(bids).to_numpy()
+    return keep
+
+
+def select_token_budget(ds, budget: int, score_col: str = "quality_score",
+                        token_col: str = "ws_tokens", id_col: str = "doc_id",
+                        seed: str = "budget", **kwargs):
+    """Select the highest-scoring documents until a global TOKEN budget —
+    exactly the maximal prefix of the corpus sorted by (score DESC,
+    hash60(seed, id) ASC, id ASC) whose token sum stays <= ``budget`` — the
+    "best docs that fit the training budget" cut of a curation run. See
+    ``token_budget_cut`` for the distributed shape (recursive histogram
+    refinement — never a global sort).
+
+    Returns the filtered Dataset (selection only, original columns)."""
+    import ray
+
+    cut, boundary_ids = token_budget_cut(
+        ds, budget, score_col=score_col, token_col=token_col, id_col=id_col,
+        seed=seed, **kwargs)
+    bid_ref = ray.put(boundary_ids)
 
     class KeepSelected:
         def __init__(self):
             self.bids = ray.get(bid_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            s = batch.column(score_col).to_numpy(zero_copy_only=False)
-            keep = s >= cut
-            if len(self.bids):
-                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-                keep = keep | pd.Series(ids).isin(self.bids).to_numpy()
+            keep = _budget_membership(batch, cut, self.bids, score_col, id_col)
             return batch.filter(pa.array(keep))
 
     return ds.map_batches(KeepSelected, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def flag_token_budget(ds, budget: int, score_col: str = "quality_score",
+                      token_col: str = "ws_tokens", id_col: str = "doc_id",
+                      seed: str = "budget", flag_col: str = "in_budget",
+                      **kwargs):
+    """Same selection as ``select_token_budget`` but appends a boolean
+    ``flag_col`` instead of filtering — the audit/composite form (all rows
+    kept, membership marked)."""
+    import ray
+
+    cut, boundary_ids = token_budget_cut(
+        ds, budget, score_col=score_col, token_col=token_col, id_col=id_col,
+        seed=seed, **kwargs)
+    bid_ref = ray.put(boundary_ids)
+
+    class FlagSelected:
+        def __init__(self):
+            self.bids = ray.get(bid_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = _budget_membership(batch, cut, self.bids, score_col, id_col)
+            return batch.append_column(flag_col, pa.array(keep))
+
+    return ds.map_batches(FlagSelected, batch_format="pyarrow",
                           concurrency=(1, 8))
