@@ -130,16 +130,14 @@ class MinHasher:
         return vals.min(axis=0)
 
 
-def _shingle_hashes(texts, k: int, dedupe: bool = True):
-    """Vectorized word-shingle hashing for a batch of texts.
-
-    Returns (doc_idx, shingle_hash) for the DEDUPED shingle set of every doc,
-    sorted by doc — one pandas split/explode, one vectorized word hash, and
-    k-1 splitmix64 folds over the window array; no per-shingle Python. Docs
-    with 1 <= len < k words contribute one shingle over the whitespace-joined
-    text (the scalar fallback); empty docs contribute nothing.
-    ``dedupe=False`` returns every window occurrence (doc-sorted, duplicates
-    kept) — the repetition-ratio signal needs the multiset."""
+def _positional_grams(texts, k: int):
+    """Vectorized word k-gram hashing with POSITIONS kept: returns
+    ``(win_doc, pos, gram_hash, lens, split)`` for every full k-word window
+    of every doc, in (doc, position) order — one pandas split/explode, one
+    vectorized word hash, k-1 splitmix64 folds. No dedupe, no short-doc
+    fallback (a doc with < k words has no window). ``lens`` is the word
+    count per doc and ``split`` the lowercased word-list Series, returned so
+    callers ( :func:`_shingle_hashes` ) don't re-split."""
     from .vhash import hash64, splitmix64
 
     s = pd.Series(np.asarray(texts, dtype=object)).fillna("").astype(str)
@@ -161,7 +159,23 @@ def _shingle_hashes(texts, k: int, dedupe: bool = True):
         for j in range(1, k):
             acc = splitmix64(acc ^ wh[ws + j])
     else:
+        off = np.empty(0, dtype=np.int64)
         acc = np.empty(0, dtype=np.uint64)
+    return win_doc, off.astype(np.int64), acc, lens, split
+
+
+def _shingle_hashes(texts, k: int, dedupe: bool = True):
+    """Vectorized word-shingle hashing for a batch of texts.
+
+    Returns (doc_idx, shingle_hash) for the DEDUPED shingle set of every doc,
+    sorted by doc — the window kernel is :func:`_positional_grams`. Docs
+    with 1 <= len < k words contribute one shingle over the whitespace-joined
+    text (the scalar fallback); empty docs contribute nothing.
+    ``dedupe=False`` returns every window occurrence (doc-sorted, duplicates
+    kept) — the repetition-ratio signal needs the multiset."""
+    from .vhash import hash64
+
+    win_doc, _, acc, lens, split = _positional_grams(texts, k)
 
     # short docs: one shingle over the joined words
     short = (lens >= 1) & (lens < k)

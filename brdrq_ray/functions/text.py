@@ -454,6 +454,187 @@ def remove_boilerplate_lines(ds, col: str = "text", id_col: str = "doc_id",
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+# --- repeated-passage removal (cross-doc k-gram passage dedup) ---------------
+
+def _excise_marks(texts, mdoc: np.ndarray, mpos: np.ndarray, k: int):
+    """Rewrite each text with the word windows ``[p, p+k)`` removed for
+    every marked (doc ``mdoc[i]``, start position ``mpos[i]``) pair
+    (overlaps merge); docs with no marks keep their ORIGINAL bytes.
+    Returns (texts_out, n_removed_per_doc). Vectorized: one interval-delta
+    cumsum over the exploded word axis, one grouped join over the touched
+    docs only."""
+    import pandas as pd
+
+    n = len(texts)
+    if len(mdoc) == 0:
+        return list(texts), np.zeros(n, dtype=np.int64)
+    orig_words = (pd.Series(np.asarray(texts, dtype=object))
+                  .fillna("").astype(str).str.split())
+    lens = orig_words.str.len().to_numpy(dtype=np.int64)
+    doc_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    total_words = int(lens.sum())
+    delta = np.zeros(total_words + 1, dtype=np.int64)
+    gs = doc_start[mdoc] + mpos
+    np.add.at(delta, gs, 1)
+    np.add.at(delta, gs + k, -1)  # pos <= len-k, so gs+k <= doc end
+    removed = np.cumsum(delta[:-1]) > 0
+    word_doc = np.repeat(np.arange(n), lens)
+    n_removed = np.bincount(word_doc[removed], minlength=n).astype(np.int64)
+    touched = n_removed > 0
+
+    w = orig_words.explode()
+    wv = w[w.notna().to_numpy()]  # index == doc idx, aligned with word axis
+    joined = wv[~removed].groupby(level=0).agg(" ".join)
+    out = list(texts)
+    for d in np.nonzero(touched)[0]:
+        out[d] = joined.get(d, "")
+    return out, n_removed
+
+
+def remove_repeated_passages(ds, col: str = "text", id_col: str = "doc_id",
+                             k: int = 10, min_docs: int = 2,
+                             n_buckets: int = 64,
+                             broadcast_limit: int = 4_000_000):
+    """Remove word passages that repeat across >= ``min_docs`` distinct
+    documents — the cross-document repeated-substring dedup of Lee et al.
+    2021 ("Deduplicating Training Data Makes Language Models Better"),
+    approximated at word-k-gram granularity: every position whose k-word
+    window (lowercased) occurs in >= min_docs docs is excised ([p, p+k),
+    overlapping windows merge into one passage), and the surviving words
+    are re-joined with single spaces. Docs with no repeated passage keep
+    their original bytes; a ``passage_words_removed`` audit column counts
+    excised words per doc. Complements ``remove_boilerplate_lines`` (line
+    granularity) and exact/MinHash dedup (whole-doc granularity).
+
+    Scale shape mirrors the boilerplate op: pass 1 = per-batch partial
+    doc-frequencies of gram hashes (distinct per doc) -> one groupby-sum;
+    the frequent set is bounded by total_grams/min_docs. Pass 2 hybrid: at
+    or below ``broadcast_limit`` frequent grams the sorted hash array ships
+    once via ray.put and every batch marks+excises locally (zero shuffles);
+    above it the positional gram table is semi-joined against the frequent
+    set distributedly, marked positions reassemble per doc (bucketed
+    groupby, bounded by the duplication volume — NOT the corpus), and the
+    packed marks join back via the lookup join. Deterministic and
+    batching-independent (doc frequency is exact: a doc lives in one row).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import _positional_grams
+    from .vhash import bucket_i32
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def gram_freq(batch: pa.Table) -> pa.Table:
+        texts = batch.column(col).to_numpy(zero_copy_only=False)
+        d, _, h, _, _ = _positional_grams(texts, k)
+        if len(h) == 0:
+            return pa.table({"gram_hash": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        hv = h.view(np.int64)
+        order = np.lexsort((hv, d))
+        hd, dd = hv[order], d[order]
+        first = np.ones(len(hd), bool)
+        first[1:] = (dd[1:] != dd[:-1]) | (hd[1:] != hd[:-1])
+        uh, cnt = np.unique(hd[first], return_counts=True)
+        return pa.table({"gram_hash": pa.array(uh, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    bad = (ds.map_batches(gram_freq, batch_format="pyarrow")
+           .groupby("gram_hash").aggregate(Sum("cnt", alias_name="cnt"))
+           .map_batches(lambda t: t.filter(
+               pc.greater_equal(t.column("cnt"), min_docs))
+               .select(["gram_hash"]), batch_format="pyarrow")
+           .materialize())
+
+    if bad.count() == 0:
+        return ds.map_batches(
+            lambda t: t.append_column(
+                "passage_words_removed",
+                pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow")
+
+    if bad.count() <= broadcast_limit:
+        chunks = [b.column("gram_hash").to_numpy(zero_copy_only=False)
+                  for b in bad.iter_batches(batch_format="pyarrow")]
+        bad_ref = ray.put(np.sort(np.concatenate(chunks)))
+
+        class ExcisePassages:
+            def __init__(self):
+                self.bad = ray.get(bad_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                texts = batch.column(col).to_numpy(zero_copy_only=False)
+                d, pos, h, _, _ = _positional_grams(texts, k)
+                hv = h.view(np.int64)
+                if len(hv):
+                    idx = np.searchsorted(self.bad, hv)
+                    idx[idx == len(self.bad)] = 0
+                    marked = self.bad[idx] == hv
+                else:
+                    marked = np.zeros(0, bool)
+                out, n_removed = _excise_marks(texts, d[marked], pos[marked], k)
+                i = batch.schema.get_field_index(col)
+                return (batch.set_column(i, col, pa.array(out, pa.string()))
+                        .append_column("passage_words_removed",
+                                       pa.array(n_removed)))
+
+        return ds.map_batches(ExcisePassages, batch_format="pyarrow",
+                              concurrency=(1, 8))
+
+    # ---- distributed leg (frequent-gram set too large for any broadcast) ---
+    from .relational import lookup_join, semi_join
+
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        texts = batch.column(col).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        d, pos, h, _, _ = _positional_grams(texts, k)
+        return pa.table({id_col: pa.array(ids[d]),
+                         "pos": pa.array(pos, pa.int64()),
+                         "gram_hash": pa.array(h.view(np.int64), pa.int64())})
+
+    marked = semi_join(ds.map_batches(explode_grams, batch_format="pyarrow"),
+                       bad, on="gram_hash")
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "db", bucket_i32(t.column(id_col).cast(pa.string()), n_buckets))
+
+    def pack_marks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "pos"])
+        packed = g.groupby(id_col, sort=False)["pos"].agg(
+            lambda p: ",".join(map(str, p)))
+        return pd.DataFrame({id_col: packed.index.to_numpy(),
+                             "__marks": packed.to_numpy()})
+
+    packs = (marked.map_batches(add_doc_bucket, batch_format="pyarrow")
+             .groupby("db").map_groups(pack_marks, batch_format="pandas"))
+    joined = lookup_join(ds, packs, on=id_col, value_col="__marks",
+                         n_buckets=n_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        texts = t.column(col).to_numpy(zero_copy_only=False)
+        marks = t.column("__marks").to_numpy(zero_copy_only=False)
+        per_doc = [(i, np.array(m.split(","), dtype=np.int64))
+                   for i, m in enumerate(marks) if isinstance(m, str) and m]
+        if per_doc:
+            mdoc = np.repeat(np.array([i for i, _ in per_doc], np.int64),
+                             [len(p) for _, p in per_doc])
+            mpos = np.concatenate([p for _, p in per_doc])
+        else:
+            mdoc = mpos = np.empty(0, np.int64)
+        out, n_removed = _excise_marks(texts, mdoc, mpos, k)
+        i = t.schema.get_field_index(col)
+        return (t.set_column(i, col, pa.array(out, pa.string()))
+                .append_column("passage_words_removed", pa.array(n_removed))
+                .drop_columns(["__marks"]))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def repetition_ratio_batch(batch: pa.Table, col: str = "text",
                            k: int = 3) -> pa.Table:
     """Within-document repetition signal: 1 - distinct/total word k-gram

@@ -6,6 +6,7 @@ operator family composes (each stage is individually driver/oracle-gated;
 this module is about the glue):
 
     read -> [boilerplate-line removal]                          [opt-in]
+         -> [repeated-passage excision (cross-doc k-grams)]     [opt-in]
          -> annotate (quality score, language ID, token count)
          -> filter (quality floor, language allowlist,
                     [repetition-ratio ceiling])                 [per-row]
@@ -14,6 +15,7 @@ this module is about the glue):
          -> near-dup removal (MinHash-LSH -> clusters -> anti-  [sketch-table
             join losers out; keep the min-id representative)     shuffles only]
          -> deterministic Bernoulli downsample                  [per-row]
+         -> [token-budget best-docs cut (exact sort-prefix)]    [opt-in]
          -> greedy sequence packing (bucketed)                  [1 shuffle]
 
 Scale notes:
@@ -62,6 +64,8 @@ class CurationConfig:
     minhash_kwargs: dict = field(default_factory=dict)
     # optional stages (None = stage off)
     boilerplate_min_docs: int | None = None   # C4 frequent-line removal
+    passage_k: int | None = None              # repeated-passage excision k
+    passage_min_docs: int = 2                 # ...across this many docs
     repetition_max: float | None = None       # drop docs above this ratio
     benchmark: object | None = None           # Dataset -> 13-gram decontam
     decontam_shingle_k: int = 13
@@ -142,6 +146,12 @@ def curate_documents(ds: ray.data.Dataset,
 
         ds = remove_boilerplate_lines(ds, col=cfg.col, id_col=cfg.id_col,
                                       min_docs=cfg.boilerplate_min_docs)
+    if cfg.passage_k is not None:
+        from ..functions.text import remove_repeated_passages
+
+        ds = remove_repeated_passages(ds, col=cfg.col, id_col=cfg.id_col,
+                                      k=cfg.passage_k,
+                                      min_docs=cfg.passage_min_docs)
     ds = annotate_documents(ds, cfg)
     ds = filter_documents(ds, cfg)
     if cfg.benchmark is not None:

@@ -178,6 +178,33 @@ def test_optional_stages_boilerplate_repetition_decontam(ray_session):
     assert not out["text"].str.contains("cookies").any()
 
 
+def test_optional_stage_passage_excision(ray_session):
+    """passage_k wires cross-doc repeated-passage removal in before
+    annotation: the shared passage disappears from every survivor, unique
+    text stays, and the audit column rides through the pipeline."""
+    import pyarrow as pa
+    import ray.data
+
+    shared = "this exact boilerplate passage repeats verbatim across many documents tonight"
+    texts, ids = [], []
+    for i in range(6):
+        ids.append(i)
+        # marker{i} and {i} flank "unique" so no k=5 window covering it is
+        # identical across docs (GOOD's own shared tail would otherwise
+        # excise it too)
+        texts.append(GOOD.replace("fox", f"fox{i}")
+                     + f" marker{i} unique {i} " + shared)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    cfg = CurationConfig(quality_min=0.0, near_dup=False,
+                         passage_k=5, passage_min_docs=3)
+    out = curate_documents(ray.data.from_arrow(tbl), cfg).to_pandas()
+    assert set(out["doc_id"]) == set(range(6))
+    assert not out["text"].str.contains("boilerplate passage").any()
+    assert (out["text"].str.contains("unique")).all()
+    assert (out["passage_words_removed"] > 0).all()
+
+
 def test_curate_interleaved_preserves_span_sequences(ray_session):
     """Curation over the interleaved span table: survivors keep their span
     sequences byte-for-byte (kind, text, media_ref, order); duplicate-text

@@ -720,6 +720,92 @@ def test_remove_boilerplate_lines_both_legs(ray_session):
     assert list(out["text"]) == ["a\nb", "c\nd"]
 
 
+def _repeated_passages_oracle(docs, k, min_docs):
+    """Brute-force reference for remove_repeated_passages: count distinct
+    docs per lowercase word-k-gram, excise [p, p+k) for frequent grams,
+    join survivors with single spaces (untouched docs keep bytes)."""
+    from collections import Counter
+
+    grams_per_doc = []
+    for t in docs:
+        w = t.lower().split()
+        grams_per_doc.append([tuple(w[i:i + k]) for i in range(len(w) - k + 1)])
+    df = Counter()
+    for gs in grams_per_doc:
+        for g in set(gs):
+            df[g] += 1
+    bad = {g for g, c in df.items() if c >= min_docs}
+    out, removed = [], []
+    for t, gs in zip(docs, grams_per_doc):
+        w = t.split()
+        kill = [False] * len(w)
+        for p, g in enumerate(gs):
+            if g in bad:
+                for j in range(p, p + k):
+                    kill[j] = True
+        n_kill = sum(kill)
+        removed.append(n_kill)
+        out.append(" ".join(c for c, x in zip(w, kill) if not x)
+                   if n_kill else t)
+    return out, removed
+
+
+def test_remove_repeated_passages_both_legs(ray_session):
+    """Cross-doc repeated-passage excision (Lee et al. 2021 at word-k-gram
+    granularity): both legs match a brute-force oracle, untouched docs keep
+    original bytes, short docs never match, overlapping windows merge."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.functions.text import remove_repeated_passages
+
+    shared = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    docs = [f"intro {i} stuff  here {shared} outro{i} tail words" for i in range(3)]
+    docs += [f"wholly unique content number {i} with  double spaces kept"
+             for i in range(3)]
+    docs += ["tiny doc", "", shared, shared + " extra trailing data beyond"]
+    ids = [f"d{i}" for i in range(len(docs))]
+    tbl = pa.table({"doc_id": pa.array(ids), "text": pa.array(docs)})
+
+    want_text, want_removed = _repeated_passages_oracle(docs, 6, 2)
+    assert sum(want_removed) > 0 and any(r == 0 for r in want_removed)
+
+    frames = {}
+    for leg, kw in [("broadcast", {}), ("distributed", {"broadcast_limit": 0})]:
+        for blocks in (1, 4):
+            out = (remove_repeated_passages(
+                       ray.data.from_arrow(tbl).repartition(blocks),
+                       k=6, min_docs=2, **kw)
+                   .to_pandas().set_index("doc_id").loc[ids])
+            assert list(out["text"]) == want_text, (leg, blocks)
+            assert list(out["passage_words_removed"]) == want_removed
+        frames[leg] = out
+    # untouched docs keep their ORIGINAL bytes (double spaces intact)
+    assert frames["broadcast"].loc["d3", "text"] == docs[3]
+    # randomized oracle check with planted duplications
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    plant = " ".join(rng.choice(vocab, 8))
+    rdocs = []
+    for i in range(25):
+        body = " ".join(rng.choice(vocab, int(rng.integers(2, 40))))
+        rdocs.append(f"{body} {plant}" if i % 3 == 0 else body)
+    rtbl = pa.table({"doc_id": pa.array([f"r{i}" for i in range(25)]),
+                     "text": pa.array(rdocs)})
+    wt, wr = _repeated_passages_oracle(rdocs, 5, 3)
+    out = (remove_repeated_passages(ray.data.from_arrow(rtbl).repartition(3),
+                                    k=5, min_docs=3)
+           .to_pandas().set_index("doc_id")
+           .loc[[f"r{i}" for i in range(25)]])
+    assert list(out["text"]) == wt
+    assert list(out["passage_words_removed"]) == wr
+    # no repeated grams -> pass-through with a zero audit column
+    clean = pa.table({"doc_id": pa.array(["a", "b"]),
+                      "text": pa.array(["one two three", "four five six"])})
+    out = remove_repeated_passages(ray.data.from_arrow(clean), k=2).to_pandas()
+    assert list(out["passage_words_removed"]) == [0, 0]
+
+
 def test_lookup_join(ray_session):
     import pyarrow as pa
     import ray.data
