@@ -131,6 +131,30 @@ def _tag(ds, source: str, epoch: int):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def shuffle_by_hash(ds, id_col: str = "doc_id", seed: str = "epoch0",
+                    keep_key: bool = False):
+    """Deterministic global shuffle: rows ordered by ascending
+    (hash60(seed|id), id). Unlike ``Dataset.random_shuffle`` the permutation
+    is a pure function of (seed, id) — re-running a killed epoch, or
+    re-materializing one output shard, reproduces the identical training
+    order, and each epoch seed ("epoch0", "epoch1", ...) yields an
+    independent permutation. Cost: one range-partitioned sample sort (Ray's
+    distributed sort) — the same single all-to-all any true global shuffle
+    pays; there is no cheaper exact shape. ``keep_key=True`` retains the
+    ``shuffle_key`` column (useful to re-sort after a downstream union)."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "shuffle_key", pa.array(hash60(_ids(batch, id_col), seed)))
+
+    out = ds.map_batches(add_key, batch_format="pyarrow").sort(
+        ["shuffle_key", id_col])
+    if keep_key:
+        return out
+    return out.map_batches(lambda t: t.drop_columns(["shuffle_key"]),
+                           batch_format="pyarrow")
+
+
 def stratified_take_k(ds, k: int, strata_col: str, id_col: str = "doc_id",
                       seed: str = "") -> pa.Table:
     """Exactly min(k, stratum size) rows per stratum: the k smallest

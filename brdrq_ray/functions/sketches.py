@@ -225,3 +225,203 @@ def quantiles_from_hist(bins: np.ndarray, counts: np.ndarray,
         idx = int(np.searchsorted(cum, r))
         out[float(q)] = float(bins[idx] * bin_width)
     return {"quantiles": out, "total": total}
+
+
+# --- sharded Bloom filter (membership against a historical corpus) ----------
+
+_BLOOM_C1 = np.uint64(0xD6E8FEB86659FD93)
+_BLOOM_C2 = np.uint64(0xA5A5A5A5A5A5A5A5)
+_BLOOM_PARAMS = "_bloom_params.json"
+
+
+class BloomFilter:
+    """Sharded Bloom filter over a key column — the exact-membership
+    complement of the MinHash band index (dedup.build_minhash_index): build
+    ONCE over a historical corpus, then answer "have we already ingested
+    this key?" for every increment without re-scanning or joining against
+    history. False positives only (rate ~``fp_rate``), never false
+    negatives, so ``drop_seen`` may over-drop at the configured rate but
+    can never re-admit a known duplicate.
+
+    Keys hash by string value (cross-type stable); bit positions come from
+    Kirsch-Mitzenmacher double hashing over splitmix64-derived g1/g2, so
+    membership is a pure deterministic function of (key, sizing) —
+    batching-, partitioning- and run-independent. A key's k bits all live
+    in ONE shard (shard = hash % n_shards): the persisted form is one
+    parquet row per shard, and a probe of key K touches only shard(K) — at
+    10^12-key scale (where the filter itself is object-store-sized) both
+    sides hash-partition by the same shard id and each probe task loads
+    one shard, the same shard-selective pattern as the MinHash index.
+    In-memory the shards sit in one dense (n_shards, words) uint64 matrix.
+    """
+
+    def __init__(self, words: np.ndarray, k: int, shard_bits: int,
+                 capacity: int, fp_rate: float):
+        self.words = words            # (n_shards, shard_bits // 64) uint64
+        self.n_shards = words.shape[0]
+        self.k = int(k)
+        self.shard_bits = int(shard_bits)
+        self.capacity = int(capacity)
+        self.fp_rate = float(fp_rate)
+
+    def _positions(self, keys):
+        h = hash64(np.asarray([str(v) for v in keys], dtype=object))
+        shard = (h % np.uint64(self.n_shards)).astype(np.int64)
+        g1 = splitmix64(h ^ _BLOOM_C1)
+        g2 = splitmix64(h ^ _BLOOM_C2) | np.uint64(1)
+        return h, shard, g1, g2
+
+    def contains(self, keys) -> np.ndarray:
+        """Vectorized membership test -> bool mask (True = possibly seen)."""
+        n = len(keys)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        _, shard, g1, g2 = self._positions(keys)
+        seen = np.ones(n, dtype=bool)
+        sb = np.uint64(self.shard_bits)
+        with np.errstate(over="ignore"):
+            for i in range(self.k):
+                idx = ((g1 + np.uint64(i) * g2) % sb).astype(np.int64)
+                w = self.words[shard, idx >> 6]
+                seen &= (w >> (idx & 63).astype(np.uint64)) & np.uint64(1) > 0
+        return seen
+
+    def to_table(self) -> pa.Table:
+        """One row per shard: (shard, bits) — parquet-persistable."""
+        return pa.table({
+            "shard": pa.array(np.arange(self.n_shards, dtype=np.int32)),
+            "bits": pa.array([self.words[s].tobytes()
+                              for s in range(self.n_shards)], pa.binary()),
+        })
+
+    @classmethod
+    def from_table(cls, table: pa.Table, k: int, shard_bits: int,
+                   capacity: int, fp_rate: float, n_shards: int):
+        words = np.zeros((n_shards, shard_bits // 64), dtype=np.uint64)
+        for s, buf in zip(table.column("shard").to_pylist(),
+                          table.column("bits").to_pylist()):
+            words[s] = np.frombuffer(buf, dtype=np.uint64)
+        return cls(words, k, shard_bits, capacity, fp_rate)
+
+
+def bloom_sizing(capacity: int, fp_rate: float,
+                 n_shards: int) -> tuple[int, int]:
+    """(shard_bits, k) for the target capacity/fp_rate: total bits =
+    ceil(-n ln p / ln^2 2) split over n_shards and rounded up to whole
+    uint64 words; k = round(bits/n * ln 2)."""
+    if capacity < 1:
+        capacity = 1
+    if not 0.0 < fp_rate < 1.0:
+        raise ValueError(f"fp_rate must be in (0, 1), got {fp_rate}")
+    total_bits = int(np.ceil(-capacity * np.log(fp_rate) / np.log(2) ** 2))
+    shard_bits = -(-total_bits // n_shards)
+    shard_bits = -(-shard_bits // 64) * 64
+    k = max(1, round(shard_bits * n_shards / capacity * np.log(2)))
+    return shard_bits, k
+
+
+def bloom_build(ds, col: str = "doc_id", capacity: int | None = None,
+                fp_rate: float = 0.01, n_shards: int = 16) -> BloomFilter:
+    """Build a BloomFilter over ``ds[col]`` distributedly: each batch emits
+    its DEDUPED (shard, bit) pairs (k per key), one groupby packs each
+    shard's bitmap — the shuffle moves bit indices (<= k * distinct keys
+    rows), never data rows, and no task ever holds more than one shard's
+    bitmap. ``capacity`` defaults to ds.count() (fine when the key is
+    near-unique; pass the distinct estimate — e.g. hll_count_distinct —
+    when it repeats a lot, or the filter will be oversized, never wrong)."""
+    import pandas as pd
+
+    if capacity is None:
+        capacity = max(int(ds.count()), 1)
+    shard_bits, k = bloom_sizing(capacity, fp_rate, n_shards)
+
+    def batch_bits(t: pa.Table) -> pa.Table:
+        keys = t.column(col).to_pylist()
+        if not keys:
+            return pa.table({"shard": pa.array([], pa.int32()),
+                             "bit": pa.array([], pa.int64())})
+        h = hash64(np.asarray([str(v) for v in keys], dtype=object))
+        shard = (h % np.uint64(n_shards)).astype(np.int64)
+        g1 = splitmix64(h ^ _BLOOM_C1)
+        g2 = splitmix64(h ^ _BLOOM_C2) | np.uint64(1)
+        sb = np.uint64(shard_bits)
+        parts = []
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                idx = ((g1 + np.uint64(i) * g2) % sb).astype(np.int64)
+                parts.append(shard * shard_bits + idx)
+        flat = np.unique(np.concatenate(parts))
+        return pa.table({
+            "shard": pa.array((flat // shard_bits).astype(np.int32)),
+            "bit": pa.array(flat % shard_bits, pa.int64()),
+        })
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        bits = np.unique(g["bit"].to_numpy(dtype=np.int64))
+        arr = np.zeros(shard_bits // 64, dtype=np.uint64)
+        np.bitwise_or.at(arr, bits >> 6,
+                         np.uint64(1) << (bits & 63).astype(np.uint64))
+        return pd.DataFrame({"shard": [int(g["shard"].iloc[0])],
+                             "bits": [arr.tobytes()]})
+
+    packed = (ds.map_batches(batch_bits, batch_format="pyarrow")
+              .groupby("shard").map_groups(pack, batch_format="pandas"))
+    words = np.zeros((n_shards, shard_bits // 64), dtype=np.uint64)
+    for b in packed.iter_batches(batch_format="pyarrow"):
+        for s, buf in zip(b.column("shard").to_pylist(),
+                          b.column("bits").to_pylist()):
+            words[s] = np.frombuffer(buf, dtype=np.uint64)
+    return BloomFilter(words, k, shard_bits, capacity, fp_rate)
+
+
+def bloom_write(bloom: BloomFilter, path: str) -> None:
+    """Persist: one parquet of (shard, bits) + a params sidecar."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(bloom.to_table(), os.path.join(path, "shards.parquet"))
+    with open(os.path.join(path, _BLOOM_PARAMS), "w") as f:
+        json.dump({"k": bloom.k, "shard_bits": bloom.shard_bits,
+                   "capacity": bloom.capacity, "fp_rate": bloom.fp_rate,
+                   "n_shards": bloom.n_shards}, f)
+
+
+def bloom_read(path: str) -> BloomFilter:
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(path, _BLOOM_PARAMS)) as f:
+        p = json.load(f)
+    return BloomFilter.from_table(
+        pq.read_table(os.path.join(path, "shards.parquet")), **p)
+
+
+def bloom_filter_seen(ds, bloom: BloomFilter, col: str = "doc_id",
+                      mode: str = "drop_seen"):
+    """Apply a history BloomFilter to an increment: ``drop_seen`` keeps only
+    never-seen keys (exact dedup against history, over-dropping at most at
+    the fp rate), ``flag`` appends a ``seen`` bool column (audit / route).
+    The filter ships ONCE via ray.put; every batch probes locally — zero
+    shuffles, streams like a plain filter."""
+    import ray
+
+    if mode not in ("drop_seen", "flag"):
+        raise ValueError(f"unknown mode {mode!r}")
+    ref = ray.put(bloom)
+
+    class Probe:
+        def __init__(self):
+            self.bloom = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            seen = self.bloom.contains(t.column(col).to_pylist())
+            if mode == "flag":
+                return t.append_column("seen", pa.array(seen))
+            return t.filter(pa.array(~seen))
+
+    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))

@@ -683,6 +683,47 @@ def test_binned_quantiles(ray_session):
     assert r0["total"] == 0 and r0["quantiles"][0.5] is None
 
 
+def test_bloom_filter_history_dedup(ray_session, tmp_path):
+    """Sharded Bloom filter: build is batching-invariant, membership has no
+    false negatives, the fp rate holds on fresh keys, drop_seen removes every
+    historical duplicate from an increment, and the persisted form round-trips
+    bit-for-bit."""
+    import ray.data
+    from brdrq_ray.functions.sketches import (bloom_build, bloom_filter_seen,
+                                              bloom_read, bloom_write)
+
+    hist_ids = [f"h{i}" for i in range(2000)]
+    hist = ray.data.from_arrow(pa.table({"doc_id": pa.array(hist_ids)}))
+    b = bloom_build(hist.repartition(4), fp_rate=1e-3)
+    b_one = bloom_build(hist.repartition(1), fp_rate=1e-3)
+    assert np.array_equal(b.words, b_one.words)   # block layout can't matter
+    assert b.contains(hist_ids).all()             # no false negatives, ever
+
+    fresh = [f"n{i}" for i in range(1000)]
+    assert int(b.contains(fresh).sum()) <= 20     # ~1 expected at fp=1e-3
+
+    inc = pa.table({"doc_id": pa.array(fresh + hist_ids[:200])})
+    kept = bloom_filter_seen(ray.data.from_arrow(inc).repartition(3),
+                             b).to_pandas()
+    assert not kept["doc_id"].str.startswith("h").any()  # history all dropped
+    assert len(kept) >= 1000 - 20                        # fresh keys survive
+    flagged = bloom_filter_seen(ray.data.from_arrow(inc), b,
+                                mode="flag").to_pandas()
+    assert flagged.set_index("doc_id")["seen"][hist_ids[:200]].all()
+    assert len(flagged) == len(inc)
+
+    path = str(tmp_path / "bloom")
+    bloom_write(b, path)
+    b2 = bloom_read(path)
+    assert np.array_equal(b.words, b2.words)
+    assert (b2.k, b2.shard_bits, b2.n_shards) == (b.k, b.shard_bits,
+                                                  b.n_shards)
+    # int and string forms of the same key agree (keys hash by str value)
+    ib = bloom_build(ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())})))
+    assert ib.contains(["1", "2", "3"]).all()
+
+
 def test_remove_boilerplate_lines_both_legs(ray_session):
     """C4-style frequent-line removal: both the broadcast and the distributed
     leg strip lines occurring in >= min_docs docs, keep unique lines with

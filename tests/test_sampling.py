@@ -55,6 +55,31 @@ def test_hash_sample_deterministic_and_partition_invariant(ray_session):
     assert set(a["doc_id"]) == expect
 
 
+def test_shuffle_by_hash_deterministic_epochs(ray_session):
+    """Deterministic global shuffle: output order == brute-force sort by
+    (hash60(seed|id), id) regardless of input partitioning; different epoch
+    seeds permute independently; keep_key retains the sort key."""
+    import ray.data
+    from brdrq_ray.functions.sampling import shuffle_by_hash
+
+    tbl = _docs_table(300)
+    ids = tbl.column("doc_id").to_pylist()
+    want = [i for _, i in sorted((int(hash60([i], "epoch0")[0]), i)
+                                 for i in ids)]
+    for blocks in (1, 7):
+        got = shuffle_by_hash(ray.data.from_arrow(tbl).repartition(blocks),
+                              seed="epoch0").to_pandas()
+        assert list(got["doc_id"]) == want
+        assert "shuffle_key" not in got.columns
+    other = shuffle_by_hash(ray.data.from_arrow(tbl),
+                            seed="epoch1").to_pandas()
+    assert list(other["doc_id"]) != want          # epochs are independent
+    assert sorted(other["doc_id"]) == sorted(ids)  # but a permutation
+    kept = shuffle_by_hash(ray.data.from_arrow(tbl), seed="epoch0",
+                           keep_key=True).to_pandas()
+    assert kept["shuffle_key"].is_monotonic_increasing
+
+
 def test_stratified_sample_per_stratum_fractions(ray_session):
     import ray.data
 
