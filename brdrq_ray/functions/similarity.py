@@ -315,3 +315,123 @@ def ivf_knn(ds, queries: np.ndarray, k: int = 10, n_clusters: int | None = 16,
     finally:
         if own_index:
             shutil.rmtree(index["index_dir"], ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+def _assign_cells(ds, C: np.ndarray, vec_col: str, out_col: str = "sem_cell"):
+    """Append the nearest-centroid cell id (broadcast codebook, one streaming
+    pass — the same shape as ivf_build's AssignStage)."""
+    cref = ray.put(np.asarray(C, dtype=np.float64))
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            V = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
+                                      dtype=np.float64))
+            return batch.append_column(
+                out_col, pa.array((V @ self.C.T).argmax(axis=1), pa.int32()))
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _prune_cluster(ids, V: np.ndarray, centroid: np.ndarray,
+                   threshold: float, block: int = 1024) -> np.ndarray:
+    """SemDeDup's within-cluster rule, vectorized: order members by cosine
+    similarity to the centroid ASCENDING (farthest-from-centroid first — the
+    paper keeps the low-centroid-similarity example of each duplicate group),
+    ties by id; member i survives iff its max cosine to every EARLIER member
+    in that order is <= threshold. Returns the boolean keep mask in the
+    ORIGINAL row order.
+
+    Blockwise evaluation bounds the temporary to (block x m): rows [s, e)
+    score against all rows < e in one matmul, with the within-block upper
+    triangle masked. Unlike greedy leader clustering this is the published
+    SemDeDup semantics (max over all earlier members, kept or not), which is
+    what makes it expressible as pure matmuls."""
+    Vn = _normalize(np.asarray(V, dtype=np.float64))
+    c = np.asarray(centroid, dtype=np.float64)
+    c = c / (np.linalg.norm(c) or 1.0)
+    csim = np.round(Vn @ c, 9)                   # kill float-order noise
+    order = np.lexsort((np.asarray(ids, dtype=object), csim))
+    Vo = Vn[order]
+    m = len(order)
+    keep_sorted = np.ones(m, dtype=bool)
+    for s in range(1, m, block):
+        e = min(s + block, m)
+        sim = Vo[s:e] @ Vo[:e].T                 # (e-s, e)
+        # mask self + later-in-block comparisons (j >= i)
+        ii = np.arange(s, e)[:, None]
+        jj = np.arange(e)[None, :]
+        sim[jj >= ii] = -np.inf
+        keep_sorted[s:e] = sim.max(axis=1) <= threshold
+    keep = np.empty(m, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def semantic_dedup_keep_ids(ds, threshold: float = 0.95,
+                            n_clusters: int | None = None,
+                            vec_col: str = "embedding", id_col: str = "vec_id",
+                            train_sample: int = 2048,
+                            distributed_train: bool | None = None,
+                            block: int = 1024):
+    """Semantic dedup survivor ids (SemDeDup): k-means partitions the corpus
+    into clusters (reusing the IVF codebook machinery — driver-sampled init,
+    distributed Lloyd refinement above DISTRIBUTED_TRAIN_THRESHOLD vectors),
+    then each cluster is pruned independently with the rule in
+    :func:`_prune_cluster`. Cross-cluster near-duplicates are NOT compared —
+    that recall cut is the published algorithm's scale trade, the same
+    assumption SemDeDup runs on its 1.3B-example corpus.
+
+    Distributed shape: one broadcast-codebook assignment pass, then ONE
+    shuffle on the cluster id (groupby.map_groups); per-group work is
+    O(m^2/block) matmul flops with O(block x m) memory, m ~ n/k with
+    k ~ sqrt(n) by default. Deterministic: fixed k-means seed, round-9
+    centroid similarities, id tie-breaks — independent of partitioning.
+
+    Returns a Dataset of (id_col, sem_cell) for the SURVIVORS (small relative
+    to the input; semi-join it back or call :func:`semantic_dedup`)."""
+    import pandas as pd
+
+    if n_clusters is None or distributed_train is None:
+        n_vectors = ds.count()
+        n_clusters = resolve_n_clusters(n_clusters, n_vectors)
+        if distributed_train is None:
+            distributed_train = n_vectors > DISTRIBUTED_TRAIN_THRESHOLD
+    sample_n = max(train_sample, 2 * int(n_clusters))
+    sample = np.asarray(
+        ds.limit(sample_n).to_pandas()[vec_col].tolist(), dtype=np.float64)
+    C = kmeans_fit(sample, int(n_clusters))
+    if distributed_train:
+        C = kmeans_refine_distributed(ds, C, iters=3, vec_col=vec_col)
+    cref = ray.put(C)
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        Cc = ray.get(cref)
+        cell = int(g["sem_cell"].iloc[0])
+        ids = g[id_col].to_numpy()
+        V = np.asarray(g[vec_col].tolist(), dtype=np.float64)
+        keep = _prune_cluster(ids, V, Cc[cell], threshold, block=block)
+        return pd.DataFrame({id_col: ids[keep],
+                             "sem_cell": np.full(int(keep.sum()), cell,
+                                                 dtype=np.int32)})
+
+    assigned = _assign_cells(ds.select_columns([id_col, vec_col]), C, vec_col)
+    return assigned.groupby("sem_cell").map_groups(prune, batch_format="pandas")
+
+
+def semantic_dedup(ds, threshold: float = 0.95, vec_col: str = "embedding",
+                   id_col: str = "vec_id", **kwargs):
+    """Filter the dataset to its semantic-dedup survivors (see
+    :func:`semantic_dedup_keep_ids`): the survivor-id table (small) is
+    semi-joined back distributedly — the corpus itself never broadcasts."""
+    from .relational import semi_join
+
+    kept = semantic_dedup_keep_ids(ds, threshold=threshold, vec_col=vec_col,
+                                   id_col=id_col, **kwargs)
+    return semi_join(ds, kept.select_columns([id_col]), on=id_col)
