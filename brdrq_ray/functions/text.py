@@ -655,3 +655,162 @@ def repetition_ratio_batch(batch: pa.Table, col: str = "text",
     ratio = np.where(total > 0, 1.0 - distinct / np.maximum(total, 1.0), 0.0)
     return batch.append_column("repetition_ratio",
                                pa.array(ratio, pa.float64()))
+
+
+# ---------------------------------------------------------------------------
+# hashed n-gram language model (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+# A perplexity-proxy scorer in the CCNet tradition (Wenzek et al. 2020): train
+# word uni/bigram counts on a trusted reference corpus, score candidate docs
+# by cross-entropy bits/token, drop the worst. Counts live in a HASHED bucket
+# space (the fastText / DSIR trick) so the model is a fixed-size dense array
+# — broadcastable, mergeable by plain summation, immune to vocabulary blowup.
+# Hash collisions conflate rare grams; with the default 2^20 buckets that is
+# noise next to the signal (documented, standard for hashed LMs).
+
+#: stupid-backoff discount (Brants et al. 2007)
+_LM_BACKOFF = 0.4
+
+
+def _lm_gram_buckets(texts, n_buckets: int):
+    """Per-position hashed gram buckets for a batch of texts: returns
+    ``(doc_idx, uni_b, bi_b, lens)`` where ``uni_b[i]`` is the unigram bucket
+    of token i (flat, doc-contiguous, position order) and ``bi_b[i]`` the
+    ORDER-SENSITIVE bigram bucket of (token i, token i+1) — valid where
+    ``i+1`` is in the same doc, else the row is absent from ``bi_b``'s
+    positions (``bi_b`` has len-1 entries per doc). Word hashing shares the
+    dedup kernel (vhash.hash64 over lowercased whitespace words); the bigram
+    fold runs the first word through an extra splitmix64 so "a b" != "b a"
+    (the shingle kernel's symmetric xor would conflate reversed contexts —
+    fine for set-similarity, wrong for a language model)."""
+    from .dedup import _positional_grams
+    from .vhash import splitmix64
+
+    doc_idx, _, wh, lens, _ = _positional_grams(texts, 1)
+    nb = np.uint64(n_buckets)
+    uni_b = (wh % nb).astype(np.int64)
+    # mask: position has a same-doc successor
+    if len(wh):
+        has_next = np.ones(len(wh), dtype=bool)
+        ends = np.cumsum(lens)[:-1] if len(lens) > 1 else np.empty(0, np.int64)
+        last = np.concatenate([ends, [len(wh)]]).astype(np.int64) - 1
+        last = last[last >= 0]
+        has_next[last] = False
+        idx = np.nonzero(has_next)[0]
+        bi = splitmix64(splitmix64(wh[idx]) ^ wh[idx + 1])
+        bi_b = (bi % nb).astype(np.int64)
+    else:
+        bi_b = np.empty(0, dtype=np.int64)
+    return doc_idx, uni_b, bi_b, lens
+
+
+def train_ngram_lm(ds, col: str = "text", n_buckets: int = 1 << 20) -> dict:
+    """Train the hashed uni/bigram counts on a reference corpus — ONE
+    streaming pass: each batch emits its nonzero (key, cnt) rows (key packs
+    kind and bucket into one int64: uni = bucket, bi = n_buckets + bucket,
+    total-token sentinel = 2*n_buckets), a single groupby-sum merges them,
+    and the driver densifies the <= 2*n_buckets+1 result rows. Counts are
+    integers summed in any order, so training is partitioning-invariant.
+
+    Returns {'n_buckets', 'uni', 'bi', 'total'} (dense int64 arrays — ~8 MB
+    per array at the default 2^20, broadcast once via ray.put for scoring)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(col).to_pylist()
+        _, uni_b, bi_b, lens = _lm_gram_buckets(texts, n_buckets)
+        keys = np.concatenate([uni_b, bi_b + n_buckets,
+                               [2 * n_buckets]]).astype(np.int64)
+        cnts = np.concatenate([np.ones(len(uni_b) + len(bi_b), np.int64),
+                               [int(lens.sum())]])
+        # pre-aggregate within the batch before the shuffle (combiner)
+        uk, inv = np.unique(keys, return_inverse=True)
+        agg = np.bincount(inv, weights=cnts).astype(np.int64)
+        return pa.table({"key": pa.array(uk, pa.int64()),
+                         "cnt": pa.array(agg, pa.int64())})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+    uni = np.zeros(n_buckets, dtype=np.int64)
+    bi = np.zeros(n_buckets, dtype=np.int64)
+    total = 0
+    k = rows["key"].to_numpy()
+    c = rows["cnt"].to_numpy()
+    um = k < n_buckets
+    uni[k[um]] = c[um]
+    bm = (k >= n_buckets) & (k < 2 * n_buckets)
+    bi[k[bm] - n_buckets] = c[bm]
+    tm = k == 2 * n_buckets
+    if tm.any():
+        total = int(c[tm][0])
+    return {"n_buckets": n_buckets, "uni": uni, "bi": bi, "total": total}
+
+
+def _lm_bits_for_texts(texts, model: dict) -> np.ndarray:
+    """Cross-entropy bits/token per doc under the hashed bigram LM with
+    stupid backoff: the first token and any unseen-context token score on
+    the add-1-smoothed unigram (discounted by _LM_BACKOFF for the backoff
+    case); a seen (context, token) bigram scores count(bigram)/count(context).
+    Empty docs score NaN. Fully vectorized (one pass of array indexing +
+    one bincount per batch)."""
+    n_buckets = model["n_buckets"]
+    uni, bi, total = model["uni"], model["bi"], model["total"]
+    doc_idx, uni_b, bi_b, lens = _lm_gram_buckets(texts, n_buckets)
+    n_docs = len(lens)
+    out = np.full(n_docs, np.nan)
+    if len(uni_b) == 0:
+        return out
+    denom = float(total + n_buckets)
+    p_uni = (uni[uni_b] + 1.0) / denom          # add-1 unigram, per position
+    logp = np.empty(len(uni_b), dtype=np.float64)
+
+    # positions with a same-doc predecessor score on the bigram leg
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    is_first = np.zeros(len(uni_b), dtype=bool)
+    is_first[starts[lens > 0]] = True
+    logp[is_first] = np.log2(p_uni[is_first])
+
+    rest = np.nonzero(~is_first)[0]
+    if len(rest):
+        # bi_b rows align with "position that HAS a successor", in order —
+        # the successor positions are exactly the non-first ones, in order
+        c_bi = bi[bi_b]
+        prev_pos = rest - 1
+        c_prev = uni[uni_b[prev_pos]]
+        seen = (c_bi > 0) & (c_prev > 0)
+        pr = np.where(seen, c_bi / np.maximum(c_prev, 1),
+                      _LM_BACKOFF * p_uni[rest])
+        logp[rest] = np.log2(pr)
+
+    sums = np.bincount(doc_idx, weights=-logp, minlength=n_docs)
+    nz = lens > 0
+    out[nz] = sums[nz] / lens[nz]
+    return out
+
+
+class NgramLMStage:
+    """Actor stage: holds the broadcast LM (fetched once per actor), appends
+    ``lm_bits`` (cross-entropy bits/token; NaN for empty docs)."""
+
+    def __init__(self, model_ref, col: str = "text"):
+        import ray
+
+        self.model = (ray.get(model_ref)
+                      if not isinstance(model_ref, dict) else model_ref)
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bits = _lm_bits_for_texts(batch.column(self.col).to_pylist(),
+                                  self.model)
+        return batch.append_column("lm_bits", pa.array(bits, pa.float64()))
+
+
+def lm_score(ds, model: dict, col: str = "text"):
+    """Append ``lm_bits`` to every row (broadcast model, actor pool)."""
+    import ray
+
+    mref = ray.put(model)
+    return ds.map_batches(NgramLMStage,
+                          fn_constructor_kwargs=dict(model_ref=mref, col=col),
+                          batch_format="pyarrow", concurrency=(1, 8))
