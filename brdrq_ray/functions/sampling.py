@@ -369,3 +369,115 @@ def flag_token_budget(ds, budget: int, score_col: str = "quality_score",
 
     return ds.map_batches(FlagSelected, batch_format="pyarrow",
                           concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+# Select raw-corpus documents that look like a TARGET corpus: score each doc
+# with the hashed-n-gram bag likelihood ratio log p_target(doc)/p_raw(doc)
+# (features = the same hashed uni/bigram buckets as text.train_ngram_lm, both
+# models add-1 smoothed), then sample WITHOUT replacement proportionally to
+# the softmax of those weights via deterministic Gumbel-top-k: the Gumbel
+# noise is derived from hash60(seed|id), so the selection is a pure function
+# of (corpus, seed) — partitioning-invariant and resume-stable like every
+# sampler in this module. Top-k runs on the token_budget_cut histogram
+# machinery (budget = k unit tokens) — no global sort.
+
+
+def dsir_log_weights(ds, target_lm: dict, raw_lm: dict, col: str = "text",
+                     weight_col: str = "dsir_logw"):
+    """Append the DSIR importance weight: sum over the doc's hashed uni- and
+    bigram occurrences of log p_target(feature) - log p_raw(feature), add-1
+    smoothed within each feature family. The per-bucket log-ratio arrays are
+    computed ONCE per actor from the two broadcast models; the per-batch work
+    is the shared gram kernel + two fancy-index bincount reductions."""
+    import ray
+
+    if target_lm["n_buckets"] != raw_lm["n_buckets"]:
+        raise ValueError("target and raw models must share n_buckets")
+    tref, rref = ray.put(target_lm), ray.put(raw_lm)
+
+    class Weigh:
+        def __init__(self):
+            t, r = ray.get(tref), ray.get(rref)
+            nb = t["n_buckets"]
+            self.nb = nb
+
+            def logp(cnt: np.ndarray, total: int) -> np.ndarray:
+                return np.log(cnt + 1.0) - np.log(float(total + nb))
+
+            self.lr_uni = (logp(t["uni"], t["total"])
+                           - logp(r["uni"], r["total"]))
+            self.lr_bi = (logp(t["bi"], int(t["bi"].sum()))
+                          - logp(r["bi"], int(r["bi"].sum())))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from .text import _lm_gram_buckets
+
+            texts = batch.column(col).to_pylist()
+            doc_idx, uni_b, bi_b, lens = _lm_gram_buckets(texts, self.nb)
+            n = batch.num_rows
+            w = np.zeros(n, dtype=np.float64)
+            if len(uni_b):
+                w += np.bincount(doc_idx, weights=self.lr_uni[uni_b],
+                                 minlength=n)
+            if len(bi_b):
+                bi_doc = np.repeat(np.arange(n), np.maximum(lens - 1, 0))
+                w += np.bincount(bi_doc, weights=self.lr_bi[bi_b],
+                                 minlength=n)
+            return batch.append_column(weight_col, pa.array(w, pa.float64()))
+
+    return ds.map_batches(Weigh, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def gumbel_keys(ids, logw: np.ndarray, seed: str) -> np.ndarray:
+    """Deterministic Gumbel-top-k keys: logw + G(hash60-uniform). Exposed so
+    the brute-force oracle and the distributed path share one formula."""
+    u = (hash60(ids, seed).astype(np.float64) + 0.5) / SIXTY_BITS
+    return logw - np.log(-np.log(u))
+
+
+def dsir_resample(ds, target_lm: dict, raw_lm: dict, k: int | None = None,
+                  fraction: float | None = None, col: str = "text",
+                  id_col: str = "doc_id", seed: str = "dsir",
+                  weight_col: str = "dsir_logw", **budget_kwargs):
+    """DSIR selection: keep exactly min(k, n) docs, sampled without
+    replacement with probability proportional to exp(importance weight) —
+    the Gumbel-top-k construction, RNG-free via hash60(seed|id) uniforms.
+
+    Distributed shape: weight + key stages are per-row appends (no shuffle);
+    the key range comes from one min/max aggregate pass and the exact top-k
+    boundary from token_budget_cut's recursive histogram (unit token weights,
+    budget = k) — streaming scans only, never a global sort. The input is
+    consumed by several passes: hand in a checkpointed/materialized Dataset
+    when the upstream is expensive (same contract as select_token_budget)."""
+    from ray.data.aggregate import Max, Min
+
+    if (k is None) == (fraction is None):
+        raise ValueError("pass exactly one of k / fraction")
+    if fraction is not None:
+        k = round(fraction * ds.count())
+    key_col = "__dsir_key"
+
+    keyed = dsir_log_weights(ds, target_lm, raw_lm, col=col,
+                             weight_col=weight_col)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+        keys = gumbel_keys(batch.column(id_col).to_pylist(), w, seed)
+        return (batch.append_column(key_col, pa.array(keys, pa.float64()))
+                     .append_column("__one", pa.array(
+                         np.ones(batch.num_rows, np.int64))))
+
+    keyed = keyed.map_batches(add_key, batch_format="pyarrow")
+    rng = keyed.aggregate(Min(key_col, alias_name="lo"),
+                          Max(key_col, alias_name="hi"))
+    lo, hi = float(rng["lo"]), float(rng["hi"])
+    if not lo < hi:
+        hi = lo + 1.0
+    out = select_token_budget(keyed, int(k), score_col=key_col,
+                              token_col="__one", id_col=id_col, seed=seed,
+                              score_range=(lo, hi), **budget_kwargs)
+    return out.map_batches(lambda t: t.drop_columns([key_col, "__one"]),
+                           batch_format="pyarrow")
