@@ -7,13 +7,16 @@ this module is about the glue):
 
     read -> [boilerplate-line removal]                          [opt-in]
          -> [repeated-passage excision (cross-doc k-grams)]     [opt-in]
-         -> annotate (quality score, language ID, token count)
+         -> annotate (quality score, language ID, token count,
+                      [n-gram-LM bits/token vs a reference])    [opt-in LM]
          -> filter (quality floor, language allowlist,
-                    [repetition-ratio ceiling])                 [per-row]
+                    [repetition-ratio ceiling], [LM-bits cap])  [per-row]
          -> [13-gram benchmark decontamination]                 [opt-in]
          -> exact dedup (content-hash bucket shuffle, min-id)   [1 shuffle]
          -> near-dup removal (MinHash-LSH -> clusters -> anti-  [sketch-table
             join losers out; keep the min-id representative)     shuffles only]
+         -> [SemDeDup semantic dedup over an embedding table]   [opt-in]
+         -> [DSIR resample toward a target-domain corpus]       [opt-in]
          -> deterministic Bernoulli downsample                  [per-row]
          -> [token-budget best-docs cut (exact sort-prefix)]    [opt-in]
          -> greedy sequence packing (bucketed)                  [1 shuffle]
@@ -70,6 +73,20 @@ class CurationConfig:
     benchmark: object | None = None           # Dataset -> 13-gram decontam
     decontam_shingle_k: int = 13
     token_budget_total: int | None = None     # keep best docs until budget
+    # hashed n-gram LM quality gate (CCNet-style): train on lm_reference,
+    # drop docs scoring above lm_max_bits cross-entropy bits/token
+    lm_reference: object | None = None        # Dataset of trusted text
+    lm_max_bits: float | None = None
+    lm_n_buckets: int = 1 << 20
+    # SemDeDup semantic near-dup removal over a per-doc embedding table
+    # (keyed by id_col; rename upstream if the source uses another key)
+    embeddings: object | None = None          # Dataset (id_col, embedding)
+    semantic_threshold: float | None = None   # cosine; None = stage off
+    embedding_col: str = "embedding"
+    # DSIR: resample k docs (or a fraction) toward dsir_target's distribution
+    dsir_target: object | None = None         # Dataset of target-domain text
+    dsir_k: int | None = None
+    dsir_fraction: float | None = None
 
 
 def annotate_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Dataset:
@@ -81,8 +98,15 @@ def annotate_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Da
                         batch_format="pyarrow")
     ds = ds.map_batches(LangIdStage, batch_format="pyarrow",
                         concurrency=(1, 8))
-    return ds.map_batches(lambda b: token_count_batch(b, col=cfg.col),
-                          batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: token_count_batch(b, col=cfg.col),
+                        batch_format="pyarrow")
+    if cfg.lm_reference is not None:
+        from ..functions.text import lm_score, train_ngram_lm
+
+        model = train_ngram_lm(cfg.lm_reference, col=cfg.col,
+                               n_buckets=cfg.lm_n_buckets)
+        ds = lm_score(ds, model, col=cfg.col)
+    return ds
 
 
 def filter_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Dataset:
@@ -106,6 +130,11 @@ def filter_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Data
         if cfg.repetition_max is not None:
             mask = pc.and_(mask, pc.less_equal(b.column("repetition_ratio"),
                                                cfg.repetition_max))
+        if cfg.lm_max_bits is not None:
+            # NaN (empty doc) compares false -> dropped, like the reference
+            # quality floor would drop it anyway
+            mask = pc.and_(mask, pc.less_equal(b.column("lm_bits"),
+                                               cfg.lm_max_bits))
         return b.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -141,6 +170,13 @@ def curate_documents(ds: ray.data.Dataset,
     from ..functions.sampling import hash_sample
 
     cfg = cfg or CurationConfig()
+    if cfg.lm_max_bits is not None and cfg.lm_reference is None:
+        raise ValueError("lm_max_bits needs lm_reference to train on")
+    if cfg.semantic_threshold is not None and cfg.embeddings is None:
+        raise ValueError("semantic_threshold needs an embeddings table")
+    if (cfg.dsir_k is not None or cfg.dsir_fraction is not None) \
+            and cfg.dsir_target is None:
+        raise ValueError("dsir_k/dsir_fraction need a dsir_target corpus")
     if cfg.boilerplate_min_docs is not None:
         from ..functions.text import remove_boilerplate_lines
 
@@ -169,6 +205,35 @@ def curate_documents(ds: ray.data.Dataset,
         # exactly what a resumable production run wants here anyway).
         ds = ds.materialize()
         ds = remove_near_duplicates(ds, cfg)
+    if cfg.semantic_threshold is not None:
+        # SemDeDup over the survivors' embeddings: the (small) survivor-id
+        # projection restricts the embedding table, the (small) kept-id set
+        # semi-joins back — both distributed, neither side broadcasts
+        from ..functions.relational import semi_join
+        from ..functions.similarity import semantic_dedup_keep_ids
+
+        ds = ds.materialize()  # consumed by id projection AND semi-join
+        emb = semi_join(cfg.embeddings, ds.select_columns([cfg.id_col]),
+                        on=cfg.id_col)
+        kept = semantic_dedup_keep_ids(emb, threshold=cfg.semantic_threshold,
+                                       vec_col=cfg.embedding_col,
+                                       id_col=cfg.id_col)
+        ds = semi_join(ds, kept.select_columns([cfg.id_col]), on=cfg.id_col)
+    if cfg.dsir_target is not None and (cfg.dsir_k is not None
+                                        or cfg.dsir_fraction is not None):
+        # DSIR toward the target domain: raw model trains on the survivors
+        # themselves; the resample makes several streaming passes, so pin
+        # the corpus once (same contract as the near-dup stage)
+        from ..functions.sampling import dsir_resample
+        from ..functions.text import train_ngram_lm
+
+        ds = ds.materialize()
+        t_model = train_ngram_lm(cfg.dsir_target, col=cfg.col,
+                                 n_buckets=cfg.lm_n_buckets)
+        r_model = train_ngram_lm(ds, col=cfg.col, n_buckets=cfg.lm_n_buckets)
+        ds = dsir_resample(ds, t_model, r_model, k=cfg.dsir_k,
+                           fraction=cfg.dsir_fraction, col=cfg.col,
+                           id_col=cfg.id_col, seed=cfg.seed)
     if cfg.sample_fraction is not None:
         ds = hash_sample(ds, cfg.sample_fraction, id_col=cfg.id_col,
                          seed=cfg.seed)

@@ -331,3 +331,92 @@ def test_token_budget_stage(ray_session):
                                ascending=[False, True, True], kind="mergesort")
     want = set(ordered[ordered["ws_tokens"].cumsum() <= 120]["doc_id"])
     assert set(out["doc_id"]) == want
+
+
+# --- round-4 second-session stages: LM gate, SemDeDup, DSIR ------------------
+
+def test_optional_stage_lm_gate(ray_session):
+    import ray.data
+
+    from brdrq_ray.functions.text import lm_score, train_ngram_lm
+
+    corpus = _corpus()
+    ref = ray.data.from_arrow(pa.table({
+        "text": pa.array([GOOD, OTHER, GOOD.replace("fox", "hare")])}))
+    # pick a cap that separates the in-distribution docs from the junk:
+    # score the corpus once and thread the observed split point through
+    model = train_ngram_lm(ref, n_buckets=1 << 14)
+    bits = (lm_score(ray.data.from_arrow(corpus), model)
+            .to_pandas().set_index("doc_id")["lm_bits"])
+    cap = float(bits[0]) + 0.5  # GOOD's score + slack
+    cfg = CurationConfig(quality_min=0.0, near_dup=False,
+                         lm_reference=ref, lm_max_bits=cap,
+                         lm_n_buckets=1 << 14)
+    out = curate_documents(ray.data.from_arrow(corpus), cfg).to_pandas()
+    assert "lm_bits" in out.columns
+    kept = set(out["doc_id"])
+    assert 0 in kept                      # in-distribution survives
+    assert not {90, 91} & kept            # junk scores above the cap
+    # the filter is exactly the cap applied to the scored corpus, after the
+    # always-on exact dedup keeps the min-id copy of each unique text
+    texts = dict(zip(corpus.column("doc_id").to_pylist(),
+                     corpus.column("text").to_pylist()))
+    first_of_text = {}
+    for i in sorted(texts):
+        first_of_text.setdefault(texts[i], i)
+    expected = {i for i in bits[bits <= cap].index
+                if first_of_text[texts[i]] == i}
+    assert kept == expected
+
+
+def test_lm_gate_requires_reference(ray_session):
+    import ray.data
+
+    with pytest.raises(ValueError, match="lm_reference"):
+        curate_documents(ray.data.from_arrow(_corpus()),
+                         CurationConfig(lm_max_bits=10.0))
+
+
+def test_optional_stage_semantic_dedup(ray_session):
+    import ray.data
+
+    corpus = _corpus()
+    ids = corpus.column("doc_id").to_pylist()
+    # embeddings: doc 20 and 21 nearly identical vectors, rest orthogonal-ish
+    rng = np.random.default_rng(7)
+    vecs = {i: rng.standard_normal(8) for i in ids}
+    vecs[21] = vecs[20] + rng.standard_normal(8) * 1e-3
+    emb = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, vecs[i])) for i in ids])}))
+    cfg = CurationConfig(quality_min=0.40, near_dup=True,
+                         jaccard_threshold=0.7, embeddings=emb,
+                         semantic_threshold=0.95)
+    out = curate_documents(ray.data.from_arrow(corpus), cfg).to_pandas()
+    kept = set(out["doc_id"])
+    assert len({20, 21} & kept) == 1      # semantic pair collapsed
+    assert {22, 23, 24, 25} <= kept       # distinct vectors survive
+    with pytest.raises(ValueError, match="embeddings"):
+        curate_documents(ray.data.from_arrow(corpus),
+                         CurationConfig(semantic_threshold=0.9))
+
+
+def test_optional_stage_dsir(ray_session):
+    import ray.data
+
+    corpus = _corpus()
+    target = ray.data.from_arrow(pa.table({
+        "text": pa.array([GOOD, GOOD.replace("fox", "wolf"),
+                          GOOD.replace("rain", "snow")])}))
+    cfg = CurationConfig(quality_min=0.40, near_dup=True,
+                         jaccard_threshold=0.7, dsir_target=target,
+                         dsir_k=3, lm_n_buckets=1 << 14)
+    out = curate_documents(ray.data.from_arrow(corpus), cfg).to_pandas()
+    assert len(out) == 3
+    assert "dsir_logw" in out.columns
+    # deterministic re-run
+    again = curate_documents(ray.data.from_arrow(corpus), cfg).to_pandas()
+    assert set(out["doc_id"]) == set(again["doc_id"])
+    with pytest.raises(ValueError, match="dsir_target"):
+        curate_documents(ray.data.from_arrow(corpus),
+                         CurationConfig(dsir_k=3))
