@@ -435,3 +435,85 @@ def semantic_dedup(ds, threshold: float = 0.95, vec_col: str = "embedding",
     kept = semantic_dedup_keep_ids(ds, threshold=threshold, vec_col=vec_col,
                                    id_col=id_col, **kwargs)
     return semi_join(ds, kept.select_columns([id_col]), on=id_col)
+
+
+# ---------------------------------------------------------------------------
+# cluster-aware sampling (D4 / SSL-prototypes family, Tirumala et al. 2023)
+# ---------------------------------------------------------------------------
+
+def cluster_sample_ids(ds, k_per_cluster: int, mode: str = "far",
+                       n_clusters: int | None = None,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       train_sample: int = 2048,
+                       distributed_train: bool | None = None):
+    """Per-cluster top-k selection over the embedding space: k-means the
+    corpus (IVF codebook machinery), then per cluster keep the k members
+    FARTHEST from the centroid (``mode='far'`` — the D4 diversity pick that
+    drops prototypical near-boilerplate examples) or NEAREST
+    (``mode='near'`` — SSL-prototypes; keeps canonical examples).
+
+    Distributed shape: broadcast-codebook assignment appends (cell,
+    centroid-cosine) per row, then each batch emits its per-cell partial
+    top-k and the driver folds the bounded partials (<= blocks x cells x k
+    rows) — the stratified_take_k shape with the centroid similarity as the
+    key, NO shuffle at all. Deterministic: round-9 similarities, id
+    tie-breaks. Returns a small Dataset of (id_col, sem_cell, centroid_sim)
+    survivors — semi-join it back (:func:`cluster_sample`)."""
+    import pandas as pd
+
+    if mode not in ("far", "near"):
+        raise ValueError(f"mode must be 'far' or 'near', got {mode!r}")
+    if n_clusters is None or distributed_train is None:
+        n_vectors = ds.count()
+        n_clusters = resolve_n_clusters(n_clusters, n_vectors)
+        if distributed_train is None:
+            distributed_train = n_vectors > DISTRIBUTED_TRAIN_THRESHOLD
+    sample_n = max(train_sample, 2 * int(n_clusters))
+    sample = np.asarray(
+        ds.limit(sample_n).to_pandas()[vec_col].tolist(), dtype=np.float64)
+    C = kmeans_fit(sample, int(n_clusters))
+    if distributed_train:
+        C = kmeans_refine_distributed(ds, C, iters=3, vec_col=vec_col)
+    cref = ray.put(C)
+    ascending = mode == "far"  # far = smallest centroid-cosine first
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(cref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=object)
+        V = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
+                                  dtype=np.float64))
+        sim = V @ Cc.T
+        cell = sim.argmax(axis=1)
+        csim = np.round(sim[np.arange(len(cell)), cell], 9)
+        df = pd.DataFrame({id_col: ids, "sem_cell": cell.astype(np.int32),
+                           "centroid_sim": csim})
+        df = (df.sort_values(["sem_cell", "centroid_sim", id_col],
+                             ascending=[True, ascending, True],
+                             kind="mergesort")
+                .groupby("sem_cell", sort=False).head(k_per_cluster))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return ray.data.from_arrow(pa.table(
+            {id_col: pa.array([], pa.string()),
+             "sem_cell": pa.array([], pa.int32()),
+             "centroid_sim": pa.array([], pa.float64())}))
+    df = pd.DataFrame(parts)
+    df = (df.sort_values(["sem_cell", "centroid_sim", id_col],
+                         ascending=[True, ascending, True], kind="mergesort")
+            .groupby("sem_cell", sort=False).head(k_per_cluster)
+            .reset_index(drop=True))
+    return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def cluster_sample(ds, k_per_cluster: int, mode: str = "far",
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   **kwargs):
+    """Filter the dataset to its cluster-sample survivors (semi-join of the
+    small id table from :func:`cluster_sample_ids`)."""
+    from .relational import semi_join
+
+    kept = cluster_sample_ids(ds, k_per_cluster, mode=mode, vec_col=vec_col,
+                              id_col=id_col, **kwargs)
+    return semi_join(ds, kept.select_columns([id_col]), on=id_col)

@@ -814,3 +814,58 @@ def lm_score(ds, model: dict, col: str = "text"):
     return ds.map_batches(NgramLMStage,
                           fn_constructor_kwargs=dict(model_ref=mref, col=col),
                           batch_format="pyarrow", concurrency=(1, 8))
+
+
+def vocab_counts(ds, col: str = "text", min_count: int = 1):
+    """Exact corpus word counts (lowercased whitespace words): per-batch
+    pre-aggregated (word, cnt) partials -> ONE groupby-sum shuffle of
+    vocabulary-sized rows (never corpus-sized — the combiner runs before
+    the exchange). Returns a Dataset of (word, cnt)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column(col).to_pylist(), dtype=object)
+        words = s.fillna("").astype(str).str.lower().str.split().explode()
+        words = words[words.notna()]
+        vc = words.value_counts()
+        return pa.table({"word": pa.array(vc.index.astype(object)),
+                         "cnt": pa.array(vc.to_numpy(), pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("cnt", alias_name="cnt")))
+    if min_count > 1:
+        out = out.map_batches(
+            lambda t: t.filter(pa.compute.greater_equal(t.column("cnt"),
+                                                        min_count)),
+            batch_format="pyarrow")
+    return out
+
+
+def build_vocab(ds, size: int, col: str = "text",
+                min_count: int = 1) -> pa.Table:
+    """The top-``size`` vocabulary by (count DESC, word ASC): exact counts
+    from :func:`vocab_counts`, then the global top-k WITHOUT a global sort —
+    each batch of the counted table emits its local top-``size`` and the
+    driver merges the bounded partials (the listing_top1000 shape). Returns
+    a small Arrow table (word, cnt, rank), rank 1-based."""
+    import pandas as pd
+
+    counted = vocab_counts(ds, col=col, min_count=min_count)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        df = pa.Table.to_pandas(batch)
+        df = df.sort_values(["cnt", "word"], ascending=[False, True],
+                            kind="mergesort").head(size)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = counted.map_batches(topk, batch_format="pyarrow").take_all()
+    if not parts:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    df = pd.DataFrame(parts)
+    df = (df.sort_values(["cnt", "word"], ascending=[False, True],
+                         kind="mergesort").head(size).reset_index(drop=True))
+    df["rank"] = np.arange(1, len(df) + 1)
+    return pa.Table.from_pandas(df, preserve_index=False)
