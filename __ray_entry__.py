@@ -267,15 +267,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
 
     def text_quality(sf_dir: str):
+        import pyarrow.compute as pc
         import ray.data
-        from brdrq_ray.functions.text import analyze_documents
+        from brdrq_ray.functions.text import (analyze_documents, lm_score,
+                                              train_ngram_lm)
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                    columns=["doc_id", "text"])
         out = analyze_documents(ds)
+        # composite since r4.2: hashed n-gram LM bits/token (CCNet-style
+        # quality signal) trained on the labeled-'en' slice of the same
+        # table — exercising train (one groupby-sum pass) + score
+        # (broadcast model actor pool) through the driver gate
+        ref = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=["text", "lang"]).map_batches(
+            lambda t: t.filter(pc.equal(t.column("lang"), "en")),
+            batch_format="pyarrow")
+        model = train_ngram_lm(ref, n_buckets=1 << 18)
+        out = lm_score(out, model)
         return _round_floats(
             out.select_columns(["doc_id", "ws_tokens", "bpe_tokens", "n_words",
-                                "quality_score", "lang_pred"]),
-            ["quality_score"], 6)
+                                "quality_score", "lang_pred", "lm_bits"]),
+            ["quality_score", "lm_bits"], 6)
 
     def normalize_split(sf_dir: str):
         """Composite driver row: text normalization + deterministic hash
@@ -340,11 +352,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def heavy_hitters_q(sf_dir: str):
         import ray.data
         from brdrq_ray.functions.sketches import heavy_hitters
+        from brdrq_ray.functions.text import build_vocab
         ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                    columns=["user_id"])
         # candidates_per_batch >= distinct users at this scale: the candidate
         # set is then batching-independent (deterministic golden)
-        return heavy_hitters(ds, "user_id", k=10, candidates_per_batch=512)
+        hh = heavy_hitters(ds, "user_id", k=10, candidates_per_batch=512)
+        hh.insert(0, "leg", "cm_topk")
+        hh["rank"] = range(1, len(hh) + 1)
+        # composite since r4.2: exact top-10 vocabulary (text.build_vocab —
+        # pre-aggregated counts, one vocabulary-sized groupby-sum, bounded
+        # partial top-k merge) as a second leg of the frequent-items row
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        vb = build_vocab(docs, size=10).to_pandas()
+        vb = vb.rename(columns={"word": "value", "cnt": "est_count"})
+        vb.insert(0, "leg", "vocab_topk")
+        import pandas as pd
+        return pd.concat([hh, vb], ignore_index=True)
 
     def pack_sequences_q(sf_dir: str):
         import ray.data
@@ -387,15 +412,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return simhash_neardup_pairs(ds, max_hamming=3)
 
     def embedding_neardup(sf_dir: str):
+        import pandas as pd
         import ray.data
         from brdrq_ray.functions.dedup import embedding_neardup_pairs
+        from brdrq_ray.functions.similarity import semantic_dedup_keep_ids
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         dim = len(ds.take(1)[0]["embedding"])
         # 0.3: the synthetic embeddings are near-orthogonal random vectors, so
         # a production-style 0.9 threshold is vacuously empty; 0.3 exercises
         # the bucket->exact-cosine path with a small, checkable pair set
-        return _round_floats(embedding_neardup_pairs(ds, dim=dim, threshold=0.3),
-                             ["cosine"], 6)
+        pairs = _round_floats(embedding_neardup_pairs(ds, dim=dim, threshold=0.3),
+                              ["cosine"], 6).to_pandas()
+        pairs.insert(0, "leg", "lsh_pairs")
+        # composite since r4.2: SemDeDup survivor set as a second leg —
+        # k-means partition + per-cluster max-over-earlier pruning at the
+        # same 0.3 cosine bar (id_b carries the cluster id, cosine unused)
+        kept = semantic_dedup_keep_ids(ds, threshold=0.3, n_clusters=8,
+                                       train_sample=4096,
+                                       distributed_train=False).to_pandas()
+        kept = kept.rename(columns={"vec_id": "id_a", "sem_cell": "id_b"})
+        kept["id_b"] = kept["id_b"].astype("int64")
+        kept["cosine"] = 0.0
+        kept.insert(0, "leg", "semdedup_kept")
+        return pd.concat([pairs, kept], ignore_index=True)
 
     def knn_top5(sf_dir: str):
         import ray.data
