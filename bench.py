@@ -139,10 +139,46 @@ def run_queries() -> dict:
         return packed
 
     qs["curation_e2e"] = _curation
+
+    def _semantic_dedup(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.similarity import semantic_dedup_keep_ids
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return semantic_dedup_keep_ids(emb, threshold=0.3, n_clusters=8,
+                                       train_sample=4096,
+                                       distributed_train=False)
+
+    def _bpe_train_encode(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.bpe import bpe_encode, train_bpe
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        model = train_bpe(docs, n_merges=200)
+        return bpe_encode(docs, model)
+
+    def _dsir(sf_dir: str):
+        import pyarrow.compute as pc
+        import ray.data
+        from brdrq_ray.functions.sampling import dsir_resample
+        from brdrq_ray.functions.text import train_ngram_lm
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text", "lang"])
+        target = docs.map_batches(
+            lambda t: t.filter(pc.equal(t.column("lang"), "en")),
+            batch_format="pyarrow")
+        t_model = train_ngram_lm(target, n_buckets=1 << 18)
+        r_model = train_ngram_lm(docs, n_buckets=1 << 18)
+        return dsir_resample(docs.materialize(), t_model, r_model,
+                             fraction=0.25)
+
+    qs["semantic_dedup"] = _semantic_dedup
+    qs["bpe_train_encode"] = _bpe_train_encode
+    qs["dsir_resample"] = _dsir
     names = ["metrics_agg", "grouped_topk", "hash_join", "hash_join_broadcast",
              "asof_join",
              "exact_dedup_documents", "token_count", "knn_top5", "minhash_pairs",
-             "curation_e2e",
+             "curation_e2e", "semantic_dedup", "bpe_train_encode",
+             "dsir_resample",
              "align_predict", "align_evaluate", "autoupdate", "spatial_semi_join",
              "semi_anti_join", "correction", "media_decode"]
     reps = max(1, int(os.environ.get("BRDRQ_QUERY_REPS", "2")))

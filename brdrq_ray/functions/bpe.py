@@ -49,11 +49,9 @@ def _merge_word(syms: tuple, pair: tuple) -> tuple:
     return tuple(out)
 
 
-def train_bpe_from_counts(word_counts: dict[str, int],
-                          n_merges: int) -> dict:
-    """The classic merge loop over a word->count dict (driver-side,
-    vocabulary-sized). Returns {'merges': [(a, b), ...], 'vocab': [...]}
-    with vocab = sorted base symbols + merged symbols in merge order."""
+def _train_bpe_naive(word_counts: dict[str, int], n_merges: int) -> dict:
+    """Reference implementation (recount every pair each round) — kept as
+    the test oracle for the incremental trainer below."""
     words = {tuple(w) + (EOW,): c for w, c in word_counts.items() if w}
     base = sorted({s for syms in words for s in syms})
     merges: list[tuple] = []
@@ -65,6 +63,73 @@ def train_bpe_from_counts(word_counts: dict[str, int],
         best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
         words = {_merge_word(syms, best): c for syms, c in words.items()}
+    vocab = base + [a + b for a, b in merges]
+    return {"merges": merges, "vocab": vocab}
+
+
+def train_bpe_from_counts(word_counts: dict[str, int],
+                          n_merges: int) -> dict:
+    """The merge loop over a word->count dict (driver-side, vocabulary-
+    sized), with the standard incremental bookkeeping: a pair->count table
+    and pair->word index updated only for the words a merge touches, and a
+    lazy max-heap keyed (-count, pair) so each round pops the current best
+    instead of rescanning every pair (stale heap entries are skipped when
+    their recorded count no longer matches). Merge sequence is IDENTICAL to
+    the naive recount (same (count DESC, pair ASC) argmax — pinned by
+    test_bpe). Returns {'merges': [(a, b), ...], 'vocab': [...]} with
+    vocab = sorted base symbols + merged symbols in merge order."""
+    import heapq
+
+    syms_list: list[list] = []
+    cnts: list[int] = []
+    for w, c in word_counts.items():
+        if w:
+            syms_list.append(list(w) + [EOW])
+            cnts.append(c)
+    base = sorted({s for syms in syms_list for s in syms})
+
+    pair_cnt: dict[tuple, int] = {}
+    pair_words: dict[tuple, set] = {}
+    for wi, syms in enumerate(syms_list):
+        c = cnts[wi]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_cnt[p] = pair_cnt.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(wi)
+    heap = [(-c, p) for p, c in pair_cnt.items()]
+    heapq.heapify(heap)
+
+    def bump(p: tuple, delta: int, wi: int):
+        cur = pair_cnt.get(p, 0) + delta
+        if cur <= 0:
+            pair_cnt.pop(p, None)
+        else:
+            pair_cnt[p] = cur
+            # push on EVERY surviving update, decrements included — a pair
+            # whose count only ever falls must still be findable at its new
+            # count once the stale higher entries are skipped
+            heapq.heappush(heap, (-cur, p))
+        if delta > 0:
+            pair_words.setdefault(p, set()).add(wi)
+
+    merges: list[tuple] = []
+    while len(merges) < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        if pair_cnt.get(best, 0) != -negc:
+            continue  # stale entry
+        merges.append(best)
+        touched = pair_words.pop(best, set())
+        for wi in sorted(touched):
+            syms = syms_list[wi]
+            c = cnts[wi]
+            # retire the word's old adjacencies, merge, add the new ones
+            for i in range(len(syms) - 1):
+                bump((syms[i], syms[i + 1]), -c, wi)
+            merged = _merge_word(tuple(syms), best)
+            syms_list[wi] = list(merged)
+            for i in range(len(merged) - 1):
+                bump((merged[i], merged[i + 1]), c, wi)
+        pair_cnt.pop(best, None)
     vocab = base + [a + b for a, b in merges]
     return {"merges": merges, "vocab": vocab}
 

@@ -75,3 +75,23 @@ def test_encode_cache_consistency():
     a = stage._word_ids("lowest")
     b = stage._word_ids("lowest")  # cached path
     assert a == b and a is b
+
+
+def test_incremental_trainer_equals_naive_oracle():
+    import random
+
+    from brdrq_ray.functions.bpe import _train_bpe_naive
+
+    rng = random.Random(13)
+    alphabet = "abcde"
+    for trial in range(6):
+        counts = {}
+        for _ in range(60):
+            w = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 7)))
+            counts[w] = counts.get(w, 0) + rng.randint(1, 9)
+        for n in (5, 20, 100):
+            fast = train_bpe_from_counts(counts, n)
+            slow = _train_bpe_naive(counts, n)
+            assert fast["merges"] == slow["merges"], (trial, n)
+            assert fast["vocab"] == slow["vocab"], (trial, n)
