@@ -420,3 +420,40 @@ def test_optional_stage_dsir(ray_session):
     with pytest.raises(ValueError, match="dsir_target"):
         curate_documents(ray.data.from_arrow(corpus),
                          CurationConfig(dsir_k=3))
+
+
+def test_curate_interleaved_with_lm_gate(ray_session):
+    """The opt-in LM stage composes through the interleaved path: the
+    concatenated text spans are what gets scored, and survivors keep their
+    span sequences untouched."""
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.pipelines.curation import curate_interleaved
+
+    def doc(i, text):
+        return {"doc_id": i,
+                "spans": [{"kind": "text", "text": text,
+                           "media_ref": "", "offset": 0}]}
+
+    rows = [doc(0, GOOD), doc(1, OTHER),
+            doc(2, "zxq qqw wvv bnm plk jhg fds aaa bbb ccc ddd eee fff "
+                   "ggg hhh iii jjj kkk lll mmm nnn ooo ppp qqq rrr sss")]
+    tbl = pa.Table.from_pylist(rows)
+    ref = ray.data.from_arrow(pa.table({"text": pa.array([GOOD, OTHER])}))
+    from brdrq_ray.functions.text import lm_score, train_ngram_lm
+    from brdrq_ray.pipelines.curation import extract_document_text
+
+    model = train_ngram_lm(ref, n_buckets=1 << 14)
+    flat_bits = (lm_score(ray.data.from_arrow(extract_document_text(tbl)),
+                          model).to_pandas().set_index("doc_id")["lm_bits"])
+    cap = float(flat_bits[[0, 1]].max()) + 0.1
+    assert flat_bits[2] > cap  # the gibberish doc really is above the cap
+    cfg = CurationConfig(quality_min=0.0, near_dup=False, lm_reference=ref,
+                         lm_max_bits=cap, lm_n_buckets=1 << 14)
+    out = (curate_interleaved(ray.data.from_arrow(tbl), cfg)
+           .to_pandas().sort_values("doc_id"))
+    assert list(out["doc_id"]) == [0, 1]
+    orig = tbl.to_pylist()
+    for _, row in out.iterrows():
+        want = next(r["spans"] for r in orig if r["doc_id"] == row["doc_id"])
+        assert list(row["spans"]) == want
