@@ -8,9 +8,11 @@ this module is about the glue):
     read -> [boilerplate-line removal]                          [opt-in]
          -> [repeated-passage excision (cross-doc k-grams)]     [opt-in]
          -> annotate (quality score, language ID, token count,
-                      [n-gram-LM bits/token vs a reference])    [opt-in LM]
+                      [n-gram-LM bits/token vs a reference],
+                      [LR quality-classifier probability])      [opt-in]
          -> filter (quality floor, language allowlist,
-                    [repetition-ratio ceiling], [LM-bits cap])  [per-row]
+                    [repetition-ratio ceiling], [LM-bits cap],
+                    [classifier cap / deterministic Pareto draw]) [per-row]
          -> [13-gram benchmark decontamination]                 [opt-in]
          -> exact dedup (content-hash bucket shuffle, min-id)   [1 shuffle]
          -> near-dup removal (MinHash-LSH -> clusters -> anti-  [sketch-table
@@ -87,6 +89,17 @@ class CurationConfig:
     dsir_target: object | None = None         # Dataset of target-domain text
     dsir_k: int | None = None
     dsir_fraction: float | None = None
+    # logistic-regression quality classifier (GPT-3-style): train on
+    # clf_positive vs clf_negative, then either hard-cap (clf_min_prob) or
+    # Pareto-sample (clf_pareto_alpha: keep iff pareto(alpha) > 1 - prob,
+    # deterministic via hash60(seed|id) — the paper's np.random.pareto(9)
+    # rule made reproducible)
+    clf_positive: object | None = None
+    clf_negative: object | None = None
+    clf_min_prob: float | None = None
+    clf_pareto_alpha: float | None = None
+    clf_n_buckets: int = 1 << 16
+    clf_epochs: int = 30
 
 
 def annotate_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Dataset:
@@ -106,6 +119,15 @@ def annotate_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Da
         model = train_ngram_lm(cfg.lm_reference, col=cfg.col,
                                n_buckets=cfg.lm_n_buckets)
         ds = lm_score(ds, model, col=cfg.col)
+    if cfg.clf_positive is not None:
+        from ..functions.classifier import (classifier_score,
+                                            train_quality_classifier)
+
+        clf = train_quality_classifier(cfg.clf_positive, cfg.clf_negative,
+                                       col=cfg.col,
+                                       n_buckets=cfg.clf_n_buckets,
+                                       epochs=cfg.clf_epochs)
+        ds = classifier_score(ds, clf, col=cfg.col)
     return ds
 
 
@@ -135,6 +157,21 @@ def filter_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Data
             # quality floor would drop it anyway
             mask = pc.and_(mask, pc.less_equal(b.column("lm_bits"),
                                                cfg.lm_max_bits))
+        if cfg.clf_min_prob is not None:
+            mask = pc.and_(mask, pc.greater_equal(b.column("clf_prob"),
+                                                  cfg.clf_min_prob))
+        if cfg.clf_pareto_alpha is not None:
+            from ..functions.sampling import SIXTY_BITS, hash60
+
+            # GPT-3's filter: keep iff pareto(alpha) > 1 - prob, with the
+            # draw derived from hash60(seed|id) so the decision is a pure
+            # function of (seed, id, prob)
+            u = (hash60(b.column(cfg.id_col).to_pylist(),
+                        f"{cfg.seed}|pareto").astype(np.float64)
+                 + 0.5) / SIXTY_BITS
+            draw = u ** (-1.0 / cfg.clf_pareto_alpha) - 1.0
+            prob = b.column("clf_prob").to_numpy(zero_copy_only=False)
+            mask = pc.and_(mask, pa.array(draw > 1.0 - prob))
         return b.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -177,6 +214,10 @@ def curate_documents(ds: ray.data.Dataset,
     if (cfg.dsir_k is not None or cfg.dsir_fraction is not None) \
             and cfg.dsir_target is None:
         raise ValueError("dsir_k/dsir_fraction need a dsir_target corpus")
+    if (cfg.clf_min_prob is not None or cfg.clf_pareto_alpha is not None) \
+            and (cfg.clf_positive is None or cfg.clf_negative is None):
+        raise ValueError("clf_min_prob/clf_pareto_alpha need clf_positive "
+                         "and clf_negative training corpora")
     if cfg.boilerplate_min_docs is not None:
         from ..functions.text import remove_boilerplate_lines
 
