@@ -869,3 +869,36 @@ def build_vocab(ds, size: int, col: str = "text",
                          kind="mergesort").head(size).reset_index(drop=True))
     df["rank"] = np.arange(1, len(df) + 1)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def lm_perplexity_buckets(ds, model: dict, col: str = "text",
+                          quantiles: tuple = (1 / 3, 2 / 3),
+                          labels: tuple = ("head", "middle", "tail"),
+                          bin_width: float = 0.01):
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): score every doc
+    with the hashed LM, find the corpus-level quantile edges of ``lm_bits``
+    with the mergeable binned-quantile sketch (one combiner pass, occupied-
+    bin rows only), and label each doc head/middle/tail (lowest bits =
+    ``head`` = most fluent). Edges are bin lower bounds, so the labeling is
+    deterministic and batching-independent; NaN bits (empty docs) label as
+    the last bucket. Scored input is consumed twice (edge pass + label
+    pass) — hand in a materialized Dataset when upstream is expensive.
+    Returns the Dataset with ``lm_bits`` and ``ppl_bucket`` appended."""
+    from .sketches import binned_quantiles
+
+    if len(labels) != len(quantiles) + 1:
+        raise ValueError("need exactly len(quantiles)+1 labels")
+    scored = lm_score(ds, model, col=col)
+    sk = binned_quantiles(scored, "lm_bits", bin_width=bin_width,
+                          qs=list(quantiles))
+    edges = np.array([sk["quantiles"][q] for q in quantiles])
+    lab = np.asarray(labels, dtype=object)
+
+    def label(batch: pa.Table) -> pa.Table:
+        bits = batch.column("lm_bits").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, bits, side="right")
+        idx = np.where(np.isnan(bits), len(lab) - 1, idx)
+        return batch.append_column("ppl_bucket",
+                                   pa.array(lab[idx.astype(np.int64)]))
+
+    return scored.map_batches(label, batch_format="pyarrow")

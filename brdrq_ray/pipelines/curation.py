@@ -63,6 +63,7 @@ class CurationConfig:
     languages: tuple | None = None        # e.g. ("en", "nl"); None = keep all
     near_dup: bool = True
     jaccard_threshold: float = 0.7
+    near_dup_keep: str = "min_id"         # or "best_quality" (argmax score)
     sample_fraction: float | None = None  # None = keep everything
     seed: str = "curate"
     # near-dup knobs pass through to minhash_lsh_pairs
@@ -178,11 +179,15 @@ def filter_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Data
 
 
 def remove_near_duplicates(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Dataset:
-    """Drop every near-dup cluster member except the min-id representative.
+    """Drop every near-dup cluster member except one representative.
 
-    duplicate_clusters labels each clustered doc with cluster_id = min member
-    id, so the loser set is exactly {doc_id != cluster_id}; losers are
-    anti-joined out distributedly (no driver-side id set)."""
+    ``near_dup_keep='min_id'`` (default): duplicate_clusters labels each
+    clustered doc with cluster_id = min member id, so the loser set is
+    exactly {doc_id != cluster_id}. ``'best_quality'``: the winner is the
+    member with the highest annotated quality_score (ties -> min id) — the
+    cluster table (small: clustered docs only) fetches scores through the
+    distributed lookup join and each cluster group keeps its argmax. Either
+    way losers are anti-joined out distributedly (no driver-side id set)."""
     from ..functions.dedup import duplicate_clusters, minhash_lsh_pairs
     from ..functions.relational import semi_join
 
@@ -191,11 +196,34 @@ def remove_near_duplicates(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.dat
                               **cfg.minhash_kwargs)
     clusters = duplicate_clusters(pairs)
 
-    def losers(b: pa.Table) -> pa.Table:
-        m = pc.not_equal(b.column("doc_id"), b.column("cluster_id"))
-        return b.filter(m).select(["doc_id"])
+    if cfg.near_dup_keep == "best_quality":
+        import pandas as pd
 
-    loser_ids = clusters.map_batches(losers, batch_format="pyarrow")
+        from ..functions.relational import lookup_join
+
+        score_side = ds.select_columns([cfg.id_col, "quality_score"]) \
+                       .map_batches(lambda t: t.rename_columns(
+                           ["doc_id", "quality_score"]),
+                           batch_format="pyarrow")
+        scored = lookup_join(clusters, score_side,
+                             on="doc_id", value_col="quality_score")
+
+        def cluster_losers(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["quality_score", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+            return g.iloc[1:][["doc_id"]]
+
+        loser_ids = (scored.groupby("cluster_id")
+                     .map_groups(cluster_losers, batch_format="pandas"))
+    elif cfg.near_dup_keep == "min_id":
+        def losers(b: pa.Table) -> pa.Table:
+            m = pc.not_equal(b.column("doc_id"), b.column("cluster_id"))
+            return b.filter(m).select(["doc_id"])
+
+        loser_ids = clusters.map_batches(losers, batch_format="pyarrow")
+    else:
+        raise ValueError(f"near_dup_keep must be 'min_id' or 'best_quality',"
+                         f" got {cfg.near_dup_keep!r}")
     return semi_join(ds, loser_ids, on=cfg.id_col, anti=True)
 
 

@@ -504,3 +504,67 @@ def test_optional_stage_quality_classifier(ray_session):
     with pytest.raises(ValueError, match="clf_positive"):
         curate_documents(ray.data.from_arrow(tbl),
                          CurationConfig(clf_min_prob=0.5))
+
+
+def test_near_dup_best_quality_representative(ray_session):
+    """near_dup_keep='best_quality' keeps the highest-quality cluster
+    member instead of the min id."""
+    import ray.data
+
+    # 10 and 11 near-dup; give 11 the (strictly) better quality by making
+    # 10 end with a long unpunctuated low-quality tail
+    # punctuation junk tanks doc 10's quality score (0.65 vs 0.84) while
+    # keeping word-shingle jaccard ~0.74 > the 0.5 threshold
+    texts = {10: OTHER.replace("bridges", "arches") + " !! ?? !! ?? " * 10,
+             11: OTHER.replace("bridges", "spans"),
+             20: GOOD}
+    tbl = pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                    "text": pa.array([texts[i] for i in sorted(texts)])})
+    base = dict(quality_min=0.0, near_dup=True, jaccard_threshold=0.5)
+    best = curate_documents(ray.data.from_arrow(tbl),
+                            CurationConfig(**base,
+                                           near_dup_keep="best_quality")
+                            ).to_pandas()
+    minid = curate_documents(ray.data.from_arrow(tbl),
+                             CurationConfig(**base)).to_pandas()
+    assert 10 in set(minid["doc_id"]) and 11 not in set(minid["doc_id"])
+    assert 11 in set(best["doc_id"]) and 10 not in set(best["doc_id"])
+    assert 20 in set(best["doc_id"])
+    q = best.set_index("doc_id")["quality_score"]
+    m = minid.set_index("doc_id")["quality_score"]
+    assert q[11] > m[10]  # the kept member really is the better one
+    with pytest.raises(ValueError, match="near_dup_keep"):
+        curate_documents(ray.data.from_arrow(tbl),
+                         CurationConfig(**base, near_dup_keep="oops")
+                         ).to_pandas()
+
+
+def test_lm_perplexity_buckets(ray_session):
+    import ray.data
+    from brdrq_ray.functions.text import (lm_perplexity_buckets, lm_score,
+                                          train_ngram_lm)
+
+    ref = ray.data.from_arrow(pa.table({"text": pa.array([GOOD, OTHER])}))
+    model = train_ngram_lm(ref, n_buckets=1 << 14)
+    docs = [GOOD, OTHER,                               # in-distribution
+            GOOD.replace("fox", "wolf"),               # near
+            "zxq qqw wvv bnm plk jhg fds",             # gibberish
+            "the market gulls circle the quiet town"]  # mixed
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs))), "text": pa.array(docs)}))
+    out = (lm_perplexity_buckets(ds, model).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert set(out["ppl_bucket"]) <= {"head", "middle", "tail"}
+    # bucket order tracks lm_bits order: every head bit-score <= every
+    # middle <= every tail
+    for lo, hi in (("head", "middle"), ("middle", "tail")):
+        lo_bits = out[out["ppl_bucket"] == lo]["lm_bits"]
+        hi_bits = out[out["ppl_bucket"] == hi]["lm_bits"]
+        if len(lo_bits) and len(hi_bits):
+            assert lo_bits.max() <= hi_bits.min()
+    # the gibberish doc lands in the worst occupied bucket
+    worst = out.loc[out["lm_bits"].idxmax()]
+    assert out[out["doc_id"] == 3]["ppl_bucket"].iloc[0] == worst["ppl_bucket"]
+    with pytest.raises(ValueError, match="labels"):
+        lm_perplexity_buckets(ds, model, quantiles=(0.5,),
+                              labels=("a", "b", "c"))
