@@ -169,9 +169,16 @@ def encode_word(word: str, ranks: dict[tuple, int]) -> list[str]:
 class BpeEncodeStage:
     """Actor stage: merge ranks + token-id table built once per actor, with
     a persistent word->ids cache across batches. Appends ``bpe_ids``
-    (list<int32>, -1 for out-of-vocab symbols) and ``bpe_len``."""
+    (list<int32>, -1 for out-of-vocab symbols) and ``bpe_len``.
 
-    def __init__(self, model_ref, col: str = "text"):
+    The cache is BOUNDED (``cache_max`` entries, default 2^20): a heavy-
+    tailed web vocabulary (URLs, hashes, typos) grows distinct words roughly
+    linearly with corpus size, so an unbounded dict would OOM the actor.
+    On overflow the cache resets wholesale — the Zipfian head repopulates
+    within a batch, so the steady-state hit rate barely moves."""
+
+    def __init__(self, model_ref, col: str = "text",
+                 cache_max: int = 1 << 20):
         import ray
 
         model = (ray.get(model_ref)
@@ -179,11 +186,14 @@ class BpeEncodeStage:
         self.ranks = {p: i for i, p in enumerate(model["merges"])}
         self.ids = {s: i for i, s in enumerate(model["vocab"])}
         self.col = col
+        self.cache_max = cache_max
         self.cache: dict[str, list[int]] = {}
 
     def _word_ids(self, word: str) -> list[int]:
         got = self.cache.get(word)
         if got is None:
+            if len(self.cache) >= self.cache_max:
+                self.cache.clear()
             got = [self.ids.get(s, -1) for s in encode_word(word, self.ranks)]
             self.cache[word] = got
         return got

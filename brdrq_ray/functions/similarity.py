@@ -321,6 +321,27 @@ def ivf_knn(ds, queries: np.ndarray, k: int = 10, n_clusters: int | None = 16,
 # SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv:2303.09540)
 # ---------------------------------------------------------------------------
 
+def _fit_codebook(ds, n_clusters, vec_col: str, train_sample: int,
+                  distributed_train: bool | None) -> np.ndarray:
+    """Shared codebook bootstrap for the cluster-family operators
+    (semantic_dedup, cluster_sample): resolve ~sqrt(n) sizing and the
+    distributed-train decision (one count, only when something needs it),
+    init on a driver-side sample, optionally refine with distributed Lloyd
+    passes. Mirrors ivf_build's training path."""
+    if n_clusters is None or distributed_train is None:
+        n_vectors = ds.count()
+        n_clusters = resolve_n_clusters(n_clusters, n_vectors)
+        if distributed_train is None:
+            distributed_train = n_vectors > DISTRIBUTED_TRAIN_THRESHOLD
+    sample_n = max(train_sample, 2 * int(n_clusters))
+    sample = np.asarray(
+        ds.limit(sample_n).to_pandas()[vec_col].tolist(), dtype=np.float64)
+    C = kmeans_fit(sample, int(n_clusters))
+    if distributed_train:
+        C = kmeans_refine_distributed(ds, C, iters=3, vec_col=vec_col)
+    return C
+
+
 def _assign_cells(ds, C: np.ndarray, vec_col: str, out_col: str = "sem_cell"):
     """Append the nearest-centroid cell id (broadcast codebook, one streaming
     pass — the same shape as ivf_build's AssignStage)."""
@@ -398,17 +419,8 @@ def semantic_dedup_keep_ids(ds, threshold: float = 0.95,
     to the input; semi-join it back or call :func:`semantic_dedup`)."""
     import pandas as pd
 
-    if n_clusters is None or distributed_train is None:
-        n_vectors = ds.count()
-        n_clusters = resolve_n_clusters(n_clusters, n_vectors)
-        if distributed_train is None:
-            distributed_train = n_vectors > DISTRIBUTED_TRAIN_THRESHOLD
-    sample_n = max(train_sample, 2 * int(n_clusters))
-    sample = np.asarray(
-        ds.limit(sample_n).to_pandas()[vec_col].tolist(), dtype=np.float64)
-    C = kmeans_fit(sample, int(n_clusters))
-    if distributed_train:
-        C = kmeans_refine_distributed(ds, C, iters=3, vec_col=vec_col)
+    C = _fit_codebook(ds, n_clusters, vec_col, train_sample,
+                      distributed_train)
     cref = ray.put(C)
 
     def prune(g: pd.DataFrame) -> pd.DataFrame:
@@ -463,18 +475,8 @@ def cluster_sample_ids(ds, k_per_cluster: int, mode: str = "far",
 
     if mode not in ("far", "near"):
         raise ValueError(f"mode must be 'far' or 'near', got {mode!r}")
-    if n_clusters is None or distributed_train is None:
-        n_vectors = ds.count()
-        n_clusters = resolve_n_clusters(n_clusters, n_vectors)
-        if distributed_train is None:
-            distributed_train = n_vectors > DISTRIBUTED_TRAIN_THRESHOLD
-    sample_n = max(train_sample, 2 * int(n_clusters))
-    sample = np.asarray(
-        ds.limit(sample_n).to_pandas()[vec_col].tolist(), dtype=np.float64)
-    C = kmeans_fit(sample, int(n_clusters))
-    if distributed_train:
-        C = kmeans_refine_distributed(ds, C, iters=3, vec_col=vec_col)
-    cref = ray.put(C)
+    cref = ray.put(_fit_codebook(ds, n_clusters, vec_col, train_sample,
+                                 distributed_train))
     ascending = mode == "far"  # far = smallest centroid-cosine first
 
     def partial(batch: pa.Table) -> pa.Table:

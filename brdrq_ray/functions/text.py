@@ -881,17 +881,21 @@ def lm_perplexity_buckets(ds, model: dict, col: str = "text",
     bin rows only), and label each doc head/middle/tail (lowest bits =
     ``head`` = most fluent). Edges are bin lower bounds, so the labeling is
     deterministic and batching-independent; NaN bits (empty docs) label as
-    the last bucket. Scored input is consumed twice (edge pass + label
-    pass) — hand in a materialized Dataset when upstream is expensive.
-    Returns the Dataset with ``lm_bits`` and ``ppl_bucket`` appended."""
+    the last bucket. The scored table is pinned once (materialize) because
+    both the edge pass and the label pass consume it — without the pin the
+    LM scoring stage would run twice. Returns the Dataset with ``lm_bits``
+    and ``ppl_bucket`` appended."""
     from .sketches import binned_quantiles
 
     if len(labels) != len(quantiles) + 1:
         raise ValueError("need exactly len(quantiles)+1 labels")
-    scored = lm_score(ds, model, col=col)
+    scored = lm_score(ds, model, col=col).materialize()
     sk = binned_quantiles(scored, "lm_bits", bin_width=bin_width,
                           qs=list(quantiles))
-    edges = np.array([sk["quantiles"][q] for q in quantiles])
+    # an empty corpus / all-NaN bits yields None quantiles: +inf edges keep
+    # searchsorted well-typed (there are no finite bits to label anyway)
+    edges = np.array([np.inf if sk["quantiles"][q] is None
+                      else sk["quantiles"][q] for q in quantiles])
     lab = np.asarray(labels, dtype=object)
 
     def label(batch: pa.Table) -> pa.Table:

@@ -86,6 +86,8 @@ class CurationConfig:
     embeddings: object | None = None          # Dataset (id_col, embedding)
     semantic_threshold: float | None = None   # cosine; None = stage off
     embedding_col: str = "embedding"
+    # extra knobs for semantic_dedup_keep_ids (n_clusters, train_sample, ...)
+    semantic_kwargs: dict = field(default_factory=dict)
     # DSIR: resample k docs (or a fraction) toward dsir_target's distribution
     dsir_target: object | None = None         # Dataset of target-domain text
     dsir_k: int | None = None
@@ -242,8 +244,11 @@ def curate_documents(ds: ray.data.Dataset,
     if (cfg.dsir_k is not None or cfg.dsir_fraction is not None) \
             and cfg.dsir_target is None:
         raise ValueError("dsir_k/dsir_fraction need a dsir_target corpus")
+    if (cfg.clf_positive is None) != (cfg.clf_negative is None):
+        raise ValueError("clf_positive and clf_negative must be set together"
+                         " (the classifier trains positive VS negative)")
     if (cfg.clf_min_prob is not None or cfg.clf_pareto_alpha is not None) \
-            and (cfg.clf_positive is None or cfg.clf_negative is None):
+            and cfg.clf_positive is None:
         raise ValueError("clf_min_prob/clf_pareto_alpha need clf_positive "
                          "and clf_negative training corpora")
     if cfg.boilerplate_min_docs is not None:
@@ -281,13 +286,22 @@ def curate_documents(ds: ray.data.Dataset,
         from ..functions.relational import semi_join
         from ..functions.similarity import semantic_dedup_keep_ids
 
-        ds = ds.materialize()  # consumed by id projection AND semi-join
+        ds = ds.materialize()  # consumed by id projection AND anti-join
+        # pin the restricted embedding table too: keep_ids consumes it
+        # several times (count, codebook sample, refine passes, assignment)
         emb = semi_join(cfg.embeddings, ds.select_columns([cfg.id_col]),
-                        on=cfg.id_col)
+                        on=cfg.id_col).materialize()
         kept = semantic_dedup_keep_ids(emb, threshold=cfg.semantic_threshold,
                                        vec_col=cfg.embedding_col,
-                                       id_col=cfg.id_col)
-        ds = semi_join(ds, kept.select_columns([cfg.id_col]), on=cfg.id_col)
+                                       id_col=cfg.id_col,
+                                       **cfg.semantic_kwargs)
+        # remove LOSERS (embedded survivors that were pruned) rather than
+        # keeping winners: a doc with no embedding row is untouched — a
+        # dedup stage must never silently delete un-embedded documents
+        losers = semi_join(emb.select_columns([cfg.id_col]),
+                           kept.select_columns([cfg.id_col]),
+                           on=cfg.id_col, anti=True)
+        ds = semi_join(ds, losers, on=cfg.id_col, anti=True)
     if cfg.dsir_target is not None and (cfg.dsir_k is not None
                                         or cfg.dsir_fraction is not None):
         # DSIR toward the target domain: raw model trains on the survivors

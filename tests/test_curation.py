@@ -568,3 +568,45 @@ def test_lm_perplexity_buckets(ray_session):
     with pytest.raises(ValueError, match="labels"):
         lm_perplexity_buckets(ds, model, quantiles=(0.5,),
                               labels=("a", "b", "c"))
+
+
+def test_semantic_stage_keeps_unembedded_docs(ray_session):
+    """Docs with no row in the embeddings table must pass the semantic
+    stage untouched — the stage removes pruned EMBEDDED docs only."""
+    import ray.data
+
+    ids = [20, 21, 22, 99]  # 99 has no embedding row
+    texts = {20: GOOD, 21: OTHER,
+             22: GOOD.replace("fox", "hare").replace("rain", "snow"),
+             99: OTHER.replace("boat", "raft").replace("river", "canal")}
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array([texts[i] for i in ids])})
+    rng = np.random.default_rng(11)
+    vecs = {20: rng.standard_normal(8)}
+    vecs[21] = vecs[20] + rng.standard_normal(8) * 1e-3  # near-dup of 20
+    vecs[22] = rng.standard_normal(8)
+    emb = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([20, 21, 22], pa.int64()),
+        "embedding": pa.array([list(map(float, vecs[i]))
+                               for i in (20, 21, 22)])}))
+    cfg = CurationConfig(quality_min=0.0, near_dup=False, embeddings=emb,
+                         semantic_threshold=0.95,
+                         semantic_kwargs=dict(n_clusters=1, train_sample=4,
+                                              distributed_train=False))
+    out = curate_documents(ray.data.from_arrow(tbl), cfg).to_pandas()
+    kept = set(out["doc_id"])
+    assert 99 in kept                    # un-embedded doc untouched
+    assert len({20, 21} & kept) == 1     # embedded near-dup pair collapsed
+    assert 22 in kept
+
+
+def test_clf_corpora_must_pair(ray_session):
+    import ray.data
+
+    pos = ray.data.from_arrow(pa.table({"text": pa.array([GOOD])}))
+    with pytest.raises(ValueError, match="set together"):
+        curate_documents(ray.data.from_arrow(_corpus()),
+                         CurationConfig(clf_positive=pos))
+    with pytest.raises(ValueError, match="set together"):
+        curate_documents(ray.data.from_arrow(_corpus()),
+                         CurationConfig(clf_negative=pos))

@@ -21,7 +21,7 @@ def test_jsonl_roundtrip_documents(ray_session, tmp_path):
     assert len(files) >= 3  # one file per block, never one giant file
     back = read_jsonl(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
     orig = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    assert list(back.columns).sort() == list(orig.columns).sort()
+    assert sorted(back.columns) == sorted(orig.columns)
     assert back["doc_id"].tolist() == orig["doc_id"].tolist()
     assert back["text"].tolist() == orig["text"].tolist()
     assert back["n_chars"].tolist() == orig["n_chars"].tolist()
