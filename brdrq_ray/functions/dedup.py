@@ -130,14 +130,21 @@ class MinHasher:
         return vals.min(axis=0)
 
 
-def _positional_grams(texts, k: int):
+def _positional_grams(texts, k: int, ordered: bool = False):
     """Vectorized word k-gram hashing with POSITIONS kept: returns
     ``(win_doc, pos, gram_hash, lens, split)`` for every full k-word window
     of every doc, in (doc, position) order — one pandas split/explode, one
     vectorized word hash, k-1 splitmix64 folds. No dedupe, no short-doc
     fallback (a doc with < k words has no window). ``lens`` is the word
     count per doc and ``split`` the lowercased word-list Series, returned so
-    callers ( :func:`_shingle_hashes` ) don't re-split."""
+    callers ( :func:`_shingle_hashes` ) don't re-split.
+
+    The default fold's FIRST step is symmetric in the first two words
+    ("A B C" hashes like "B A C") — harmless for LSH banding/sketching and
+    kept for golden stability. ``ordered=True`` pre-mixes the accumulator
+    each step so every permutation hashes distinctly — required wherever
+    gram identity must match an order-sensitive string hash (the exact
+    jaccard verify)."""
     from .vhash import hash64, splitmix64
 
     s = pd.Series(np.asarray(texts, dtype=object)).fillna("").astype(str)
@@ -157,14 +164,16 @@ def _positional_grams(texts, k: int):
         ws = np.repeat(doc_start, n_win) + off
         acc = wh[ws]
         for j in range(1, k):
-            acc = splitmix64(acc ^ wh[ws + j])
+            acc = splitmix64((splitmix64(acc) if ordered else acc)
+                             ^ wh[ws + j])
     else:
         off = np.empty(0, dtype=np.int64)
         acc = np.empty(0, dtype=np.uint64)
     return win_doc, off.astype(np.int64), acc, lens, split
 
 
-def _shingle_hashes(texts, k: int, dedupe: bool = True):
+def _shingle_hashes(texts, k: int, dedupe: bool = True,
+                    ordered: bool = False):
     """Vectorized word-shingle hashing for a batch of texts.
 
     Returns (doc_idx, shingle_hash) for the DEDUPED shingle set of every doc,
@@ -175,7 +184,8 @@ def _shingle_hashes(texts, k: int, dedupe: bool = True):
     kept) — the repetition-ratio signal needs the multiset."""
     from .vhash import hash64
 
-    win_doc, _, acc, lens, split = _positional_grams(texts, k)
+    win_doc, _, acc, lens, split = _positional_grams(texts, k,
+                                                     ordered=ordered)
 
     # short docs: one shingle over the joined words
     short = (lens >= 1) & (lens < k)
@@ -560,9 +570,44 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
         m = a_half.merge(b_half, on=["id_a", "id_b"], how="outer")
         if m.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        jac = [ngram_jaccard(ta if isinstance(ta, str) else "",
-                             tb if isinstance(tb, str) else "", shingle_k)
-               for ta, tb in zip(m["text_a"], m["text_b"])]
+        # vectorized exact jaccard over ALL pairs in the bucket: shingle the
+        # UNIQUE texts once with the batch kernel (same window/short-doc
+        # semantics as _word_shingles; the hash family differs but jaccard
+        # only reads set cardinalities), then count per-pair intersections
+        # with one lexsort over the (pair, shingle) rows — no per-pair
+        # Python set building (a duplicate-heavy crawl emits 10s-100s of
+        # candidate pairs per doc; this stage was the bottleneck there)
+        ta = m["text_a"].fillna("").to_numpy(dtype=object)
+        tb = m["text_b"].fillna("").to_numpy(dtype=object)
+        n = len(m)
+        uniq, inv = np.unique(np.concatenate([ta, tb]), return_inverse=True)
+        di, sh = _shingle_hashes(uniq, shingle_k, ordered=True)
+        cnts = np.bincount(di, minlength=len(uniq))
+        starts = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
+        ia, ib = inv[:n], inv[n:]
+
+        def side_rows(idx):
+            c = cnts[idx]
+            total = int(c.sum())
+            pair = np.repeat(np.arange(n), c)
+            base = np.concatenate([[0], np.cumsum(c)[:-1]]).astype(np.int64)
+            off = np.arange(total) - np.repeat(base, c) + np.repeat(
+                starts[idx], c)
+            return pair, sh[off]
+
+        pa_i, sha = side_rows(ia)
+        pb_i, shb = side_rows(ib)
+        kp = np.concatenate([pa_i, pb_i])
+        ks = np.concatenate([sha, shb])
+        order = np.lexsort((ks, kp))
+        kp, ks = kp[order], ks[order]
+        dup = (kp[1:] == kp[:-1]) & (ks[1:] == ks[:-1])
+        inter = np.bincount(kp[1:][dup], minlength=n)
+        ca, cb = cnts[ia], cnts[ib]
+        union = ca + cb - inter
+        jac = np.where((ca == 0) & (cb == 0), 1.0,
+                       np.where((ca == 0) | (cb == 0), 0.0,
+                                inter / np.maximum(union, 1)))
         m["jaccard"] = jac
         m = m[m["jaccard"] >= jaccard_threshold]
         return pd.DataFrame({"id_a": _ids_restored(m["id_a"]),
