@@ -657,6 +657,125 @@ def repetition_ratio_batch(batch: pa.Table, col: str = "text",
                                pa.array(ratio, pa.float64()))
 
 
+#: Gopher's required-stopword list (Rae et al. 2021, appendix A1.1): a doc
+#: must contain at least 2 DISTINCT members to pass the stopword rule.
+_GOPHER_STOPS = frozenset(
+    {"the", "be", "to", "of", "and", "that", "have", "with"})
+
+#: punctuation stripped from word edges before the stopword / alpha checks
+#: ("the," counts as "the"); kept as an explicit constant so the rule is
+#: reproducible.
+_WORD_EDGE_PUNCT = "\"'`.,;:!?()[]{}<>-—–*#%&/\\|~^+="
+
+
+def gopher_rules_batch(batch: pa.Table, col: str = "text", *,
+                       min_words: int = 50, max_words: int = 100_000,
+                       min_mean_word_len: float = 3.0,
+                       max_mean_word_len: float = 10.0,
+                       max_symbol_word_ratio: float = 0.1,
+                       max_bullet_line_frac: float = 0.9,
+                       max_ellipsis_line_frac: float = 0.3,
+                       min_alpha_word_frac: float = 0.8,
+                       min_stop_hits: int = 2) -> pa.Table:
+    """Gopher repetition-free quality rules (Rae et al. 2021, appendix A1.1),
+    the published defaults as keyword knobs. Appends one boolean audit column
+    per rule plus ``gopher_pass`` (AND of all):
+
+    - word count in [50, 100,000]
+    - mean word length in [3, 10] characters
+    - symbol-to-word ratio ('#' or ellipsis) <= 0.1
+    - <= 90% of lines start with a bullet character
+    - <= 30% of lines end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 distinct members of the 8-word required-stopword list
+
+    Vectorized with pandas str kernels (explode + groupby(level=0), same
+    pattern as quality_score_batch); word-edge punctuation is stripped before
+    the stopword / alphabetic checks so "the," counts as "the". Docs with no
+    words fail the word-count rule and score 0 on the fraction rules."""
+    import pandas as pd
+
+    s = batch.column(col).to_pandas().fillna("")
+    idx = s.index
+    words = s.str.split()
+    n_words = words.str.len().fillna(0).astype("int64")
+    nw = n_words.to_numpy()
+    safe_nw = np.maximum(nw, 1).astype(np.float64)
+
+    exploded = words.explode()
+    wlen = exploded.str.len()
+    mean_wlen = (wlen.groupby(level=0).mean()
+                 .reindex(idx, fill_value=0.0).fillna(0.0).to_numpy())
+
+    # symbols: '#' plus ellipsis in either spelling; '...' occurrences are
+    # counted non-overlapping, like the paper's tokenizer would see them
+    symbols = (s.str.count("#") + s.str.count("…")
+               + s.str.count(r"\.\.\.")).to_numpy().astype(np.float64)
+    symbol_ratio = symbols / safe_nw
+
+    lines = s.str.split("\n").explode().str.strip()
+    n_lines = (lines.groupby(level=0).size()
+               .reindex(idx, fill_value=0).to_numpy().astype(np.float64))
+    # bare bullet glyphs count on their own; '-'/'*' need a following space
+    # so hyphenated words ("-item") are not miscounted as bullets
+    bullet = lines.str.match(r"^(?:[•‣▪●]|[\-\*]\s)")
+    bullet_frac = (bullet.fillna(False).groupby(level=0).sum()
+                   .reindex(idx, fill_value=0).to_numpy()
+                   / np.maximum(n_lines, 1.0))
+    ellipsis = lines.str.contains(r"(?:\.\.\.|…)$", regex=True)
+    ellipsis_frac = (ellipsis.fillna(False).groupby(level=0).sum()
+                     .reindex(idx, fill_value=0).to_numpy()
+                     / np.maximum(n_lines, 1.0))
+
+    stripped = exploded.str.strip(_WORD_EDGE_PUNCT).str.lower()
+    alpha = stripped.str.contains(r"[a-zA-Z]", regex=True)
+    alpha_frac = (alpha.fillna(False).groupby(level=0).sum()
+                  .reindex(idx, fill_value=0).to_numpy() / safe_nw)
+    stop_hits = (stripped.where(stripped.isin(_GOPHER_STOPS))
+                 .groupby(level=0).nunique()
+                 .reindex(idx, fill_value=0).to_numpy())
+
+    rules = {
+        "gopher_word_count_ok": (nw >= min_words) & (nw <= max_words),
+        "gopher_mean_word_len_ok": ((mean_wlen >= min_mean_word_len)
+                                    & (mean_wlen <= max_mean_word_len)),
+        "gopher_symbol_ratio_ok": symbol_ratio <= max_symbol_word_ratio,
+        "gopher_bullet_ok": bullet_frac <= max_bullet_line_frac,
+        "gopher_ellipsis_ok": ellipsis_frac <= max_ellipsis_line_frac,
+        "gopher_alpha_ok": alpha_frac >= min_alpha_word_frac,
+        "gopher_stopword_ok": stop_hits >= min_stop_hits,
+    }
+    out = batch
+    passed = np.ones(len(s), dtype=bool)
+    for name, flag in rules.items():
+        flag = np.asarray(flag, dtype=bool)
+        passed &= flag
+        out = out.append_column(name, pa.array(flag, pa.bool_()))
+    return out.append_column("gopher_pass", pa.array(passed, pa.bool_()))
+
+
+def compression_ratio_batch(batch: pa.Table, col: str = "text",
+                            level: int = 6) -> pa.Table:
+    """zlib compression ratio per document (compressed bytes / raw UTF-8
+    bytes; empty text -> 1.0). The standard compressibility quality signal:
+    highly repetitive/templated text compresses far below ~0.4, while
+    random-looking bytes stay near (or above) 1.0 — curation drops both
+    tails. Per-row zlib.compress is a C call on the encoded buffer (the
+    Python loop only dispatches), deterministic at a fixed level."""
+    import zlib
+
+    texts = batch.column(col).to_pylist()
+    ratios = np.empty(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        raw = (t or "").encode("utf-8")
+        if not raw:
+            ratios[i] = 1.0
+        else:
+            ratios[i] = len(zlib.compress(raw, level)) / len(raw)
+    return batch.append_column("compression_ratio",
+                               pa.array(ratios, pa.float64()))
+
+
 # ---------------------------------------------------------------------------
 # hashed n-gram language model (CCNet-style quality signal)
 # ---------------------------------------------------------------------------

@@ -103,6 +103,14 @@ class CurationConfig:
     clf_pareto_alpha: float | None = None
     clf_n_buckets: int = 1 << 16
     clf_epochs: int = 30
+    # Gopher quality rules (Rae et al. 2021): drop docs failing any rule;
+    # gopher_kwargs overrides individual published thresholds
+    gopher: bool = False
+    gopher_kwargs: dict = field(default_factory=dict)
+    # zlib compressibility gate: drop docs outside [min, max] ratio
+    # (too compressible = templated/repetitive, too incompressible = noise)
+    compression_min: float | None = None
+    compression_max: float | None = None
 
 
 def annotate_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Dataset:
@@ -116,6 +124,17 @@ def annotate_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Da
                         concurrency=(1, 8))
     ds = ds.map_batches(lambda b: token_count_batch(b, col=cfg.col),
                         batch_format="pyarrow")
+    if cfg.gopher:
+        from ..functions.text import gopher_rules_batch
+
+        ds = ds.map_batches(
+            lambda b: gopher_rules_batch(b, col=cfg.col, **cfg.gopher_kwargs),
+            batch_format="pyarrow")
+    if cfg.compression_min is not None or cfg.compression_max is not None:
+        from ..functions.text import compression_ratio_batch
+
+        ds = ds.map_batches(lambda b: compression_ratio_batch(b, col=cfg.col),
+                            batch_format="pyarrow")
     if cfg.lm_reference is not None:
         from ..functions.text import lm_score, train_ngram_lm
 
@@ -155,6 +174,14 @@ def filter_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Data
         if cfg.repetition_max is not None:
             mask = pc.and_(mask, pc.less_equal(b.column("repetition_ratio"),
                                                cfg.repetition_max))
+        if cfg.gopher:
+            mask = pc.and_(mask, b.column("gopher_pass"))
+        if cfg.compression_min is not None:
+            mask = pc.and_(mask, pc.greater_equal(
+                b.column("compression_ratio"), cfg.compression_min))
+        if cfg.compression_max is not None:
+            mask = pc.and_(mask, pc.less_equal(
+                b.column("compression_ratio"), cfg.compression_max))
         if cfg.lm_max_bits is not None:
             # NaN (empty doc) compares false -> dropped, like the reference
             # quality floor would drop it anyway

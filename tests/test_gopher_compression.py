@@ -1,0 +1,146 @@
+"""Gopher quality rules + zlib compression-ratio signal (functions/text.py)
+and their opt-in curation gates (pipelines/curation.py)."""
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from brdrq_ray.functions.text import (compression_ratio_batch,
+                                      gopher_rules_batch)
+
+# a clean passage that passes every published Gopher rule (>=50 words,
+# mean word length in [3,10], no symbols/bullets/ellipses, alphabetic,
+# contains >=2 of {the, be, to, of, and, that, have, with})
+CLEAN = ("the quick brown fox jumps over the lazy dog and runs to the wide "
+         "river where the boats have landed with crates of apples that the "
+         "farmers bring every morning before the market opens and the town "
+         "slowly wakes to the sound of bells ringing across the old square "
+         "while children chase pigeons between the stalls")
+
+
+def _flags(table, row=0):
+    t = gopher_rules_batch(table)
+    return {n: t.column(n)[row].as_py()
+            for n in t.column_names if n.startswith("gopher")}
+
+
+def test_clean_doc_passes_all_rules():
+    f = _flags(pa.table({"text": [CLEAN]}))
+    assert all(f.values()), f
+
+
+def test_word_count_rule():
+    short = "the cat sat on the mat with that hat to be of and"
+    f = _flags(pa.table({"text": [short]}))
+    assert not f["gopher_word_count_ok"] and not f["gopher_pass"]
+    # the other rules still judge the short doc on their own terms
+    assert f["gopher_stopword_ok"]
+    long_doc = " ".join(["the fox and the dog"] * 25_000)  # 125k words
+    f = _flags(pa.table({"text": [long_doc]}))
+    assert not f["gopher_word_count_ok"]
+
+
+def test_mean_word_length_rule():
+    # 60 two-letter words -> mean length 2 < 3
+    f = _flags(pa.table({"text": [" ".join(["ab"] * 60)]}))
+    assert not f["gopher_mean_word_len_ok"]
+    # 60 very long words -> mean length > 10
+    f = _flags(pa.table({"text": [" ".join(["extraordinarily"] * 60)]}))
+    assert not f["gopher_mean_word_len_ok"]
+
+
+def test_symbol_ratio_rule():
+    doc = CLEAN + " " + "#" * 20  # one 20-hash word: 20 symbols / ~56 words
+    f = _flags(pa.table({"text": [doc]}))
+    assert not f["gopher_symbol_ratio_ok"]
+    # unicode ellipsis counts too
+    doc = CLEAN + " " + " ".join(["…"] * 20)
+    f = _flags(pa.table({"text": [doc]}))
+    assert not f["gopher_symbol_ratio_ok"]
+
+
+def test_bullet_and_ellipsis_line_rules():
+    bullets = "\n".join(f"- item {i} of the list" for i in range(20))
+    f = _flags(pa.table({"text": [bullets + "\n" + CLEAN]}))
+    # 20/21 lines bulleted > 90%
+    assert not f["gopher_bullet_ok"]
+    trailing = "\n".join(f"the line {i} trails off..." for i in range(10))
+    f = _flags(pa.table({"text": [trailing + "\n" + CLEAN]}))
+    # 10/11 lines end with ellipsis > 30%
+    assert not f["gopher_ellipsis_ok"]
+    # a hyphenated word at line start is NOT a bullet ("-item" vs "- item")
+    joined = "\n".join(f"-item{i} of the list" for i in range(20))
+    f = _flags(pa.table({"text": [joined + "\n" + CLEAN]}))
+    assert f["gopher_bullet_ok"]
+
+
+def test_alpha_word_and_stopword_rules():
+    nums = " ".join(str(i) for i in range(60))
+    f = _flags(pa.table({"text": [nums]}))
+    assert not f["gopher_alpha_ok"] and not f["gopher_stopword_ok"]
+    # edge punctuation is stripped: "the," and "(and)" still count
+    doc = ("the, (and) " + " ".join(f"word{i}" for i in range(55)))
+    f = _flags(pa.table({"text": [doc]}))
+    assert f["gopher_stopword_ok"] and f["gopher_alpha_ok"]
+    # one stopword repeated is only ONE distinct hit -> fails min 2
+    doc = "the " * 60
+    f = _flags(pa.table({"text": [doc]}))
+    assert not f["gopher_stopword_ok"]
+
+
+def test_empty_and_null_docs():
+    t = gopher_rules_batch(pa.table({"text": pa.array([None, ""],
+                                                      pa.string())}))
+    assert t.column("gopher_pass").to_pylist() == [False, False]
+
+
+def test_threshold_knobs_override():
+    t = gopher_rules_batch(pa.table({"text": ["five words here right now"]}),
+                           min_words=3, min_stop_hits=0)
+    assert t.column("gopher_word_count_ok")[0].as_py()
+    assert t.column("gopher_stopword_ok")[0].as_py()
+
+
+def test_compression_ratio_values():
+    rep = "abcdef " * 500
+    rng = np.random.default_rng(7)
+    noise = "".join(chr(rng.integers(0x21, 0x7ff)) for _ in range(2000))
+    t = compression_ratio_batch(pa.table({"text": [rep, CLEAN, noise, "", None]}))
+    r = t.column("compression_ratio").to_pylist()
+    assert r[0] < 0.05                 # pure repetition compresses away
+    assert 0.2 < r[1] < 0.9            # natural text sits in the middle
+    assert r[2] > r[1]                 # noise barely compresses
+    assert r[3] == 1.0 and r[4] == 1.0  # empty/null -> neutral 1.0
+    # exact formula pin: len(zlib(level 6)) / len(raw utf-8)
+    raw = CLEAN.encode()
+    assert r[1] == len(zlib.compress(raw, 6)) / len(raw)
+
+
+def test_curation_gates(ray_session):
+    import ray.data
+
+    from brdrq_ray.pipelines.curation import CurationConfig, curate_documents
+
+    bullets = "\n".join(f"- item {i} of the list" for i in range(30))
+    rep = "the spam phrase repeats again " * 40
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([CLEAN, bullets, rep], pa.string()),
+    })
+    cfg = CurationConfig(quality_min=0.0, near_dup=False, gopher=True,
+                         compression_min=0.25, compression_max=0.95)
+    out = curate_documents(ray.data.from_arrow(docs), cfg).to_pandas()
+    # doc 2 fails the bullet rule; doc 3 compresses below 0.25
+    assert sorted(out["doc_id"]) == [1]
+    # the audit columns ride along on survivors
+    assert out["gopher_pass"].all()
+    assert ((out["compression_ratio"] >= 0.25)
+            & (out["compression_ratio"] <= 0.95)).all()
+    # knob override flows through gopher_kwargs
+    cfg2 = CurationConfig(quality_min=0.0, near_dup=False, gopher=True,
+                          gopher_kwargs={"max_bullet_line_frac": 1.0,
+                                         "min_alpha_word_frac": 0.0,
+                                         "min_mean_word_len": 0.0})
+    out2 = curate_documents(ray.data.from_arrow(docs), cfg2).to_pandas()
+    assert 2 in set(out2["doc_id"])
