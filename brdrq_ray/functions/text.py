@@ -754,6 +754,63 @@ def gopher_rules_batch(batch: pa.Table, col: str = "text", *,
     return out.append_column("gopher_pass", pa.array(passed, pa.bool_()))
 
 
+#: C4's banned line phrases (Raffel et al. 2020 section 2.2: the Javascript
+#: rule plus the cookie/policy notice list) — any line containing one,
+#: case-insensitively, is dropped.
+_C4_LINE_PHRASES = ("javascript", "terms of use", "privacy policy",
+                    "cookie policy", "uses cookies", "use of cookies",
+                    "use cookies")
+
+
+def c4_clean_batch(batch: pa.Table, col: str = "text", *,
+                   min_line_words: int = 5, min_sentences: int = 3,
+                   banned_line_phrases: tuple = _C4_LINE_PHRASES,
+                   banned_doc_substrings: tuple = ("lorem ipsum", "{", "}"),
+                   ) -> pa.Table:
+    """C4 line/page cleaning (Raffel et al. 2020, section 2.2), the published
+    rules as knobs. Line level — a line is kept only if it ends in a terminal
+    punctuation mark (.!?" or a closing quote), has >= 5 words, and contains
+    none of the banned phrases (Javascript + the cookie/policy list),
+    matched case-insensitively. Page level — ``c4_doc_ok`` is False when the
+    cleaned text has fewer than 3 sentences (terminal-punctuation count) or
+    the ORIGINAL text contains "lorem ipsum" (case-insensitive) or a curly
+    bracket. The text column is rewritten in place (kept lines keep their
+    trimmed bytes, joined by newlines); ``c4_lines_removed`` counts dropped
+    lines per doc. Stateless and per-batch — one vectorized explode/groupby,
+    no shuffle; pages are dropped by filtering on c4_doc_ok downstream."""
+    import pandas as pd
+
+    s = batch.column(col).to_pandas().fillna("")
+    idx = s.index
+    lines = s.str.split("\n").explode()
+    st = lines.str.strip().fillna("")
+    low = st.str.lower()
+    ok = st.str.contains(r'[.!?]["\'’”»]?$', regex=True).fillna(False)
+    ok &= st.str.split().str.len().fillna(0) >= min_line_words
+    for phrase in banned_line_phrases:
+        ok &= ~low.str.contains(phrase.lower(), regex=False)
+    n_lines = st.groupby(level=0).size().reindex(idx, fill_value=0)
+    ok_arr = ok.to_numpy(dtype=bool)
+    kept = st[ok_arr]
+    joined = (kept.groupby(level=0).agg("\n".join)
+              .reindex(idx, fill_value="").fillna(""))
+    n_kept = (pd.Series(ok_arr, index=st.index).groupby(level=0).sum()
+              .reindex(idx, fill_value=0))
+    removed = (n_lines - n_kept).astype("int64")
+
+    sentences = joined.str.count(r"[.!?]")
+    doc_ok = (sentences >= min_sentences).to_numpy(dtype=bool)
+    s_low = s.str.lower()
+    for sub in banned_doc_substrings:
+        doc_ok &= ~s_low.str.contains(sub.lower(), regex=False).to_numpy()
+
+    i = batch.schema.get_field_index(col)
+    return (batch.set_column(i, col, pa.array(joined.tolist(), pa.string()))
+            .append_column("c4_lines_removed",
+                           pa.array(removed.to_numpy(), pa.int64()))
+            .append_column("c4_doc_ok", pa.array(doc_ok, pa.bool_())))
+
+
 def compression_ratio_batch(batch: pa.Table, col: str = "text",
                             level: int = 6) -> pa.Table:
     """zlib compression ratio per document (compressed bytes / raw UTF-8

@@ -103,6 +103,11 @@ class CurationConfig:
     clf_pareto_alpha: float | None = None
     clf_n_buckets: int = 1 << 16
     clf_epochs: int = 30
+    # C4 line/page cleaning (Raffel et al. 2020): rewrite text by the line
+    # rules, drop pages failing the page rules; runs FIRST (before
+    # boilerplate/annotation — everything downstream sees cleaned text)
+    c4: bool = False
+    c4_kwargs: dict = field(default_factory=dict)
     # Gopher quality rules (Rae et al. 2021): drop docs failing any rule;
     # gopher_kwargs overrides individual published thresholds
     gopher: bool = False
@@ -278,6 +283,15 @@ def curate_documents(ds: ray.data.Dataset,
             and cfg.clf_positive is None:
         raise ValueError("clf_min_prob/clf_pareto_alpha need clf_positive "
                          "and clf_negative training corpora")
+    if cfg.c4:
+        from ..functions.text import c4_clean_batch
+
+        ds = (ds.map_batches(
+                  lambda b: c4_clean_batch(b, col=cfg.col, **cfg.c4_kwargs),
+                  batch_format="pyarrow")
+              .map_batches(lambda b: b.filter(b.column("c4_doc_ok"))
+                           .drop_columns(["c4_doc_ok"]),
+                           batch_format="pyarrow"))
     if cfg.boilerplate_min_docs is not None:
         from ..functions.text import remove_boilerplate_lines
 

@@ -144,3 +144,58 @@ def test_curation_gates(ray_session):
                                          "min_mean_word_len": 0.0})
     out2 = curate_documents(ray.data.from_arrow(docs), cfg2).to_pandas()
     assert 2 in set(out2["doc_id"])
+
+
+def test_c4_clean_batch_line_rules():
+    from brdrq_ray.functions.text import c4_clean_batch
+
+    doc = "\n".join([
+        "This sentence ends with a period and has many words.",   # kept
+        "short line.",                                            # <5 words
+        "This line has no terminal punctuation at all here",      # no punct
+        "Enable Javascript to view this page properly please.",   # phrase
+        "We use cookies to improve your experience on this site.",  # phrase
+        'He said "this quoted sentence is long enough to stay."',  # kept
+        "Does this question have enough words to be retained?",   # kept
+    ])
+    t = c4_clean_batch(pa.table({"text": [doc]}))
+    out = t.column("text")[0].as_py()
+    assert out.count("\n") == 2 and out.startswith("This sentence")
+    assert "cookies" not in out and "Javascript" not in out
+    assert t.column("c4_lines_removed")[0].as_py() == 4
+    assert t.column("c4_doc_ok")[0].as_py()  # 3 sentences survive
+
+
+def test_c4_clean_batch_page_rules():
+    from brdrq_ray.functions.text import c4_clean_batch
+
+    good = ("The first sentence is here with enough words in it.\n"
+            "The second sentence follows right behind it with more words.\n"
+            "And the third sentence completes the minimum requirement too.")
+    two = ("The first sentence is here with enough words in it.\n"
+           "The second sentence follows right behind it with more words")
+    lorem = good + "\nThis page contains Lorem Ipsum placeholder filler text."
+    curly = good + "\nfunction f() { return 1; } ends with a period though."
+    t = c4_clean_batch(pa.table({"text": [good, two, lorem, curly, "", None]}))
+    assert t.column("c4_doc_ok").to_pylist() == [True, False, False, False,
+                                                 False, False]
+
+
+def test_c4_curation_stage(ray_session):
+    import ray.data
+
+    from brdrq_ray.pipelines.curation import CurationConfig, curate_documents
+
+    good = " ".join(["the quick brown fox jumps over the lazy dog and runs"]
+                    * 6) + "."
+    good = "\n".join([good, good, good])  # 3 long terminal-punct lines
+    lorem = good + "\nlorem ipsum dolor sit amet filler text goes here now."
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([good, lorem], pa.string()),
+    })
+    cfg = CurationConfig(quality_min=0.0, near_dup=False, c4=True)
+    out = curate_documents(ray.data.from_arrow(docs), cfg).to_pandas()
+    assert sorted(out["doc_id"]) == [1]
+    assert "c4_doc_ok" not in out.columns  # page flag consumed by the stage
+    assert (out["c4_lines_removed"] == 0).all()
