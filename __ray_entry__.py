@@ -269,7 +269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def text_quality(sf_dir: str):
         import pyarrow.compute as pc
         import ray.data
-        from brdrq_ray.functions.text import (analyze_documents, lm_score,
+        from brdrq_ray.functions.text import (analyze_documents,
+                                              compression_ratio_batch,
+                                              gopher_rules_batch, lm_score,
                                               train_ngram_lm)
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                    columns=["doc_id", "text"])
@@ -284,10 +286,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         model = train_ngram_lm(ref, n_buckets=1 << 18)
         out = lm_score(out, model)
+        # composite since r4.4: Gopher rule verdict (published thresholds,
+        # the fixture docs are shorter than 50 words so the word-count knob
+        # is lowered to make the other rules load-bearing) + zlib
+        # compression ratio — both deterministic pure batch fns
+        out = out.map_batches(
+            lambda b: gopher_rules_batch(b, min_words=10),
+            batch_format="pyarrow")
+        out = out.map_batches(compression_ratio_batch, batch_format="pyarrow")
         return _round_floats(
             out.select_columns(["doc_id", "ws_tokens", "bpe_tokens", "n_words",
-                                "quality_score", "lang_pred", "lm_bits"]),
-            ["quality_score", "lm_bits"], 6)
+                                "quality_score", "lang_pred", "lm_bits",
+                                "gopher_pass", "compression_ratio"]),
+            ["quality_score", "lm_bits", "compression_ratio"], 6)
 
     def normalize_split(sf_dir: str):
         """Composite driver row: text normalization + deterministic hash
