@@ -446,22 +446,22 @@ def dsir_resample(ds, target_lm: dict, raw_lm: dict, k: int | None = None,
     replacement with probability proportional to exp(importance weight) —
     the Gumbel-top-k construction, RNG-free via hash60(seed|id) uniforms.
 
-    Distributed shape: weight + key stages are per-row appends (no shuffle);
-    the key range comes from one min/max aggregate pass and the exact top-k
-    boundary from token_budget_cut's recursive histogram (unit token weights,
-    budget = k) — streaming scans only, never a global sort. The input is
-    consumed by several passes: hand in a checkpointed/materialized Dataset
-    when the upstream is expensive (same contract as select_token_budget)."""
+    Distributed shape: weights + keys are computed in ONE full-corpus pass
+    whose (id, key) projection — two scalar columns — is pinned; the key
+    range (min/max aggregate) and the exact top-k boundary
+    (token_budget_cut's recursive histogram, unit token weights, budget = k)
+    then iterate over that tiny projection, never re-reading the text or
+    re-running the weight actors. One final full pass recomputes the weight
+    (deterministic) to attach ``weight_col`` and apply the membership filter
+    — streaming scans only, never a global sort. Hand in a checkpointed/
+    materialized Dataset when the upstream is expensive (the two full passes
+    re-execute any lazy upstream, same contract as select_token_budget)."""
+    import ray
     from ray.data.aggregate import Max, Min
 
     if (k is None) == (fraction is None):
         raise ValueError("pass exactly one of k / fraction")
-    if fraction is not None:
-        k = round(fraction * ds.count())
     key_col = "__dsir_key"
-
-    keyed = dsir_log_weights(ds, target_lm, raw_lm, col=col,
-                             weight_col=weight_col)
 
     def add_key(batch: pa.Table) -> pa.Table:
         w = batch.column(weight_col).to_numpy(zero_copy_only=False)
@@ -470,14 +470,33 @@ def dsir_resample(ds, target_lm: dict, raw_lm: dict, k: int | None = None,
                      .append_column("__one", pa.array(
                          np.ones(batch.num_rows, np.int64))))
 
-    keyed = keyed.map_batches(add_key, batch_format="pyarrow")
-    rng = keyed.aggregate(Min(key_col, alias_name="lo"),
-                          Max(key_col, alias_name="hi"))
+    keyed = (dsir_log_weights(ds, target_lm, raw_lm, col=col,
+                              weight_col=weight_col)
+             .map_batches(add_key, batch_format="pyarrow"))
+    # pin the 3-scalar-column projection ONCE: everything the boundary
+    # search needs, at a fraction of the corpus width (the fraction-mode
+    # count rides along for free instead of being its own pass)
+    proj = keyed.select_columns([id_col, key_col, "__one"]).materialize()
+    if fraction is not None:
+        k = round(fraction * proj.count())
+    rng = proj.aggregate(Min(key_col, alias_name="lo"),
+                         Max(key_col, alias_name="hi"))
     lo, hi = float(rng["lo"]), float(rng["hi"])
     if not lo < hi:
         hi = lo + 1.0
-    out = select_token_budget(keyed, int(k), score_col=key_col,
-                              token_col="__one", id_col=id_col, seed=seed,
-                              score_range=(lo, hi), **budget_kwargs)
-    return out.map_batches(lambda t: t.drop_columns([key_col, "__one"]),
-                           batch_format="pyarrow")
+    cut, boundary_ids = token_budget_cut(
+        proj, int(k), score_col=key_col, token_col="__one", id_col=id_col,
+        seed=seed, score_range=(lo, hi), **budget_kwargs)
+    bid_ref = ray.put(boundary_ids)
+
+    class KeepSampled:
+        def __init__(self):
+            self.bids = ray.get(bid_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = _budget_membership(batch, cut, self.bids, key_col, id_col)
+            return batch.filter(pa.array(keep)).drop_columns(
+                [key_col, "__one"])
+
+    return keyed.map_batches(KeepSampled, batch_format="pyarrow",
+                             concurrency=(1, 8))
