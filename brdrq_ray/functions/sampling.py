@@ -328,9 +328,12 @@ def select_token_budget(ds, budget: int, score_col: str = "quality_score",
     Returns the filtered Dataset (selection only, original columns)."""
     import ray
 
+    # the boundary search makes up to max_depth+1 passes — run them over a
+    # pinned 3-scalar-column projection, not the full-width corpus
+    proj = ds.select_columns([id_col, score_col, token_col]).materialize()
     cut, boundary_ids = token_budget_cut(
-        ds, budget, score_col=score_col, token_col=token_col, id_col=id_col,
-        seed=seed, **kwargs)
+        proj, budget, score_col=score_col, token_col=token_col,
+        id_col=id_col, seed=seed, **kwargs)
     bid_ref = ray.put(boundary_ids)
 
     class KeepSelected:
@@ -354,9 +357,10 @@ def flag_token_budget(ds, budget: int, score_col: str = "quality_score",
     kept, membership marked)."""
     import ray
 
+    proj = ds.select_columns([id_col, score_col, token_col]).materialize()
     cut, boundary_ids = token_budget_cut(
-        ds, budget, score_col=score_col, token_col=token_col, id_col=id_col,
-        seed=seed, **kwargs)
+        proj, budget, score_col=score_col, token_col=token_col,
+        id_col=id_col, seed=seed, **kwargs)
     bid_ref = ray.put(boundary_ids)
 
     class FlagSelected:
