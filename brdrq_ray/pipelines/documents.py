@@ -241,3 +241,192 @@ def span_sequence_table(documents: ray.data.Dataset, with_text: bool = True) -> 
         return pa.table(cols)
 
     return documents.map_batches(flatten, batch_format="pyarrow")
+
+
+# --- media-payload dedup across interleaved documents ------------------------
+# The crawl reality for interleaved text+media corpora: the same image bytes
+# appear under thousands of distinct refs (mirrors, CDNs, re-uploads). Dedup
+# canonicalizes refs by payload content hash so storage keeps ONE copy and
+# every span points at it — the media analog of exact text dedup.
+
+
+def canonical_media_refs(media: ray.data.Dataset, ref_col: str = "media_ref",
+                         payload_col: str = "payload",
+                         n_buckets: int = 64) -> ray.data.Dataset:
+    """(media_ref, canonical_ref) for every media row: canonical = the
+    lexicographically smallest ref among rows with byte-identical payloads
+    (md5 content hash). Scale shape: only the (ref, hash) projection
+    shuffles — one hash-bucketed groupby, payload bytes never move; per
+    bucket the canonical ref is one vectorized pandas transform."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..functions.vhash import bucket_i32
+
+    def content_hash(batch: pa.Table) -> pa.Table:
+        payloads = batch.column(payload_col).to_pylist()
+        h = [hashlib.md5(p or b"").hexdigest() for p in payloads]
+        return pa.table({ref_col: batch.column(ref_col).cast(pa.string()),
+                         "__h": pa.array(h, pa.string()),
+                         "__b": bucket_i32(pa.array(h, pa.string()),
+                                           n_buckets)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        canon = g.groupby("__h")[ref_col].transform("min")
+        return pd.DataFrame({ref_col: g[ref_col].to_numpy(),
+                             "canonical_ref": canon.to_numpy()})
+
+    return (media.map_batches(content_hash, batch_format="pyarrow")
+            .groupby("__b").map_groups(per_bucket, batch_format="pandas"))
+
+
+def _replace_media_refs(batch: pa.Table, old_index, new_refs) -> pa.Table:
+    """Rebuild the spans column with media_ref values remapped through
+    (old_index -> new_refs). Pure Arrow list/struct surgery: the list
+    offsets are reused verbatim, only the media_ref child array changes —
+    span order, kinds, texts and offsets are untouched by construction."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    refs = flat.field("media_ref").to_numpy(zero_copy_only=False)
+    idx = old_index.get_indexer(refs)
+    hit = idx >= 0
+    if hit.any():
+        refs = refs.copy()
+        refs[hit] = new_refs[idx[hit]]
+    offsets = spans.offsets.to_numpy(zero_copy_only=False)
+    struct = pa.StructArray.from_arrays(
+        [flat.field("kind"), flat.field("text"),
+         pa.array(refs, pa.string()), flat.field("offset")],
+        ["kind", "text", "media_ref", "offset"])
+    rebuilt = pa.ListArray.from_arrays(
+        pa.array(offsets - offsets[0], pa.int32()), struct)
+    i = batch.schema.get_field_index("spans")
+    return batch.set_column(i, "spans", rebuilt)
+
+
+def dedup_media_payloads(docs: ray.data.Dataset, media: ray.data.Dataset,
+                         ref_col: str = "media_ref",
+                         payload_col: str = "payload",
+                         n_buckets: int = 64,
+                         broadcast_limit: int = 4_000_000):
+    """Dedup media payloads across an interleaved corpus. Returns
+    ``(docs_rewritten, media_kept, remap)``:
+
+    - ``remap``: (media_ref, canonical_ref) for refs that CHANGE (bounded by
+      the duplicate count, not the corpus);
+    - ``media_kept``: the media table with duplicate-payload rows removed
+      (canonical refs only), via a distributed anti semi-join;
+    - ``docs_rewritten``: every media span's ref canonicalized, all other
+      span fields and the span order byte-identical (the north-rule
+      span-sequence invariant holds on (kind, text, order); media_ref
+      changes are exactly the remap rows).
+
+    Hybrid rewrite like remove_boilerplate_lines: at or below
+    ``broadcast_limit`` remap rows the mapping ships once via ray.put and
+    each batch remaps with one hash-based pandas get_indexer (zero
+    shuffles); above it the spans explode, the canonical ref attaches by a
+    distributed lookup join, and documents are rebuilt by a bucketed
+    groupby with Arrow list surgery — no driver-side mapping at any size."""
+    import pandas as pd
+
+    import ray
+
+    from ..functions.relational import semi_join
+
+    mapping = canonical_media_refs(media, ref_col=ref_col,
+                                   payload_col=payload_col,
+                                   n_buckets=n_buckets)
+    remap = mapping.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t.column(ref_col),
+                                                t.column("canonical_ref"))),
+        batch_format="pyarrow").materialize()
+    media_kept = semi_join(media, remap.select_columns([ref_col]),
+                           on=ref_col, anti=True)
+    n_remap = remap.count()
+    if n_remap == 0:
+        return docs, media_kept, remap
+
+    if n_remap <= broadcast_limit:
+        tbl = pa.concat_tables([ray.get(r) for r in remap.to_arrow_refs()])
+        map_ref = ray.put(tbl.combine_chunks())
+
+        class RewriteRefs:
+            def __init__(self):
+                t = ray.get(map_ref)
+                self.old = pd.Index(
+                    t.column(ref_col).to_numpy(zero_copy_only=False))
+                self.new = t.column("canonical_ref").to_numpy(
+                    zero_copy_only=False)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                return _replace_media_refs(batch, self.old, self.new)
+
+        return (docs.map_batches(RewriteRefs, batch_format="pyarrow",
+                                 concurrency=(1, 8)),
+                media_kept, remap)
+
+    # ---- distributed leg (remap too large for any broadcast) ---------------
+    from ..functions.relational import lookup_join
+    from ..functions.vhash import bucket_i32
+
+    flat = span_sequence_table(docs, with_text=True)
+    joined = lookup_join(flat, remap.map_batches(
+        lambda t: t.rename_columns([ref_col, "__canon"]),
+        batch_format="pyarrow"), on=ref_col, value_col="__canon",
+        n_buckets=n_buckets)
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        ref = pa.compute.coalesce(t.column("__canon"), t.column(ref_col))
+        t = t.set_column(t.schema.get_field_index(ref_col), ref_col, ref)
+        return (t.drop_columns(["__canon"])
+                 .append_column("__db", bucket_i32(
+                     t.column("doc_id").cast(pa.string()), n_buckets)))
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("doc_id", "ascending"),
+                               ("span_idx", "ascending")])
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        first = np.ones(len(doc), dtype=bool)
+        first[1:] = doc[1:] != doc[:-1]
+        starts = np.nonzero(first)[0]
+        offsets = np.append(starts, len(doc)).astype(np.int32)
+        struct = pa.StructArray.from_arrays(
+            [group.column("kind").combine_chunks(),
+             group.column("text").combine_chunks(),
+             group.column(ref_col).combine_chunks(),
+             group.column("offset").combine_chunks()],
+            ["kind", "text", "media_ref", "offset"])
+        spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         struct)
+        return pa.table({"doc_id": pa.array(doc[starts]),
+                         "__spans": spans})
+
+    rebuilt = (joined.map_batches(add_doc_bucket, batch_format="pyarrow")
+               .groupby("__db").map_groups(rebuild, batch_format="pyarrow"))
+    out = lookup_join(docs, rebuilt, on="doc_id", value_col="__spans",
+                      n_buckets=n_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        new = t.column("__spans")
+        if isinstance(new, pa.ChunkedArray):
+            new = new.combine_chunks()
+        old = t.column("spans")
+        if isinstance(old, pa.ChunkedArray):
+            old = old.combine_chunks()
+        if new.null_count:
+            # a doc with zero spans never explodes -> no rebuilt row; keep
+            # its original (empty) list. Rare by construction, so the
+            # per-null python fallback never sees real volume.
+            keep = new.is_valid().to_numpy(zero_copy_only=False)
+            vals = [new[i].as_py() if keep[i] else old[i].as_py()
+                    for i in range(len(new))]
+            new = pa.array(vals, type=old.type)
+        i = t.schema.get_field_index("spans")
+        return t.set_column(i, "spans", new.cast(old.type)) \
+                .drop_columns(["__spans"])
+
+    return (out.map_batches(finish, batch_format="pyarrow"),
+            media_kept, remap)

@@ -1,0 +1,109 @@
+"""Media-payload dedup across interleaved documents
+(pipelines/documents.py::dedup_media_payloads)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from brdrq_ray.pipelines.documents import (canonical_media_refs,
+                                           dedup_media_payloads,
+                                           span_sequence_table)
+from brdrq_ray.sources.fixtures import make_documents_table
+
+
+def _media_for(docs_tbl: pa.Table, dup_groups: int = 7) -> pa.Table:
+    """One media row per media span ref; refs are assigned payloads so that
+    every `dup_groups`-th ref shares identical bytes (cross-doc duplicates)."""
+    refs = []
+    for spans in docs_tbl.column("spans").to_pylist():
+        refs += [s["media_ref"] for s in spans if s["kind"] == "media"]
+    refs = sorted(set(refs))
+    payloads = [f"PAYLOAD-{i % dup_groups}".encode() * 10
+                for i in range(len(refs))]
+    return pa.table({"media_ref": pa.array(refs, pa.string()),
+                     "payload": pa.array(payloads, pa.binary())})
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    import ray.data
+
+    docs_tbl = make_documents_table(n_docs=60, seed=11)
+    media_tbl = _media_for(docs_tbl)
+    return (ray.data.from_arrow(docs_tbl), ray.data.from_arrow(media_tbl),
+            docs_tbl, media_tbl)
+
+
+def _expected_mapping(media_tbl: pa.Table) -> dict:
+    import hashlib
+    by_hash = {}
+    for ref, payload in zip(media_tbl.column("media_ref").to_pylist(),
+                            media_tbl.column("payload").to_pylist()):
+        by_hash.setdefault(hashlib.md5(payload).hexdigest(), []).append(ref)
+    out = {}
+    for refs in by_hash.values():
+        canon = min(refs)
+        for r in refs:
+            out[r] = canon
+    return out
+
+
+def test_canonical_media_refs(corpus):
+    docs, media, _, media_tbl = corpus
+    got = canonical_media_refs(media).to_pandas()
+    expected = _expected_mapping(media_tbl)
+    assert dict(zip(got["media_ref"], got["canonical_ref"])) == expected
+    assert len(got) == media_tbl.num_rows
+
+
+def _check(docs_tbl, media_tbl, out_docs, out_media, remap):
+    expected = _expected_mapping(media_tbl)
+    remap_df = remap.to_pandas()
+    assert set(remap_df["media_ref"]) == {r for r, c in expected.items()
+                                          if r != c}
+    # media table keeps exactly the canonical rows
+    kept = sorted(out_media.to_pandas()["media_ref"])
+    assert kept == sorted(set(expected.values()))
+    # span sequences: (kind, text, offset, order) byte-identical; media_ref
+    # equals the canonical mapping of the original
+    import ray.data
+    before = (span_sequence_table(ray.data.from_arrow(docs_tbl))
+              .to_pandas().sort_values(["doc_id", "span_idx"])
+              .reset_index(drop=True))
+    after = (span_sequence_table(out_docs)
+             .to_pandas().sort_values(["doc_id", "span_idx"])
+             .reset_index(drop=True))
+    assert (before[["doc_id", "span_idx", "kind", "text", "offset"]]
+            .equals(after[["doc_id", "span_idx", "kind", "text", "offset"]]))
+    want_ref = before["media_ref"].map(lambda r: expected.get(r, r))
+    assert (after["media_ref"] == want_ref).all()
+
+
+def test_dedup_media_broadcast_leg(corpus):
+    docs, media, docs_tbl, media_tbl = corpus
+    out_docs, out_media, remap = dedup_media_payloads(docs, media)
+    _check(docs_tbl, media_tbl, out_docs, out_media, remap)
+
+
+def test_dedup_media_distributed_leg(corpus):
+    docs, media, docs_tbl, media_tbl = corpus
+    out_docs, out_media, remap = dedup_media_payloads(docs, media,
+                                                      broadcast_limit=0)
+    _check(docs_tbl, media_tbl, out_docs, out_media, remap)
+
+
+def test_no_duplicates_is_identity(ray_session):
+    import ray.data
+
+    docs_tbl = make_documents_table(n_docs=20, seed=3)
+    media_tbl = _media_for(docs_tbl, dup_groups=10_000)  # all distinct
+    docs = ray.data.from_arrow(docs_tbl)
+    media = ray.data.from_arrow(media_tbl)
+    out_docs, out_media, remap = dedup_media_payloads(docs, media)
+    assert remap.count() == 0
+    assert out_media.count() == media_tbl.num_rows
+    same = (span_sequence_table(out_docs).to_pandas()
+            .sort_values(["doc_id", "span_idx"]).reset_index(drop=True))
+    orig = (span_sequence_table(docs).to_pandas()
+            .sort_values(["doc_id", "span_idx"]).reset_index(drop=True))
+    assert same.equals(orig)
