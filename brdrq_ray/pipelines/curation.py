@@ -116,6 +116,10 @@ class CurationConfig:
     # (too compressible = templated/repetitive, too incompressible = noise)
     compression_min: float | None = None
     compression_max: float | None = None
+    # media-payload dedup for curate_interleaved: a (media_ref, payload)
+    # Dataset; duplicate payloads are canonicalized before curation
+    media: object | None = None
+    media_kwargs: dict = field(default_factory=dict)
 
 
 def annotate_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Dataset:
@@ -427,10 +431,25 @@ def curate_interleaved(docs: ray.data.Dataset,
     survivors are selected with the distributed semi-join — the span table
     itself is never shuffled or rewritten. ``docs`` is consumed twice
     (projection + semi-join); from parquet/Lance both are streaming
-    re-reads, so nothing materializes."""
+    re-reads, so nothing materializes.
+
+    With ``cfg.media`` set (a (media_ref, payload) Dataset), media-payload
+    dedup runs FIRST: duplicate payloads are canonicalized by content hash
+    and every surviving span points at the canonical ref
+    (pipelines.documents.dedup_media_payloads) — the span invariant then
+    holds on (kind, text, order) with media_ref equal up to the canonical
+    remap."""
     from ..functions.relational import semi_join
 
     cfg = cfg or CurationConfig()
+    if cfg.media is not None:
+        from .documents import dedup_media_payloads
+
+        docs, _, _ = dedup_media_payloads(docs, cfg.media,
+                                          **cfg.media_kwargs)
+        # two downstream consumers (projection + semi-join) would re-run
+        # the rewrite on a lazy input; pin the rewritten corpus once
+        docs = docs.materialize()
     flat = docs.map_batches(
         lambda b: extract_document_text(b, col=cfg.col),
         batch_format="pyarrow")

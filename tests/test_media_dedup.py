@@ -107,3 +107,26 @@ def test_no_duplicates_is_identity(ray_session):
     orig = (span_sequence_table(docs).to_pandas()
             .sort_values(["doc_id", "span_idx"]).reset_index(drop=True))
     assert same.equals(orig)
+
+
+def test_curate_interleaved_with_media(ray_session):
+    import ray.data
+
+    from brdrq_ray.pipelines.curation import (CurationConfig,
+                                              curate_interleaved)
+
+    docs_tbl = make_documents_table(n_docs=40, seed=19)
+    media_tbl = _media_for(docs_tbl, dup_groups=5)
+    expected = _expected_mapping(media_tbl)
+    cfg = CurationConfig(quality_min=0.0, near_dup=False,
+                         media=ray.data.from_arrow(media_tbl))
+    out = curate_interleaved(ray.data.from_arrow(docs_tbl), cfg)
+    after = (span_sequence_table(out).to_pandas()
+             .sort_values(["doc_id", "span_idx"]).reset_index(drop=True))
+    before = (span_sequence_table(ray.data.from_arrow(docs_tbl)).to_pandas()
+              .sort_values(["doc_id", "span_idx"]).reset_index(drop=True))
+    # no doc dropped by the permissive gates; spans identical up to remap
+    assert (before[["doc_id", "span_idx", "kind", "text", "offset"]]
+            .equals(after[["doc_id", "span_idx", "kind", "text", "offset"]]))
+    want = before["media_ref"].map(lambda r: expected.get(r, r))
+    assert (after["media_ref"] == want).all()
