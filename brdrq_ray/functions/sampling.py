@@ -315,6 +315,45 @@ def _budget_membership(batch: pa.Table, cut: float, bids, score_col: str,
     return keep
 
 
+def _pinned_budget_cut(ds, budget: int, score_col: str, token_col: str,
+                       id_col: str, seed: str, **kwargs):
+    """Shared shape of every budget-boundary consumer: pin the 3-scalar
+    -column projection (the boundary search makes up to max_depth+1 passes —
+    they must not re-scan the full corpus width or re-run upstream actors),
+    run token_budget_cut over it, ship the boundary-id set once. Returns
+    (cut, boundary_ids object ref)."""
+    import ray
+
+    proj = ds.select_columns([id_col, score_col, token_col]).materialize()
+    cut, boundary_ids = token_budget_cut(
+        proj, budget, score_col=score_col, token_col=token_col,
+        id_col=id_col, seed=seed, **kwargs)
+    return cut, ray.put(boundary_ids)
+
+
+def _membership_stage(cut: float, bid_ref, score_col: str, id_col: str,
+                      flag_col: str | None = None,
+                      drop_cols: list | None = None):
+    """Actor-stage factory over _budget_membership: filter rows (default),
+    or append ``flag_col`` instead; ``drop_cols`` are removed after the
+    filter (the dsir caller drops its scratch key columns)."""
+    import ray
+
+    class Membership:
+        def __init__(self):
+            self.bids = ray.get(bid_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = _budget_membership(batch, cut, self.bids, score_col,
+                                      id_col)
+            if flag_col is not None:
+                return batch.append_column(flag_col, pa.array(keep))
+            out = batch.filter(pa.array(keep))
+            return out.drop_columns(drop_cols) if drop_cols else out
+
+    return Membership
+
+
 def select_token_budget(ds, budget: int, score_col: str = "quality_score",
                         token_col: str = "ws_tokens", id_col: str = "doc_id",
                         seed: str = "budget", **kwargs):
@@ -326,26 +365,10 @@ def select_token_budget(ds, budget: int, score_col: str = "quality_score",
     refinement — never a global sort).
 
     Returns the filtered Dataset (selection only, original columns)."""
-    import ray
-
-    # the boundary search makes up to max_depth+1 passes — run them over a
-    # pinned 3-scalar-column projection, not the full-width corpus
-    proj = ds.select_columns([id_col, score_col, token_col]).materialize()
-    cut, boundary_ids = token_budget_cut(
-        proj, budget, score_col=score_col, token_col=token_col,
-        id_col=id_col, seed=seed, **kwargs)
-    bid_ref = ray.put(boundary_ids)
-
-    class KeepSelected:
-        def __init__(self):
-            self.bids = ray.get(bid_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = _budget_membership(batch, cut, self.bids, score_col, id_col)
-            return batch.filter(pa.array(keep))
-
-    return ds.map_batches(KeepSelected, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    cut, bid_ref = _pinned_budget_cut(ds, budget, score_col, token_col,
+                                      id_col, seed, **kwargs)
+    return ds.map_batches(_membership_stage(cut, bid_ref, score_col, id_col),
+                          batch_format="pyarrow", concurrency=(1, 8))
 
 
 def flag_token_budget(ds, budget: int, score_col: str = "quality_score",
@@ -355,24 +378,11 @@ def flag_token_budget(ds, budget: int, score_col: str = "quality_score",
     """Same selection as ``select_token_budget`` but appends a boolean
     ``flag_col`` instead of filtering — the audit/composite form (all rows
     kept, membership marked)."""
-    import ray
-
-    proj = ds.select_columns([id_col, score_col, token_col]).materialize()
-    cut, boundary_ids = token_budget_cut(
-        proj, budget, score_col=score_col, token_col=token_col,
-        id_col=id_col, seed=seed, **kwargs)
-    bid_ref = ray.put(boundary_ids)
-
-    class FlagSelected:
-        def __init__(self):
-            self.bids = ray.get(bid_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = _budget_membership(batch, cut, self.bids, score_col, id_col)
-            return batch.append_column(flag_col, pa.array(keep))
-
-    return ds.map_batches(FlagSelected, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    cut, bid_ref = _pinned_budget_cut(ds, budget, score_col, token_col,
+                                      id_col, seed, **kwargs)
+    return ds.map_batches(_membership_stage(cut, bid_ref, score_col, id_col,
+                                            flag_col=flag_col),
+                          batch_format="pyarrow", concurrency=(1, 8))
 
 
 # ---------------------------------------------------------------------------
@@ -492,15 +502,7 @@ def dsir_resample(ds, target_lm: dict, raw_lm: dict, k: int | None = None,
         proj, int(k), score_col=key_col, token_col="__one", id_col=id_col,
         seed=seed, score_range=(lo, hi), **budget_kwargs)
     bid_ref = ray.put(boundary_ids)
-
-    class KeepSampled:
-        def __init__(self):
-            self.bids = ray.get(bid_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = _budget_membership(batch, cut, self.bids, key_col, id_col)
-            return batch.filter(pa.array(keep)).drop_columns(
-                [key_col, "__one"])
-
-    return keyed.map_batches(KeepSampled, batch_format="pyarrow",
-                             concurrency=(1, 8))
+    return keyed.map_batches(
+        _membership_stage(cut, bid_ref, key_col, id_col,
+                          drop_cols=[key_col, "__one"]),
+        batch_format="pyarrow", concurrency=(1, 8))

@@ -728,7 +728,9 @@ def gopher_rules_batch(batch: pa.Table, col: str = "text", *,
                      / np.maximum(n_lines, 1.0))
 
     stripped = exploded.str.strip(_WORD_EDGE_PUNCT).str.lower()
-    alpha = stripped.str.contains(r"[a-zA-Z]", regex=True)
+    # Unicode alphabetic (the published rule says "alphabetic character",
+    # not ASCII): [^\W\d_] = any word character that is not a digit or _
+    alpha = stripped.str.contains(r"[^\W\d_]", regex=True)
     alpha_frac = (alpha.fillna(False).groupby(level=0).sum()
                   .reindex(idx, fill_value=0).to_numpy() / safe_nw)
     stop_hits = (stripped.where(stripped.isin(_GOPHER_STOPS))
@@ -785,7 +787,9 @@ def c4_clean_batch(batch: pa.Table, col: str = "text", *,
     lines = s.str.split("\n").explode()
     st = lines.str.strip().fillna("")
     low = st.str.lower()
-    ok = st.str.contains(r'[.!?]["\'’”»]?$', regex=True).fillna(False)
+    # terminal = period / ! / ? / an END QUOTATION MARK itself (the paper
+    # lists the end quote as terminal punctuation in its own right)
+    ok = st.str.contains(r'[.!?"\'’”»]$', regex=True).fillna(False)
     ok &= st.str.split().str.len().fillna(0) >= min_line_words
     for phrase in banned_line_phrases:
         ok &= ~low.str.contains(phrase.lower(), regex=False)

@@ -445,11 +445,14 @@ def curate_interleaved(docs: ray.data.Dataset,
     if cfg.media is not None:
         from .documents import dedup_media_payloads
 
-        docs, _, _ = dedup_media_payloads(docs, cfg.media,
-                                          **cfg.media_kwargs)
-        # two downstream consumers (projection + semi-join) would re-run
-        # the rewrite on a lazy input; pin the rewritten corpus once
-        docs = docs.materialize()
+        docs, _, remap = dedup_media_payloads(docs, cfg.media,
+                                              **cfg.media_kwargs)
+        if remap.count():
+            # two downstream consumers (projection + semi-join) would
+            # re-run the rewrite on a lazy input; pin the rewritten corpus
+            # once. With zero remaps dedup returned the input unchanged —
+            # nothing to pin, the streaming re-read contract stands.
+            docs = docs.materialize()
     flat = docs.map_batches(
         lambda b: extract_document_text(b, col=cfg.col),
         batch_format="pyarrow")

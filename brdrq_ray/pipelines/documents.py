@@ -316,9 +316,14 @@ def dedup_media_payloads(docs: ray.data.Dataset, media: ray.data.Dataset,
     ``(docs_rewritten, media_kept, remap)``:
 
     - ``remap``: (media_ref, canonical_ref) for refs that CHANGE (bounded by
-      the duplicate count, not the corpus);
+      the duplicate count, not the corpus; unique per ref — a ref appearing
+      in several media rows maps to its lexicographically smallest
+      canonical, so both rewrite legs agree deterministically);
     - ``media_kept``: the media table with duplicate-payload rows removed
-      (canonical refs only), via a distributed anti semi-join;
+      (canonical refs only). Below ``broadcast_limit`` this is a per-batch
+      ``is_in`` filter against the broadcast changed-ref set — payload
+      bytes NEVER move; above it a distributed anti semi-join (the one
+      place payloads must shuffle, unavoidable without a driver-side set);
     - ``docs_rewritten``: every media span's ref canonicalized, all other
       span fields and the span order byte-identical (the north-rule
       span-sequence invariant holds on (kind, text, order); media_ref
@@ -327,31 +332,63 @@ def dedup_media_payloads(docs: ray.data.Dataset, media: ray.data.Dataset,
     Hybrid rewrite like remove_boilerplate_lines: at or below
     ``broadcast_limit`` remap rows the mapping ships once via ray.put and
     each batch remaps with one hash-based pandas get_indexer (zero
-    shuffles); above it the spans explode, the canonical ref attaches by a
-    distributed lookup join, and documents are rebuilt by a bucketed
-    groupby with Arrow list surgery — no driver-side mapping at any size."""
+    shuffles); above it only the MEDIA spans route through a distributed
+    lookup join (text/geometry spans bypass — their empty ref would
+    otherwise concentrate the whole corpus in one join bucket), and
+    documents are rebuilt by a scale-aware bucketed groupby (~1024
+    docs/bucket) with Arrow list surgery — no driver-side mapping at any
+    size."""
     import pandas as pd
 
     import ray
 
     from ..functions.relational import semi_join
+    from ..functions.vhash import bucket_i32
 
     mapping = canonical_media_refs(media, ref_col=ref_col,
                                    payload_col=payload_col,
                                    n_buckets=n_buckets)
-    remap = mapping.map_batches(
+    changed = mapping.map_batches(
         lambda t: t.filter(pa.compute.not_equal(t.column(ref_col),
                                                 t.column("canonical_ref"))),
-        batch_format="pyarrow").materialize()
-    media_kept = semi_join(media, remap.select_columns([ref_col]),
-                           on=ref_col, anti=True)
+        batch_format="pyarrow")
+
+    # a ref can appear in several media rows (duplicate rows, or one ref
+    # with conflicting payloads in different hash buckets): make the remap
+    # UNIQUE per ref — min canonical wins — via one ref-bucketed groupby of
+    # the (ref, canonical) projection
+    def uniq_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__rb", bucket_i32(
+            t.column(ref_col).cast(pa.string()), n_buckets))
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(ref_col, as_index=False)["canonical_ref"].min())
+
+    remap = (changed.map_batches(uniq_bucket, batch_format="pyarrow")
+             .groupby("__rb").map_groups(uniq, batch_format="pandas")
+             .materialize())
     n_remap = remap.count()
     if n_remap == 0:
-        return docs, media_kept, remap
+        return docs, media, remap
 
     if n_remap <= broadcast_limit:
         tbl = pa.concat_tables([ray.get(r) for r in remap.to_arrow_refs()])
-        map_ref = ray.put(tbl.combine_chunks())
+        tbl = tbl.combine_chunks()
+        map_ref = ray.put(tbl)
+        drop_ref = ray.put(tbl.column(ref_col).combine_chunks())
+
+        class KeepCanonical:
+            def __init__(self):
+                self.drop = ray.get(drop_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                hit = pa.compute.is_in(
+                    batch.column(ref_col).cast(pa.string()),
+                    value_set=self.drop)
+                return batch.filter(pa.compute.invert(hit))
+
+        media_kept = media.map_batches(KeepCanonical, batch_format="pyarrow",
+                                       concurrency=(1, 8))
 
         class RewriteRefs:
             def __init__(self):
@@ -370,20 +407,41 @@ def dedup_media_payloads(docs: ray.data.Dataset, media: ray.data.Dataset,
 
     # ---- distributed leg (remap too large for any broadcast) ---------------
     from ..functions.relational import lookup_join
-    from ..functions.vhash import bucket_i32
+
+    media_kept = semi_join(media, remap.select_columns([ref_col]),
+                           on=ref_col, anti=True)
 
     flat = span_sequence_table(docs, with_text=True)
-    joined = lookup_join(flat, remap.map_batches(
+    # only media spans carry a joinable ref; text/geometry spans (empty or
+    # null ref) bypass the join — routing them through it would hash the
+    # whole corpus into the single empty-string bucket
+    is_media = lambda t: t.filter(  # noqa: E731
+        pa.compute.equal(t.column("kind"), "media"))
+    not_media = lambda t: t.filter(  # noqa: E731
+        pa.compute.not_equal(t.column("kind"), "media"))
+    med = flat.map_batches(is_media, batch_format="pyarrow")
+    rest = flat.map_batches(not_media, batch_format="pyarrow")
+    joined = lookup_join(med, remap.map_batches(
         lambda t: t.rename_columns([ref_col, "__canon"]),
         batch_format="pyarrow"), on=ref_col, value_col="__canon",
         n_buckets=n_buckets)
 
-    def add_doc_bucket(t: pa.Table) -> pa.Table:
+    def coalesce_ref(t: pa.Table) -> pa.Table:
         ref = pa.compute.coalesce(t.column("__canon"), t.column(ref_col))
         t = t.set_column(t.schema.get_field_index(ref_col), ref_col, ref)
-        return (t.drop_columns(["__canon"])
-                 .append_column("__db", bucket_i32(
-                     t.column("doc_id").cast(pa.string()), n_buckets)))
+        return t.drop_columns(["__canon"])
+
+    flat_out = joined.map_batches(coalesce_ref, batch_format="pyarrow") \
+                     .union(rest)
+
+    # ~1024 docs per rebuild bucket, like align_documents' stitch — a fixed
+    # bucket count would put corpus/n_buckets spans (text included) in one
+    # task at scale
+    rebuild_buckets = max(n_buckets, docs.count() // 1024)
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__db", bucket_i32(
+            t.column("doc_id").cast(pa.string()), rebuild_buckets))
 
     def rebuild(group: pa.Table) -> pa.Table:
         group = group.sort_by([("doc_id", "ascending"),
@@ -404,7 +462,7 @@ def dedup_media_payloads(docs: ray.data.Dataset, media: ray.data.Dataset,
         return pa.table({"doc_id": pa.array(doc[starts]),
                          "__spans": spans})
 
-    rebuilt = (joined.map_batches(add_doc_bucket, batch_format="pyarrow")
+    rebuilt = (flat_out.map_batches(add_doc_bucket, batch_format="pyarrow")
                .groupby("__db").map_groups(rebuild, batch_format="pyarrow"))
     out = lookup_join(docs, rebuilt, on="doc_id", value_col="__spans",
                       n_buckets=n_buckets)

@@ -199,3 +199,23 @@ def test_c4_curation_stage(ray_session):
     assert sorted(out["doc_id"]) == [1]
     assert "c4_doc_ok" not in out.columns  # page flag consumed by the stage
     assert (out["c4_lines_removed"] == 0).all()
+
+
+def test_gopher_alpha_rule_is_unicode():
+    # a clean non-Latin doc must not fail the alphabetic rule (review
+    # finding: ASCII-only [a-zA-Z] dropped every Russian/Greek doc)
+    ru_words = ["собака", "бежит", "через", "поле", "утром", "весной"]
+    doc = " ".join(ru_words * 10)
+    f = _flags(pa.table({"text": [doc]}))
+    assert f["gopher_alpha_ok"]
+
+
+def test_c4_bare_end_quote_is_terminal():
+    from brdrq_ray.functions.text import c4_clean_batch
+
+    doc = ('He said "stop right there you fools"\n'
+           "This sentence ends with a period and has many words.")
+    t = c4_clean_batch(pa.table({"text": [doc]}))
+    out = t.column("text")[0].as_py()
+    assert out.startswith("He said")  # end-quote line kept
+    assert t.column("c4_lines_removed")[0].as_py() == 0

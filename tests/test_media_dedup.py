@@ -130,3 +130,46 @@ def test_curate_interleaved_with_media(ray_session):
             .equals(after[["doc_id", "span_idx", "kind", "text", "offset"]]))
     want = before["media_ref"].map(lambda r: expected.get(r, r))
     assert (after["media_ref"] == want).all()
+
+
+def test_duplicate_media_rows_and_conflicting_refs(ray_session):
+    import ray.data
+
+    # r2's payload appears twice (duplicate rows) AND r3 has two rows with
+    # DIFFERENT payloads (conflicting) — the remap must stay unique per ref
+    # and both legs must agree
+    media_tbl = pa.table({
+        "media_ref": pa.array(["r2", "r2", "r1", "r3", "r3", "r9"]),
+        "payload": pa.array([b"A" * 40, b"A" * 40, b"A" * 40,
+                             b"A" * 40, b"B" * 40, b"B" * 40], pa.binary()),
+    })
+    span_type = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                           ("media_ref", pa.string()), ("offset", pa.int32())])
+    docs_tbl = pa.table({
+        "doc_id": pa.array(["d1", "d2"]),
+        "spans": pa.array([
+            [{"kind": "text", "text": "hello", "media_ref": "", "offset": 0},
+             {"kind": "media", "text": "", "media_ref": "r2", "offset": 5}],
+            [{"kind": "media", "text": "", "media_ref": "r3", "offset": 0},
+             {"kind": "media", "text": "", "media_ref": "r9", "offset": 1}],
+        ], pa.list_(span_type)),
+    })
+    docs = ray.data.from_arrow(docs_tbl)
+    media = ray.data.from_arrow(media_tbl)
+    results = {}
+    for name, limit in (("broadcast", 4_000_000), ("distributed", 0)):
+        out_docs, out_media, remap = dedup_media_payloads(
+            docs, media, broadcast_limit=limit)
+        rm = remap.to_pandas().sort_values("media_ref").reset_index(drop=True)
+        assert rm["media_ref"].is_unique
+        refs = (span_sequence_table(out_docs).to_pandas()
+                .sort_values(["doc_id", "span_idx"])["media_ref"].tolist())
+        results[name] = (rm.values.tolist(), sorted(refs))
+    assert results["broadcast"] == results["distributed"]
+    # r2 -> r1 (payload A); r3 conflicts (A in one row, B in another): the
+    # unique remap takes the min canonical across its rows; r9 -> min B-ref
+    remap_rows, refs = results["broadcast"]
+    remap_d = {r: c for r, c in remap_rows}
+    assert remap_d["r2"] == "r1"
+    assert "r3" in remap_d and remap_d["r3"] == "r1"  # min(r1, r3) over rows
+    assert remap_d["r9"] == "r3"  # B-payload canonical = min(r3, r9)
