@@ -48,11 +48,30 @@ def _bench_fixture_dir() -> str:
         os.makedirs(out, exist_ok=True)
         pq.write_table(fx.make_reference_table(BENCH_GRID, BENCH_GRID, seed=42),
                        f"{out}/reference.parquet")
-        pq.write_table(fx.make_documents_table(n_docs=BENCH_DOCS, nx=BENCH_GRID,
-                                               ny=BENCH_GRID, seed=42),
-                       f"{out}/documents.parquet")
+        docs_tbl = fx.make_documents_table(n_docs=BENCH_DOCS, nx=BENCH_GRID,
+                                           ny=BENCH_GRID, seed=42)
+        pq.write_table(docs_tbl, f"{out}/documents.parquet")
+        pq.write_table(_make_media_table(docs_tbl), f"{out}/media.parquet")
         open(done, "w").close()
     return out
+
+
+def _make_media_table(docs_tbl):
+    """One media row per media-span ref, with ~5x payload duplication (the
+    crawl shape): payload bytes are a pure function of hash(ref) % groups."""
+    import hashlib
+
+    import pyarrow as pa
+
+    refs = sorted({s["media_ref"] for spans in docs_tbl.column("spans").to_pylist()
+                   for s in spans if s["kind"] == "media"})
+    groups = max(1, len(refs) // 5)
+    payloads = []
+    for r in refs:
+        g = int(hashlib.md5(r.encode()).hexdigest(), 16) % groups
+        payloads.append(f"PAYLOAD-{g}-".encode() * 32)
+    return pa.table({"media_ref": pa.array(refs, pa.string()),
+                     "payload": pa.array(payloads, pa.binary())})
 
 
 def run_headline() -> dict:
@@ -174,11 +193,24 @@ def run_queries() -> dict:
     qs["semantic_dedup"] = _semantic_dedup
     qs["bpe_train_encode"] = _bpe_train_encode
     qs["dsir_resample"] = _dsir
+
+    def _media_dedup(sf_dir: str):
+        # runs over the headline fixture (the sf dir has no media table):
+        # interleaved docs + a 5x-duplicated media table, broadcast leg
+        import ray.data
+        from brdrq_ray.pipelines.documents import dedup_media_payloads
+        fdir = _bench_fixture_dir()
+        out_docs, _, _ = dedup_media_payloads(
+            ray.data.read_parquet(f"{fdir}/documents.parquet"),
+            ray.data.read_parquet(f"{fdir}/media.parquet"))
+        return out_docs
+
+    qs["media_dedup"] = _media_dedup
     names = ["metrics_agg", "grouped_topk", "hash_join", "hash_join_broadcast",
              "asof_join",
              "exact_dedup_documents", "token_count", "knn_top5", "minhash_pairs",
              "curation_e2e", "semantic_dedup", "bpe_train_encode",
-             "dsir_resample",
+             "dsir_resample", "media_dedup",
              "align_predict", "align_evaluate", "autoupdate", "spatial_semi_join",
              "semi_anti_join", "correction", "media_decode"]
     reps = max(1, int(os.environ.get("BRDRQ_QUERY_REPS", "2")))
