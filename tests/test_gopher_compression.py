@@ -219,3 +219,109 @@ def test_c4_bare_end_quote_is_terminal():
     out = t.column("text")[0].as_py()
     assert out.startswith("He said")  # end-quote line kept
     assert t.column("c4_lines_removed")[0].as_py() == 0
+
+
+def _gopher_brute(text, min_words=50, max_words=100_000,
+                  min_mean_word_len=3.0, max_mean_word_len=10.0,
+                  max_symbol_word_ratio=0.1, max_bullet_line_frac=0.9,
+                  max_ellipsis_line_frac=0.3, min_alpha_word_frac=0.8,
+                  min_stop_hits=2):
+    """Per-row reference implementation (plain python) of gopher_rules_batch."""
+    import re
+
+    from brdrq_ray.functions.text import _GOPHER_STOPS, _WORD_EDGE_PUNCT
+
+    text = text or ""
+    words = text.split()
+    nw = len(words)
+    safe = max(nw, 1)
+    mean_wlen = (sum(len(w) for w in words) / nw) if nw else 0.0
+    symbols = text.count("#") + text.count("…") + len(
+        re.findall(r"\.\.\.", text))
+    lines = [ln.strip() for ln in text.split("\n")]
+    n_lines = max(len(lines), 1)
+    bullet = sum(bool(re.match(r"^(?:[•‣▪●]|[\-\*]\s)", ln)) for ln in lines)
+    ellipsis = sum(bool(re.search(r"(?:\.\.\.|…)$", ln)) for ln in lines)
+    stripped = [w.strip(_WORD_EDGE_PUNCT).lower() for w in words]
+    alpha = sum(bool(re.search(r"[^\W\d_]", w)) for w in stripped)
+    stops = len({w for w in stripped if w in _GOPHER_STOPS})
+    return {
+        "gopher_word_count_ok": min_words <= nw <= max_words,
+        "gopher_mean_word_len_ok":
+            min_mean_word_len <= mean_wlen <= max_mean_word_len,
+        "gopher_symbol_ratio_ok": symbols / safe <= max_symbol_word_ratio,
+        "gopher_bullet_ok": bullet / n_lines <= max_bullet_line_frac,
+        "gopher_ellipsis_ok": ellipsis / n_lines <= max_ellipsis_line_frac,
+        "gopher_alpha_ok": alpha / safe >= min_alpha_word_frac,
+        "gopher_stopword_ok": stops >= min_stop_hits,
+    }
+
+
+def _c4_brute(text, min_line_words=5, min_sentences=3):
+    import re
+
+    from brdrq_ray.functions.text import _C4_LINE_PHRASES
+
+    text = text or ""
+    kept = []
+    removed = 0
+    for ln in text.split("\n"):
+        ln = ln.strip()
+        ok = (bool(re.search(r'[.!?"\'’”»]$', ln))
+              and len(ln.split()) >= min_line_words
+              and not any(p in ln.lower() for p in _C4_LINE_PHRASES))
+        if ok:
+            kept.append(ln)
+        else:
+            removed += 1
+    out = "\n".join(kept)
+    low = text.lower()
+    ok_doc = (len(re.findall(r"[.!?]", out)) >= min_sentences
+              and "lorem ipsum" not in low and "{" not in low
+              and "}" not in low)
+    return out, removed, ok_doc
+
+
+def test_gopher_fuzz_vs_brute_force():
+    from brdrq_ray.functions.text import gopher_rules_batch
+
+    rng = np.random.default_rng(23)
+    frags = ["the", "and", "of", "to", "…", "#", "- item", "...", "\n",
+             "собака", "a", "xx", "extraordinary", "word", "12345", "! ?",
+             "(and)", "•", "* x", "-dash", "…\n", "it."]
+    docs = []
+    for _ in range(120):
+        n = int(rng.integers(0, 60))
+        docs.append(" ".join(rng.choice(frags, size=n)))
+    docs += ["", None]
+    t = gopher_rules_batch(pa.table({"text": pa.array(docs, pa.string())}))
+    for i, d in enumerate(docs):
+        want = _gopher_brute(d)
+        got = {k: t.column(k)[i].as_py() for k in want}
+        assert got == want, (i, d, got, want)
+        assert t.column("gopher_pass")[i].as_py() == all(want.values())
+
+
+def test_c4_fuzz_vs_brute_force():
+    from brdrq_ray.functions.text import c4_clean_batch
+
+    rng = np.random.default_rng(29)
+    lines = ["This is a long enough sentence to keep right here.",
+             "short one.", "no terminal punct with many words right here",
+             "Enable javascript now or else this breaks badly today.",
+             'They shouted "hold the line until morning comes"',
+             "lorem ipsum dolor sit amet and some more words here.",
+             "function f() { return 1; } with a period.",
+             "The next line trails off into the distance like this...",
+             "", "Он сказал что всё будет хорошо и пошёл домой."]
+    docs = []
+    for _ in range(80):
+        k = int(rng.integers(0, 8))
+        docs.append("\n".join(rng.choice(lines, size=k)))
+    docs += ["", None]
+    t = c4_clean_batch(pa.table({"text": pa.array(docs, pa.string())}))
+    for i, d in enumerate(docs):
+        out, removed, ok = _c4_brute(d)
+        assert t.column("text")[i].as_py() == out, (i, d)
+        assert t.column("c4_lines_removed")[i].as_py() == removed
+        assert t.column("c4_doc_ok")[i].as_py() == ok
