@@ -312,6 +312,10 @@ def semi_join(data: ray.data.Dataset, keys: ray.data.Dataset, on: str,
             return pa.string()
 
     sch = data.schema()
+    if sch is None:
+        # a fully-filtered upstream yields zero blocks and no schema; the
+        # semi/anti join of an empty corpus is the empty corpus
+        return data
     base = getattr(sch, "base_schema", None)
     if isinstance(base, pa.Schema):
         schema = base
@@ -391,8 +395,16 @@ def lookup_join(data: ray.data.Dataset, lookup: ray.data.Dataset, on: str,
         return pa.schema([(n, _arrow_type(t))
                           for n, t in zip(sch.names, sch.types)])
 
+    if data.schema() is None:
+        # empty data side (fully-filtered upstream): nothing to attach to
+        return data
     data_schema = _schema_of(data)
-    val_type = _schema_of(lookup).field(value_col).type
+    if lookup.schema() is None:
+        # empty lookup side: every row gets a null value; the value type is
+        # unknowable from zero blocks — string is the generic fallback
+        val_type = pa.string()
+    else:
+        val_type = _schema_of(lookup).field(value_col).type
     key_type = data_schema.field(on).type
     out_schema = pa.schema(list(data_schema) + [pa.field(value_col, val_type)])
 

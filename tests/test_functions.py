@@ -994,3 +994,40 @@ def test_repetition_ratio():
     r = out.column("repetition_ratio").to_pylist()
     assert r[0] > 0.9
     assert r[1] == 0.0 and r[2] == 0.0 and r[3] == 0.0
+
+
+def test_semi_lookup_join_empty_sides(ray_session):
+    """A fully-filtered upstream yields zero blocks and a None schema; the
+    joins must pass the empty corpus through instead of crashing (regression:
+    remove_near_duplicates on a corpus every gate dropped)."""
+    import ray.data
+
+    from brdrq_ray.functions.relational import lookup_join, semi_join
+
+    data = ray.data.from_arrow(pa.table({"doc_id": pa.array(["a", "b"]),
+                                         "x": pa.array([1, 2], pa.int64())}))
+    empty = data.filter(lambda r: False)
+    assert semi_join(empty, data.select_columns(["doc_id"]),
+                     on="doc_id").count() == 0
+    assert semi_join(empty, data.select_columns(["doc_id"]), on="doc_id",
+                     anti=True).count() == 0
+    assert lookup_join(empty, data.select_columns(["doc_id"]), on="doc_id",
+                       value_col="doc_id").count() == 0
+    # empty LOOKUP side: all rows kept, value column all-null
+    out = lookup_join(data, empty.select_columns(["doc_id"]).map_batches(
+        lambda t: t.rename_columns(["k"]), batch_format="pyarrow"),
+        on="doc_id", value_col="k").to_pandas()
+    assert len(out) == 2 and out["k"].isna().all()
+
+
+def test_curation_survives_empty_corpus(ray_session):
+    """Every gate drops every doc -> the pipeline returns empty, no crash."""
+    import ray.data
+
+    from brdrq_ray.pipelines.curation import CurationConfig, curate_documents
+
+    docs = pa.table({"doc_id": pa.array(["a", "b"]),
+                     "text": pa.array(["xx", "yy"])})
+    cfg = CurationConfig(quality_min=1.1, near_dup=True)  # floor > max score
+    out = curate_documents(ray.data.from_arrow(docs), cfg)
+    assert out.count() == 0
