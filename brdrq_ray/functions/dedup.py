@@ -666,7 +666,7 @@ def _clusters_union_find(edges) -> "ray.data.Dataset":
 
 
 def duplicate_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b",
-                       max_rounds: int = 64, small_limit: int = 262_144):
+                       max_rounds: int = 64, small_limit: int = 2_097_152):
     """Connected components over near-dup pairs -> (doc_id, cluster_id) with
     cluster_id = min member id. Distributed min-label propagation: each round
     every node adopts the minimum label in its 1-hop neighborhood, expressed
