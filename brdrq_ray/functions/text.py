@@ -815,6 +815,36 @@ def c4_clean_batch(batch: pa.Table, col: str = "text", *,
             .append_column("c4_doc_ok", pa.array(doc_ok, pa.bool_())))
 
 
+def dedup_lines_within_doc_batch(batch: pa.Table, col: str = "text",
+                                 keep_blank: bool = True) -> pa.Table:
+    """Within-document repeated-line removal (the Dolma/RefinedWeb in-doc
+    dedup rule): every line keeps only its FIRST occurrence inside the doc,
+    matched on the trimmed bytes; later repeats are dropped. Blank lines are
+    structure, not repetition — kept by default. Stateless per batch (the
+    doc is one row), one vectorized explode + duplicated() per batch;
+    appends ``lines_deduped`` (count of removed lines)."""
+    import pandas as pd
+
+    s = batch.column(col).to_pandas().fillna("")
+    idx = s.index
+    lines = s.str.split("\n").explode()
+    trimmed = lines.str.strip().fillna("")
+    dup = pd.DataFrame({"d": lines.index, "t": trimmed}).duplicated()
+    dup = pd.Series(dup.to_numpy(), index=lines.index)
+    if keep_blank:
+        dup &= (trimmed != "").to_numpy()
+    kept = lines[~dup.to_numpy()].fillna("")
+    joined = (kept.groupby(level=0).agg("\n".join)
+              .reindex(idx, fill_value="").fillna(""))
+    removed = (pd.Series(dup.to_numpy(), index=lines.index)
+               .groupby(level=0).sum().reindex(idx, fill_value=0)
+               .astype("int64"))
+    i = batch.schema.get_field_index(col)
+    return (batch.set_column(i, col, pa.array(joined.tolist(), pa.string()))
+            .append_column("lines_deduped",
+                           pa.array(removed.to_numpy(), pa.int64())))
+
+
 def compression_ratio_batch(batch: pa.Table, col: str = "text",
                             level: int = 6) -> pa.Table:
     """zlib compression ratio per document (compressed bytes / raw UTF-8

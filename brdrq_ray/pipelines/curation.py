@@ -103,6 +103,9 @@ class CurationConfig:
     clf_pareto_alpha: float | None = None
     clf_n_buckets: int = 1 << 16
     clf_epochs: int = 30
+    # within-doc repeated-line removal (Dolma rule): keep each line's first
+    # occurrence inside a doc; runs with the other text rewrites, pre-annotate
+    dedup_lines: bool = False
     # C4 line/page cleaning (Raffel et al. 2020): rewrite text by the line
     # rules, drop pages failing the page rules; runs FIRST (before
     # boilerplate/annotation — everything downstream sees cleaned text)
@@ -287,6 +290,12 @@ def curate_documents(ds: ray.data.Dataset,
             and cfg.clf_positive is None:
         raise ValueError("clf_min_prob/clf_pareto_alpha need clf_positive "
                          "and clf_negative training corpora")
+    if cfg.dedup_lines:
+        from ..functions.text import dedup_lines_within_doc_batch
+
+        ds = ds.map_batches(
+            lambda b: dedup_lines_within_doc_batch(b, col=cfg.col),
+            batch_format="pyarrow")
     if cfg.c4:
         from ..functions.text import c4_clean_batch
 

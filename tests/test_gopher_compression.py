@@ -325,3 +325,59 @@ def test_c4_fuzz_vs_brute_force():
         assert t.column("text")[i].as_py() == out, (i, d)
         assert t.column("c4_lines_removed")[i].as_py() == removed
         assert t.column("c4_doc_ok")[i].as_py() == ok
+
+
+def test_dedup_lines_within_doc():
+    from brdrq_ray.functions.text import dedup_lines_within_doc_batch
+
+    doc = "\n".join(["alpha line", "beta line", "alpha line", "",
+                     "  alpha line  ", "", "gamma line"])
+    t = dedup_lines_within_doc_batch(pa.table({"text": [doc, None, ""]}))
+    out = t.column("text")[0].as_py()
+    # trimmed-match repeats removed (incl. the padded one); blanks kept
+    assert out == "alpha line\nbeta line\n\n\ngamma line"
+    assert t.column("lines_deduped")[0].as_py() == 2
+    assert t.column("text")[1].as_py() == "" and t.column("text")[2].as_py() == ""
+    # keep_blank=False also collapses repeated blanks
+    t2 = dedup_lines_within_doc_batch(pa.table({"text": [doc]}),
+                                      keep_blank=False)
+    assert t2.column("text")[0].as_py() == "alpha line\nbeta line\n\ngamma line"
+
+
+def test_dedup_lines_brute_force_fuzz():
+    from brdrq_ray.functions.text import dedup_lines_within_doc_batch
+
+    def brute(text):
+        seen, kept, removed = set(), [], 0
+        for ln in (text or "").split("\n"):
+            key = ln.strip()
+            if key != "" and key in seen:
+                removed += 1
+            else:
+                seen.add(key) if key != "" else None
+                kept.append(ln)
+        return "\n".join(kept), removed
+
+    rng = np.random.default_rng(31)
+    lines = ["a b", "  a b ", "c", "", "dd ee", "c ", "x y z"]
+    docs = ["\n".join(rng.choice(lines, size=int(rng.integers(0, 12))))
+            for _ in range(100)] + ["", None]
+    t = dedup_lines_within_doc_batch(pa.table({"text": pa.array(docs, pa.string())}))
+    for i, d in enumerate(docs):
+        out, removed = brute(d)
+        assert t.column("text")[i].as_py() == out, (i, d)
+        assert t.column("lines_deduped")[i].as_py() == removed
+
+
+def test_dedup_lines_curation_stage(ray_session):
+    import ray.data
+
+    from brdrq_ray.pipelines.curation import CurationConfig, curate_documents
+
+    doc = "\n".join([CLEAN, CLEAN, CLEAN.replace("fox", "hen")])
+    docs = pa.table({"doc_id": pa.array([1], pa.int64()),
+                     "text": pa.array([doc])})
+    cfg = CurationConfig(quality_min=0.0, near_dup=False, dedup_lines=True)
+    out = curate_documents(ray.data.from_arrow(docs), cfg).to_pandas()
+    assert out.loc[0, "lines_deduped"] == 1
+    assert out.loc[0, "text"].count("fox") == 1
