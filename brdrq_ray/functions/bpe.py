@@ -224,4 +224,9 @@ def bpe_encode(ds, model: dict, col: str = "text"):
     mref = ray.put({"merges": model["merges"], "vocab": model["vocab"]})
     return ds.map_batches(BpeEncodeStage,
                           fn_constructor_kwargs=dict(model_ref=mref, col=col),
-                          batch_format="pyarrow", concurrency=(1, 8))
+                          batch_format="pyarrow", concurrency=_pool())
+
+def _pool():
+    """Cluster-sized actor-pool bounds (see functions/pool.py)."""
+    from .pool import actor_pool
+    return actor_pool()

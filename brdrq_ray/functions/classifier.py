@@ -139,4 +139,9 @@ def classifier_score(ds, model: dict, col: str = "text"):
     mref = ray.put({"w": model["w"], "n_buckets": model["n_buckets"]})
     return ds.map_batches(ClassifierScoreStage,
                           fn_constructor_kwargs=dict(model_ref=mref, col=col),
-                          batch_format="pyarrow", concurrency=(1, 8))
+                          batch_format="pyarrow", concurrency=_pool())
+
+def _pool():
+    """Cluster-sized actor-pool bounds (see functions/pool.py)."""
+    from .pool import actor_pool
+    return actor_pool()

@@ -329,7 +329,7 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
                             fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
                                                        shingle_k=shingle_k, col=col,
                                                        id_col=id_col),
-                            batch_format="pyarrow", concurrency=(1, 8))
+                            batch_format="pyarrow", concurrency=_pool())
 
     # shuffle by a HASH BUCKET of the band key, not the key itself: the band
     # table has ~rows*bands near-singleton keys, and one Python map_groups
@@ -481,7 +481,7 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
                 return batch.select([id_col, col]).filter(keep)
 
         texts = ds.map_batches(KeepCandidateTexts, batch_format="pyarrow",
-                               concurrency=(1, 8))
+                               concurrency=_pool())
         # the filtered candidate texts are small: broadcast THEM (never the
         # corpus) and verify with zero additional shuffles
         lookup = {}
@@ -1017,7 +1017,7 @@ def embedding_neardup_pairs(ds, dim: int, threshold: float = 0.95,
     return (ds.map_batches(CosineBucketStage,
                            fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
                                                       vec_col=vec_col),
-                           batch_format="pyarrow", concurrency=(1, 8))
+                           batch_format="pyarrow", concurrency=_pool())
               .map_batches(add_shard, batch_format="pyarrow")
               .groupby("shard").map_groups(shard_cosine, batch_format="pandas"))
 
@@ -1034,7 +1034,7 @@ def _band_sketch(ds, *, col, id_col, num_perm, bands, shingle_k):
                           fn_constructor_kwargs=dict(
                               num_perm=num_perm, bands=bands,
                               shingle_k=shingle_k, col=col, id_col=id_col),
-                          batch_format="pyarrow", concurrency=(1, 8))
+                          batch_format="pyarrow", concurrency=_pool())
 
 
 def _band_key(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
@@ -1202,7 +1202,7 @@ def minhash_pairs_incremental(new_ds, index_dir: str, corpus_ds=None,
     sides = new_band.map_batches(mark_new, batch_format="pyarrow")
     if files:
         old_cand = ray.data.read_parquet(files).map_batches(
-            KeepColliding, batch_format="pyarrow", concurrency=(1, 8))
+            KeepColliding, batch_format="pyarrow", concurrency=_pool())
         sides = sides.union(old_cand)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -1344,4 +1344,9 @@ def decontaminate(ds, benchmark_ds, col: str = "text", id_col: str = "doc_id",
             return out.filter(pa.array(hits <= max_hits))
 
     return ds.map_batches(Decontaminate, batch_format="pyarrow",
-                          concurrency=(1, 8))
+                          concurrency=_pool())
+
+def _pool():
+    """Cluster-sized actor-pool bounds (see functions/pool.py)."""
+    from .pool import actor_pool
+    return actor_pool()

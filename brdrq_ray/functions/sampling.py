@@ -368,7 +368,7 @@ def select_token_budget(ds, budget: int, score_col: str = "quality_score",
     cut, bid_ref = _pinned_budget_cut(ds, budget, score_col, token_col,
                                       id_col, seed, **kwargs)
     return ds.map_batches(_membership_stage(cut, bid_ref, score_col, id_col),
-                          batch_format="pyarrow", concurrency=(1, 8))
+                          batch_format="pyarrow", concurrency=_pool())
 
 
 def flag_token_budget(ds, budget: int, score_col: str = "quality_score",
@@ -382,7 +382,7 @@ def flag_token_budget(ds, budget: int, score_col: str = "quality_score",
                                       id_col, seed, **kwargs)
     return ds.map_batches(_membership_stage(cut, bid_ref, score_col, id_col,
                                             flag_col=flag_col),
-                          batch_format="pyarrow", concurrency=(1, 8))
+                          batch_format="pyarrow", concurrency=_pool())
 
 
 # ---------------------------------------------------------------------------
@@ -442,7 +442,7 @@ def dsir_log_weights(ds, target_lm: dict, raw_lm: dict, col: str = "text",
                                  minlength=n)
             return batch.append_column(weight_col, pa.array(w, pa.float64()))
 
-    return ds.map_batches(Weigh, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(Weigh, batch_format="pyarrow", concurrency=_pool())
 
 
 def gumbel_keys(ids, logw: np.ndarray, seed: str) -> np.ndarray:
@@ -505,4 +505,9 @@ def dsir_resample(ds, target_lm: dict, raw_lm: dict, k: int | None = None,
     return keyed.map_batches(
         _membership_stage(cut, bid_ref, key_col, id_col,
                           drop_cols=[key_col, "__one"]),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=_pool())
+
+def _pool():
+    """Cluster-sized actor-pool bounds (see functions/pool.py)."""
+    from .pool import actor_pool
+    return actor_pool()

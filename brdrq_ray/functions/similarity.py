@@ -61,7 +61,7 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
     partial = ds.map_batches(BruteForceTopK,
                              fn_constructor_kwargs=dict(queries_ref=qref, k=k,
                                                         vec_col=vec_col, id_col=id_col),
-                             batch_format="pyarrow", concurrency=(1, 8))
+                             batch_format="pyarrow", concurrency=_pool())
     df = partial.to_pandas()
     df["cosine"] = df["cosine"].round(9)  # kill float-order noise in ranking
     df = df.sort_values(["query_id", "cosine", id_col],
@@ -190,7 +190,7 @@ def ivf_build(ds, n_clusters: int | None = 16, vec_col: str = "embedding",
             assign = (V @ self.C.T).argmax(axis=1)
             return batch.append_column("ivf_cell", pa.array(assign, pa.int32()))
 
-    (ds.map_batches(AssignStage, batch_format="pyarrow", concurrency=(1, 8))
+    (ds.map_batches(AssignStage, batch_format="pyarrow", concurrency=_pool())
        .write_parquet(index_dir, partition_cols=["ivf_cell"]))
     np.save(os.path.join(index_dir, "_codebook.npy"), C)
     return {"index_dir": index_dir, "codebook": C, "n_clusters": n_clusters}
@@ -268,7 +268,7 @@ def ivf_probe(index: dict, queries: np.ndarray, k: int = 10, n_probe: int = 4,
                              "cosine": pa.array(np.concatenate(out_s), pa.float64())})
 
     df = (ray.data.read_parquet(files)
-          .map_batches(ProbeTopK, batch_format="pyarrow", concurrency=(1, 8))
+          .map_batches(ProbeTopK, batch_format="pyarrow", concurrency=_pool())
           .to_pandas())
     df["cosine"] = df["cosine"].round(9)
     df = df.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
@@ -357,7 +357,7 @@ def _assign_cells(ds, C: np.ndarray, vec_col: str, out_col: str = "sem_cell"):
             return batch.append_column(
                 out_col, pa.array((V @ self.C.T).argmax(axis=1), pa.int32()))
 
-    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=_pool())
 
 
 def _prune_cluster(ids, V: np.ndarray, centroid: np.ndarray,
@@ -519,3 +519,8 @@ def cluster_sample(ds, k_per_cluster: int, mode: str = "far",
     kept = cluster_sample_ids(ds, k_per_cluster, mode=mode, vec_col=vec_col,
                               id_col=id_col, **kwargs)
     return semi_join(ds, kept.select_columns([id_col]), on=id_col)
+
+def _pool():
+    """Cluster-sized actor-pool bounds (see functions/pool.py)."""
+    from .pool import actor_pool
+    return actor_pool()

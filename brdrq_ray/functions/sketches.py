@@ -424,4 +424,9 @@ def bloom_filter_seen(ds, bloom: BloomFilter, col: str = "doc_id",
                 return t.append_column("seen", pa.array(seen))
             return t.filter(pa.array(~seen))
 
-    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=_pool())
+
+def _pool():
+    """Cluster-sized actor-pool bounds (see functions/pool.py)."""
+    from .pool import actor_pool
+    return actor_pool()

@@ -399,7 +399,7 @@ def remove_boilerplate_lines(ds, col: str = "text", id_col: str = "doc_id",
                                         pa.array(out.tolist(), pa.string()))
 
         return ds.map_batches(StripLines, batch_format="pyarrow",
-                              concurrency=(1, 8))
+                              concurrency=_pool())
 
     # ---- distributed leg (frequent-line set too large for any broadcast) ---
     from .relational import semi_join
@@ -583,7 +583,7 @@ def remove_repeated_passages(ds, col: str = "text", id_col: str = "doc_id",
                                        pa.array(n_removed)))
 
         return ds.map_batches(ExcisePassages, batch_format="pyarrow",
-                              concurrency=(1, 8))
+                              concurrency=_pool())
 
     # ---- distributed leg (frequent-gram set too large for any broadcast) ---
     from .relational import lookup_join, semi_join
@@ -1023,7 +1023,7 @@ def lm_score(ds, model: dict, col: str = "text"):
     mref = ray.put(model)
     return ds.map_batches(NgramLMStage,
                           fn_constructor_kwargs=dict(model_ref=mref, col=col),
-                          batch_format="pyarrow", concurrency=(1, 8))
+                          batch_format="pyarrow", concurrency=_pool())
 
 
 def vocab_counts(ds, col: str = "text", min_count: int = 1):
@@ -1116,3 +1116,8 @@ def lm_perplexity_buckets(ds, model: dict, col: str = "text",
                                    pa.array(lab[idx.astype(np.int64)]))
 
     return scored.map_batches(label, batch_format="pyarrow")
+
+def _pool():
+    """Cluster-sized actor-pool bounds (see functions/pool.py)."""
+    from .pool import actor_pool
+    return actor_pool()

@@ -133,7 +133,7 @@ def annotate_documents(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.data.Da
     ds = ds.map_batches(lambda b: quality_score_batch(b, col=cfg.col),
                         batch_format="pyarrow")
     ds = ds.map_batches(LangIdStage, batch_format="pyarrow",
-                        concurrency=(1, 8))
+                        concurrency=_pool())
     ds = ds.map_batches(lambda b: token_count_batch(b, col=cfg.col),
                         batch_format="pyarrow")
     if cfg.gopher:
@@ -468,3 +468,8 @@ def curate_interleaved(docs: ray.data.Dataset,
     kept = curate_documents(flat, cfg)
     ids = kept.select_columns([cfg.id_col])
     return semi_join(docs, ids, on=cfg.id_col)
+
+def _pool():
+    """Cluster-sized actor-pool bounds (see functions/pool.py)."""
+    from ..functions.pool import actor_pool
+    return actor_pool()

@@ -388,7 +388,7 @@ def dedup_media_payloads(docs: ray.data.Dataset, media: ray.data.Dataset,
                 return batch.filter(pa.compute.invert(hit))
 
         media_kept = media.map_batches(KeepCanonical, batch_format="pyarrow",
-                                       concurrency=(1, 8))
+                                       concurrency=_pool())
 
         class RewriteRefs:
             def __init__(self):
@@ -402,7 +402,7 @@ def dedup_media_payloads(docs: ray.data.Dataset, media: ray.data.Dataset,
                 return _replace_media_refs(batch, self.old, self.new)
 
         return (docs.map_batches(RewriteRefs, batch_format="pyarrow",
-                                 concurrency=(1, 8)),
+                                 concurrency=_pool()),
                 media_kept, remap)
 
     # ---- distributed leg (remap too large for any broadcast) ---------------
@@ -488,3 +488,8 @@ def dedup_media_payloads(docs: ray.data.Dataset, media: ray.data.Dataset,
 
     return (out.map_batches(finish, batch_format="pyarrow"),
             media_kept, remap)
+
+def _pool():
+    """Cluster-sized actor-pool bounds (see functions/pool.py)."""
+    from ..functions.pool import actor_pool
+    return actor_pool()

@@ -175,7 +175,7 @@ def assemble_ways(nodes: ray.data.Dataset, ways: ray.data.Dataset,
                 return pa.table({"ref_id": pa.array(ids, pa.string()),
                                  "geometry_wkt": pa.array(wkts, pa.string())})
 
-        return ways.map_batches(Assemble, batch_format="pyarrow", concurrency=(1, 8))
+        return ways.map_batches(Assemble, batch_format="pyarrow", concurrency=_pool())
 
     # distributed path: explode refs -> attach coords on node_id -> reassemble
     import pandas as pd
@@ -268,3 +268,8 @@ register_loader("parquet", _parquet_loader)
 register_loader("grb_actual", _parquet_loader)     # same shape, semantic alias
 register_loader("fiscal", _fiscal_loader)
 register_loader("osm", _osm_loader)
+
+def _pool():
+    """Cluster-sized actor-pool bounds (see functions/pool.py)."""
+    from ..functions.pool import actor_pool
+    return actor_pool()
