@@ -372,8 +372,12 @@ def dedup_media_payloads(docs: ray.data.Dataset, media: ray.data.Dataset,
         return docs, media, remap
 
     if n_remap <= broadcast_limit:
-        tbl = pa.concat_tables([ray.get(r) for r in remap.to_arrow_refs()])
-        tbl = tbl.combine_chunks()
+        # zero-row blocks (buckets whose every ref kept its canonical) come
+        # back schema-less and break concat — drop them; n_remap > 0
+        # guarantees at least one real block
+        chunks = [t for t in (ray.get(r) for r in remap.to_arrow_refs())
+                  if t.num_rows]
+        tbl = pa.concat_tables(chunks).combine_chunks()
         map_ref = ray.put(tbl)
         drop_ref = ray.put(tbl.column(ref_col).combine_chunks())
 
