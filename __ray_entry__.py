@@ -33,6 +33,10 @@ _SAMPLE_THR_TEST = _fthr(1.0)
 # the oracle SQL's window-cumsum predicate). ~60% of the sf0.01 corpus'
 # 27k tokens, so the flag is load-bearing at the driver's gate scale.
 _TOKEN_BUDGET = 16_000
+# UniMax total budget for the token_count composite's in_unimax leg: ~96% of
+# the sf0.01 corpus total so several small sources cap out and the rest sit
+# at the integer water level — the allocation recurrence is load-bearing
+_UNIMAX_BUDGET = 26_000
 
 
 # --------------------------------------------------------------------------
@@ -240,13 +244,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window-cumsum oracle checks the selection value-for-value.
         import numpy as np
         import pyarrow as pa
-        from brdrq_ray.functions.sampling import flag_token_budget, hash60
+        from brdrq_ray.functions.sampling import (flag_token_budget,
+                                                  flag_unimax, hash60)
 
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                   columns=["doc_id", "text"])
+                                   columns=["doc_id", "text", "source"])
 
         def prep(b: pa.Table) -> pa.Table:
-            t = token_count_batch(b).select(["doc_id", "ws_tokens"])
+            t = token_count_batch(b).select(["doc_id", "source", "ws_tokens"])
             h = hash60(t.column("doc_id").to_pylist(), "score")
             score = (h % 1000).astype(np.float64) / 1000.0
             return t.append_column("pseudo_score", pa.array(score))
@@ -255,6 +260,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pin the prepared projection once, like the curation stage does
         base = ds.map_batches(prep, batch_format="pyarrow").materialize()
         out = flag_token_budget(base, _TOKEN_BUDGET, score_col="pseudo_score")
+        # composite leg since r4.5: UniMax domain-balanced selection
+        # (functions/sampling.unimax_select — Chung et al. 2023 waterfill
+        # over per-source token totals, per-domain deterministic-hash-order
+        # prefix; the DuckDB side reproduces the waterfill with a recursive
+        # CTE and the selection with a per-source window cumsum)
+        out = flag_unimax(out, _UNIMAX_BUDGET, domain_col="source")
         return _round_floats(out, ["pseudo_score"], 6)
 
     def fingerprint_md5(sf_dir: str):
@@ -941,23 +952,56 @@ _BASE_ORACLE_SQL = {
             FROM s
         """,
         "token_count": f"""
-            WITH t AS (
-                SELECT doc_id,
+            WITH RECURSIVE t AS (
+                SELECT doc_id, source,
                        len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
                        (CAST('0x' || substr(md5('score|' || doc_id), 1, 15)
                              AS BIGINT) % 1000) / 1000.0 AS pseudo_score,
                        CAST('0x' || substr(md5('budget|' || doc_id), 1, 15)
-                            AS BIGINT) AS h60
+                            AS BIGINT) AS h60,
+                       CAST('0x' || substr(md5('unimax|' || doc_id), 1, 15)
+                            AS BIGINT) AS hu
                 FROM documents),
             s AS (
                 SELECT doc_id, ws_tokens, pseudo_score,
                        sum(ws_tokens) OVER (
                            ORDER BY pseudo_score DESC, h60 ASC, doc_id ASC
                            ROWS UNBOUNDED PRECEDING) AS cum
-                FROM t)
-            SELECT doc_id, ws_tokens, round(pseudo_score, 6) AS pseudo_score,
-                   cum <= {_TOKEN_BUDGET} AS in_budget
-            FROM s
+                FROM t),
+            -- UniMax waterfill (Chung et al. 2023): domains by cap ASC, each
+            -- gets min(cap, remaining // domains_left) — integer floor
+            -- division, identical to sampling.unimax_budgets
+            caps AS (
+                SELECT source, CAST(sum(ws_tokens) AS BIGINT) AS cap
+                FROM t GROUP BY source),
+            ord AS (
+                SELECT source, cap,
+                       CAST(row_number() OVER (ORDER BY cap, source)
+                            AS BIGINT) AS rn,
+                       CAST(count(*) OVER () AS BIGINT) AS k
+                FROM caps),
+            alloc(rn, src, b, rem) AS (
+                SELECT CAST(0 AS BIGINT), CAST(NULL AS VARCHAR),
+                       CAST(0 AS BIGINT), CAST({_UNIMAX_BUDGET} AS BIGINT)
+                UNION ALL
+                SELECT o.rn, o.source,
+                       least(o.cap, a.rem // (o.k - a.rn)),
+                       a.rem - least(o.cap, a.rem // (o.k - a.rn))
+                FROM alloc a JOIN ord o ON o.rn = a.rn + 1),
+            u AS (
+                SELECT t.doc_id,
+                       sum(t.ws_tokens) OVER (
+                           PARTITION BY t.source
+                           ORDER BY t.hu ASC, t.doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS ucum,
+                       al.b AS ub
+                FROM t JOIN (SELECT src AS source, b FROM alloc
+                             WHERE rn > 0) al USING (source))
+            SELECT t.doc_id, t.source, t.ws_tokens,
+                   round(t.pseudo_score, 6) AS pseudo_score,
+                   s.cum <= {_TOKEN_BUDGET} AS in_budget,
+                   u.ucum <= u.ub AS in_unimax
+            FROM t JOIN s USING (doc_id) JOIN u USING (doc_id)
         """,
         "fingerprint_md5": """
             SELECT doc_id,

@@ -507,6 +507,279 @@ def dsir_resample(ds, target_lm: dict, raw_lm: dict, k: int | None = None,
                           drop_cols=[key_col, "__one"]),
         batch_format="pyarrow", concurrency=_pool())
 
+# ---------------------------------------------------------------------------
+# UniMax — domain-balanced token-budget selection (Chung et al. 2023)
+# ---------------------------------------------------------------------------
+# Allocate a global token budget across domains (the `source` column) with
+# the UniMax waterfill — every domain gets an equal share of the remaining
+# budget unless its cap (max_epochs x its token count) is smaller — then
+# select each domain's allocation deterministically: within a domain, rows
+# are taken in (hash60(seed|id) ASC, id ASC) order until the domain budget is
+# exhausted (a uniform without-replacement draw, RNG-free, SQL-reproducible).
+# The boundary search generalizes token_budget_cut: all domains refine their
+# integer-hash-range histograms in the SAME streaming passes, so the whole
+# selection costs max_depth column-pruned scans regardless of domain count —
+# never a sort, never an all-to-all of data rows.
+
+
+def domain_token_counts(ds, domain_col: str = "source",
+                        token_col: str = "ws_tokens") -> dict:
+    """Exact per-domain token totals: per-batch groupby-sum partials (one
+    tiny (domain, tok) table per batch) folded driver-side. Rows shipped to
+    the driver = blocks x distinct domains — never the corpus."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "d": batch.column(domain_col).to_pylist(),
+            "t": batch.column(token_col).to_numpy(zero_copy_only=False)})
+        g = df.groupby("d", sort=False)["t"].sum().reset_index()
+        return pa.table({"d": pa.array(g["d"].tolist()),
+                         "t": pa.array(g["t"].astype("int64"), pa.int64())})
+
+    out: dict = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        out[r["d"]] = out.get(r["d"], 0) + int(r["t"])
+    return out
+
+
+def unimax_budgets(token_counts: dict, total_budget: int,
+                   max_epochs: float = 1.0) -> dict:
+    """The UniMax waterfill (Chung et al. 2023): visit domains by
+    (cap ASC, name ASC) with cap_d = floor(max_epochs x tokens_d); each
+    domain receives b_d = min(cap_d, remaining // domains_left). Integer
+    floor division throughout so the DuckDB recursive-CTE oracle reproduces
+    the allocation bit-for-bit."""
+    caps = {d: int(max_epochs * int(c)) for d, c in token_counts.items()}
+    remaining = int(total_budget)
+    m = len(caps)
+    out = {}
+    for d in sorted(caps, key=lambda d: (caps[d], str(d))):
+        b = max(0, min(caps[d], remaining // m))
+        out[d] = b
+        remaining -= b
+        m -= 1
+    return out
+
+
+def domain_budget_cuts(ds, budgets: dict, domain_col: str = "source",
+                       token_col: str = "ws_tokens", id_col: str = "doc_id",
+                       seed: str = "unimax", n_bins: int = 4096,
+                       driver_limit: int = 262_144, max_depth: int = 4):
+    """Per-domain exact token-budget boundary in deterministic hash order:
+    within each domain, rows sorted by (hash60(seed|id) ASC, id ASC) are
+    selected while the running token sum stays <= budgets[domain]. Returns
+    ``(cuts, boundary_ids)`` — a row in domain d is selected iff
+    ``hash60 < cuts[d]`` OR its id is in ``boundary_ids`` (ids are unique
+    corpus-wide, so one flat set serves every domain).
+
+    Distributed shape: every still-active domain refines its integer hash
+    range in the SAME pass — one histogram map_batches + a packed
+    (domain x bin)-key groupby-sum whose result is tiny — then narrows
+    independently; domains whose boundary bin is driver-sized finalize with
+    ONE shared filtered fetch per depth. Histogram bins live in exact
+    integer hash space (no float edges), so membership is bit-stable."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    doms = list(budgets)
+    idx = {d: i for i, d in enumerate(doms)}
+    lo = {d: 0 for d in doms}
+    hi = {d: SIXTY_BITS for d in doms}
+    remaining = {d: int(budgets[d]) for d in doms}
+    cuts = {d: 0 for d in doms}
+    done = {d: remaining[d] <= 0 for d in doms}
+    boundary: list = []
+
+    for depth in range(max_depth):
+        active = {d: (lo[d], hi[d]) for d in doms if not done[d]}
+        if not active:
+            break
+        # ceil width so n_bins bins always cover the range
+        ranges = {d: (l, h, max(1, -(-(h - l) // n_bins)))
+                  for d, (l, h) in active.items()}
+
+        def hist(batch: pa.Table, _r=ranges) -> pa.Table:
+            ids = _ids(batch, id_col)
+            h = hash60(ids, seed)
+            t = (batch.column(token_col)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+            dom = np.asarray(batch.column(domain_col).to_pylist(),
+                             dtype=object)
+            ks, toks, ns = [], [], []
+            for d, (l, top, w) in _r.items():
+                m = (dom == d) & (h >= l) & (h < top)
+                if not m.any():
+                    continue
+                b = np.minimum((h[m] - l) // w, n_bins - 1)
+                tok = np.bincount(b, weights=t[m].astype(np.float64),
+                                  minlength=n_bins).astype(np.int64)
+                cnt = np.bincount(b, minlength=n_bins)
+                nz = np.nonzero(cnt)[0]
+                ks.append((nz + idx[d] * n_bins).astype(np.int64))
+                toks.append(tok[nz])
+                ns.append(cnt[nz].astype(np.int64))
+            if not ks:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "tok": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            return pa.table({"k": pa.array(np.concatenate(ks)),
+                             "tok": pa.array(np.concatenate(toks)),
+                             "n": pa.array(np.concatenate(ns))})
+
+        hdf = (ds.map_batches(hist, batch_format="pyarrow")
+               .groupby("k").aggregate(Sum("tok", alias_name="tok"),
+                                       Sum("n", alias_name="n"))
+               .to_pandas())
+        finalize: dict = {}
+        for d in list(active):
+            l, top = active[d]
+            w = ranges[d][2]
+            di = idx[d]
+            sub = hdf[(hdf["k"] >= di * n_bins)
+                      & (hdf["k"] < (di + 1) * n_bins)].sort_values("k")
+            if sub.empty:
+                done[d] = True  # no rows left in range: selection complete
+                continue
+            cum = sub["tok"].cumsum()
+            fits = cum <= remaining[d]
+            if fits.all():
+                cuts[d] = top  # the whole remaining range fits wholesale
+                done[d] = True
+                continue
+            brow = sub[~fits].iloc[0]
+            bin_id = int(brow["k"]) - di * n_bins
+            fitted = sub[fits]
+            cuts[d] = l + bin_id * w
+            if len(fitted):
+                remaining[d] -= int(fitted["tok"].sum())
+            b_lo, b_hi = cuts[d], min(top, cuts[d] + w)
+            if (int(brow["n"]) <= driver_limit or depth == max_depth - 1
+                    or w == 1):
+                finalize[d] = (b_lo, b_hi)
+                done[d] = True
+            else:
+                lo[d], hi[d] = b_lo, b_hi
+
+        if finalize:
+            def in_bins(batch: pa.Table, _f=dict(finalize)) -> pa.Table:
+                h = hash60(_ids(batch, id_col), seed)
+                dom = np.asarray(batch.column(domain_col).to_pylist(),
+                                 dtype=object)
+                keep = np.zeros(batch.num_rows, bool)
+                for d, (bl, bh) in _f.items():
+                    keep |= (dom == d) & (h >= bl) & (h < bh)
+                return batch.select([id_col, domain_col, token_col]).filter(
+                    pa.array(keep))
+
+            rows = ds.map_batches(in_bins, batch_format="pyarrow").take_all()
+            df = pd.DataFrame(rows)
+            if not df.empty:
+                df["h"] = hash60(df[id_col].tolist(), seed)
+                for d in finalize:
+                    sub = df[df[domain_col] == d].sort_values(
+                        ["h", id_col], kind="mergesort")
+                    sel = sub[sub[token_col].cumsum() <= remaining[d]]
+                    boundary.extend(sel[id_col].tolist())
+
+    return cuts, np.asarray(boundary, dtype=object)
+
+
+def _domain_membership_stage(cuts: dict, bid_ref, domain_col: str,
+                             id_col: str, seed: str,
+                             flag_col: str | None = None):
+    """Actor-stage factory: per-row ``hash60 < cuts[domain]`` (exact int64
+    compare — float64 would lose bits at 2^60) OR boundary-set membership;
+    filter by default, append ``flag_col`` instead when given."""
+    import pandas as pd
+
+    import ray
+
+    class Membership:
+        def __init__(self):
+            self.bids = ray.get(bid_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = _ids(batch, id_col)
+            h = hash60(ids, seed)
+            cut = np.fromiter(
+                (cuts.get(d, 0) for d in batch.column(domain_col).to_pylist()),
+                dtype=np.int64, count=batch.num_rows)
+            keep = h < cut
+            if len(self.bids):
+                keep = keep | pd.Series(ids).isin(self.bids).to_numpy()
+            if flag_col is not None:
+                return batch.append_column(flag_col, pa.array(keep))
+            return batch.filter(pa.array(keep))
+
+    return Membership
+
+
+def _unimax_cuts(ds, total_budget: int, max_epochs: float, domain_col: str,
+                 token_col: str, id_col: str, seed: str, **kwargs):
+    """Shared UniMax shape: pin the 3-column projection once (the count pass
+    + up to max_depth+1 boundary passes must not re-scan the corpus width or
+    re-run upstream actors), waterfill, cut; ship the boundary ids once."""
+    import ray
+
+    proj = ds.select_columns([id_col, domain_col, token_col]).materialize()
+    budgets = unimax_budgets(
+        domain_token_counts(proj, domain_col, token_col),
+        total_budget, max_epochs)
+    cuts, boundary_ids = domain_budget_cuts(
+        proj, budgets, domain_col=domain_col, token_col=token_col,
+        id_col=id_col, seed=seed, **kwargs)
+    return cuts, ray.put(boundary_ids), budgets
+
+
+def unimax_select(ds, total_budget: int, max_epochs: float = 1.0,
+                  domain_col: str = "source", token_col: str = "ws_tokens",
+                  id_col: str = "doc_id", seed: str = "unimax", **kwargs):
+    """Domain-balanced token-budget selection: UniMax waterfill over the
+    per-domain token totals, then each domain keeps its allocation's worth
+    of documents in deterministic hash order. Returns the filtered Dataset
+    (original columns)."""
+    cuts, bid_ref, _ = _unimax_cuts(ds, total_budget, max_epochs, domain_col,
+                                    token_col, id_col, seed, **kwargs)
+    return ds.map_batches(
+        _domain_membership_stage(cuts, bid_ref, domain_col, id_col, seed),
+        batch_format="pyarrow", concurrency=_pool())
+
+
+def flag_unimax(ds, total_budget: int, max_epochs: float = 1.0,
+                domain_col: str = "source", token_col: str = "ws_tokens",
+                id_col: str = "doc_id", seed: str = "unimax",
+                flag_col: str = "in_unimax", **kwargs):
+    """Same selection as ``unimax_select`` but appends a boolean
+    ``flag_col`` instead of filtering — the audit/composite form."""
+    cuts, bid_ref, _ = _unimax_cuts(ds, total_budget, max_epochs, domain_col,
+                                    token_col, id_col, seed, **kwargs)
+    return ds.map_batches(
+        _domain_membership_stage(cuts, bid_ref, domain_col, id_col, seed,
+                                 flag_col=flag_col),
+        batch_format="pyarrow", concurrency=_pool())
+
+
+def select_domain_budgets(ds, budgets: dict, domain_col: str = "source",
+                          token_col: str = "ws_tokens",
+                          id_col: str = "doc_id", seed: str = "unimax",
+                          flag_col: str | None = None, **kwargs):
+    """Explicit per-domain token budgets (skip the waterfill — e.g. mixture
+    weights from a config): each domain keeps its budget's worth of rows in
+    deterministic hash order. Domains absent from ``budgets`` are dropped.
+    ``flag_col`` switches to the audit form."""
+    import ray
+
+    proj = ds.select_columns([id_col, domain_col, token_col]).materialize()
+    cuts, boundary_ids = domain_budget_cuts(
+        proj, budgets, domain_col=domain_col, token_col=token_col,
+        id_col=id_col, seed=seed, **kwargs)
+    return ds.map_batches(
+        _domain_membership_stage(cuts, ray.put(boundary_ids), domain_col,
+                                 id_col, seed, flag_col=flag_col),
+        batch_format="pyarrow", concurrency=_pool())
+
+
 def _pool():
     """Cluster-sized actor-pool bounds (see functions/pool.py)."""
     from .pool import actor_pool

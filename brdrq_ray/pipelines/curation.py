@@ -76,6 +76,12 @@ class CurationConfig:
     benchmark: object | None = None           # Dataset -> 13-gram decontam
     decontam_shingle_k: int = 13
     token_budget_total: int | None = None     # keep best docs until budget
+    # UniMax domain-balanced budget (Chung et al. 2023): waterfill the total
+    # over per-domain token counts, select each domain's share in
+    # deterministic hash order (sampling.unimax_select)
+    unimax_budget_total: int | None = None
+    unimax_domain_col: str = "source"
+    unimax_max_epochs: float = 1.0
     # hashed n-gram LM quality gate (CCNet-style): train on lm_reference,
     # drop docs scoring above lm_max_bits cross-entropy bits/token
     lm_reference: object | None = None        # Dataset of trusted text
@@ -374,6 +380,16 @@ def curate_documents(ds: ray.data.Dataset,
     if cfg.sample_fraction is not None:
         ds = hash_sample(ds, cfg.sample_fraction, id_col=cfg.id_col,
                          seed=cfg.seed)
+    if cfg.unimax_budget_total is not None:
+        # domain-balanced final cut: UniMax waterfill over per-domain token
+        # totals of the SURVIVORS, each domain's allocation selected in
+        # deterministic hash order (unimax_select pins its own projection)
+        from ..functions.sampling import unimax_select
+
+        ds = unimax_select(ds.materialize(), cfg.unimax_budget_total,
+                           max_epochs=cfg.unimax_max_epochs,
+                           domain_col=cfg.unimax_domain_col,
+                           id_col=cfg.id_col, seed=cfg.seed)
     if cfg.token_budget_total is not None:
         # final cut: the best-quality survivors that fit the training
         # budget (exact sort-prefix semantics, no global sort). Multiple

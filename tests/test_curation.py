@@ -610,3 +610,42 @@ def test_clf_corpora_must_pair(ray_session):
     with pytest.raises(ValueError, match="set together"):
         curate_documents(ray.data.from_arrow(_corpus()),
                          CurationConfig(clf_negative=pos))
+
+
+def test_unimax_budget_stage(ray_session):
+    """unimax_budget_total balances the final cut across the domain column:
+    waterfill over the survivors' per-domain token totals, then each domain
+    keeps exactly its allocation's worth in deterministic hash order."""
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.functions.sampling import hash60, unimax_budgets
+
+    texts, ids, srcs = [], [], []
+    for i in range(24):
+        ids.append(i)
+        texts.append(GOOD.replace("fox", f"fox{i}") + f" unique marker {i}")
+        # skewed domains: 18 docs in 'big', 6 in 'small'
+        srcs.append("big" if i < 18 else "small")
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts),
+                    "source": pa.array(srcs)})
+    cfg = CurationConfig(quality_min=0.0, near_dup=False,
+                         unimax_budget_total=300)
+    out = curate_documents(ray.data.from_arrow(tbl), cfg).to_pandas()
+    # brute force over the annotated survivors
+    full = curate_documents(ray.data.from_arrow(tbl),
+                            CurationConfig(quality_min=0.0, near_dup=False)
+                            ).to_pandas()
+    counts = full.groupby("source")["ws_tokens"].sum().astype(int).to_dict()
+    budgets = unimax_budgets(counts, 300)
+    full["h"] = hash60([str(v) for v in full["doc_id"]], "curate")
+    want = set()
+    for d, b in budgets.items():
+        sub = full[full["source"] == d].sort_values(["h", "doc_id"],
+                                                    kind="mergesort")
+        want |= set(sub[sub["ws_tokens"].cumsum() <= b]["doc_id"])
+    assert set(out["doc_id"]) == want
+    # the small domain is protected: it keeps a proportionally larger share
+    got_by_src = out.groupby("source")["ws_tokens"].sum()
+    assert got_by_src.get("small", 0) > 0
+    assert got_by_src["big"] <= budgets["big"]

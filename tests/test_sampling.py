@@ -225,3 +225,122 @@ def test_select_token_budget_equals_sort_prefix(ray_session):
     got_s = set(select_token_budget(ray.data.from_arrow(tbl_s), 60_000)
                 .to_pandas()["doc_id"])
     assert got_s == want_s
+
+
+def _unimax_brute(df, budgets, seed="unimax"):
+    """Per-domain prefix in (hash60 ASC, id ASC) order, cumsum <= budget."""
+    import pandas as pd
+    from brdrq_ray.functions.sampling import hash60
+
+    keep = set()
+    d2 = df.copy()
+    d2["h"] = hash60(d2["doc_id"].tolist(), seed)
+    for d, b in budgets.items():
+        sub = d2[d2["source"] == d].sort_values(["h", "doc_id"],
+                                                kind="mergesort")
+        keep |= set(sub[sub["ws_tokens"].cumsum() <= b]["doc_id"])
+    return keep
+
+
+def test_unimax_budgets_waterfill():
+    from brdrq_ray.functions.sampling import unimax_budgets
+
+    # hand example: caps 100/300/1000, budget 600 -> shares 200 each, the
+    # 100-cap domain frees budget for the rest: 100, then 500//2=250 (capped
+    # at 300? no, 250 < 300) -> 250, then 250//1=250
+    got = unimax_budgets({"a": 100, "b": 300, "c": 1000}, 600)
+    assert got == {"a": 100, "b": 250, "c": 250}
+    # budget >= total caps: everyone gets their cap
+    got = unimax_budgets({"a": 100, "b": 300}, 10_000)
+    assert got == {"a": 100, "b": 300}
+    # max_epochs scales the caps (floor)
+    got = unimax_budgets({"a": 101, "b": 300}, 10_000, max_epochs=0.5)
+    assert got == {"a": 50, "b": 150}
+    # invariants over random instances
+    rng = np.random.default_rng(4)
+    for _ in range(50):
+        k = int(rng.integers(1, 12))
+        counts = {f"s{i}": int(rng.integers(0, 5000)) for i in range(k)}
+        budget = int(rng.integers(0, 30000))
+        b = unimax_budgets(counts, budget)
+        assert sum(b.values()) <= budget
+        assert all(0 <= b[d] <= counts[d] for d in counts)
+        # water level: any domain below its cap is within 1 of the max
+        # uncapped allocation (integer floor-division waterfill property)
+        uncapped = [b[d] for d in counts if b[d] < counts[d]]
+        if len(uncapped) > 1:
+            assert max(uncapped) - min(uncapped) <= 1
+
+
+def test_unimax_select_equals_brute_force(ray_session):
+    import pandas as pd
+    import ray.data
+    from brdrq_ray.functions.sampling import (domain_token_counts,
+                                              flag_unimax, unimax_budgets,
+                                              unimax_select)
+
+    rng = np.random.default_rng(11)
+    n = 1500
+    df = pd.DataFrame({
+        "doc_id": [f"d{i:05d}" for i in range(n)],
+        "source": rng.choice([f"s{i}" for i in range(6)], size=n,
+                             p=[0.4, 0.25, 0.15, 0.1, 0.07, 0.03]),
+        "ws_tokens": rng.integers(1, 200, n).astype(np.int64),
+    })
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    counts = df.groupby("source")["ws_tokens"].sum().astype(int).to_dict()
+
+    for budget in (0, 9_000, 60_000, 10**9):
+        budgets = unimax_budgets(counts, budget)
+        want = _unimax_brute(df, budgets)
+        for blocks in (1, 7):
+            ds = ray.data.from_arrow(tbl).repartition(blocks)
+            out = unimax_select(ds, budget).to_pandas()
+            got = set(out["doc_id"]) if len(out) else set()
+            assert got == want, (budget, blocks, len(got), len(want))
+    # exact per-domain counts pass
+    ds = ray.data.from_arrow(tbl)
+    assert domain_token_counts(ds) == counts
+    # flag form marks the same membership
+    budgets = unimax_budgets(counts, 9_000)
+    want = _unimax_brute(df, budgets)
+    out = flag_unimax(ds, 9_000).to_pandas()
+    assert set(out[out["in_unimax"]]["doc_id"]) == want
+    assert len(out) == n
+    # recursion path: driver_limit below any bin population
+    got = set(unimax_select(ds, 9_000, driver_limit=4, n_bins=8,
+                            max_depth=6).to_pandas()["doc_id"])
+    assert got == want
+    # int64 ids hash like their decimal string (SQL parity contract)
+    tbl_i = tbl.set_column(0, "doc_id", pa.array(np.arange(n, dtype=np.int64)))
+    dfi = df.copy()
+    dfi["doc_id"] = np.arange(n, dtype=np.int64)
+    want_i = _unimax_brute(dfi, budgets)
+    got_i = set(unimax_select(ray.data.from_arrow(tbl_i), 9_000)
+                .to_pandas()["doc_id"])
+    assert got_i == want_i
+
+
+def test_select_domain_budgets_explicit(ray_session):
+    import pandas as pd
+    import ray.data
+    from brdrq_ray.functions.sampling import select_domain_budgets
+
+    rng = np.random.default_rng(3)
+    n = 600
+    df = pd.DataFrame({
+        "doc_id": [f"x{i:04d}" for i in range(n)],
+        "source": rng.choice(["a", "b", "c"], size=n),
+        "ws_tokens": rng.integers(1, 50, n).astype(np.int64),
+    })
+    budgets = {"a": 500, "b": 0}  # c absent -> dropped entirely
+    want = _unimax_brute(df, budgets)
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = select_domain_budgets(ds, budgets).to_pandas()
+    assert set(out["doc_id"]) == want
+    assert set(out["source"]) <= {"a"}  # b budget 0, c unbudgeted
+    # audit form
+    flagged = select_domain_budgets(ds, budgets,
+                                    flag_col="in_domain_budget").to_pandas()
+    assert set(flagged[flagged["in_domain_budget"]]["doc_id"]) == want
+    assert len(flagged) == n
