@@ -20,8 +20,13 @@ this module is about the glue):
          -> [SemDeDup semantic dedup over an embedding table]   [opt-in]
          -> [DSIR resample toward a target-domain corpus]       [opt-in]
          -> deterministic Bernoulli downsample                  [per-row]
+         -> [UniMax domain-balanced budget cut]                 [opt-in]
          -> [token-budget best-docs cut (exact sort-prefix)]    [opt-in]
          -> greedy sequence packing (bucketed)                  [1 shuffle]
+
+``curate_documents_with_report`` runs the same chain in audit mode: a
+checkpoint after every enabled stage records the retention funnel (rows,
+chars, ws_tokens, kept_frac, wall_s) without changing the output.
 
 Scale notes:
 - Everything streams except ONE deliberate pipeline checkpoint: the curated
@@ -274,14 +279,75 @@ def remove_near_duplicates(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.dat
     return semi_join(ds, loser_ids, on=cfg.id_col, anti=True)
 
 
+def _stage_sums(cfg: CurationConfig):
+    """Per-batch partial sums for the audit report: rows, utf8 chars of the
+    text column, ws_tokens when annotated. One tiny C-kernel pass."""
+    def sums(b: pa.Table) -> pa.Table:
+        chars = ws = 0
+        if cfg.col in b.column_names:
+            chars = int(pc.sum(pc.utf8_length(b.column(cfg.col))).as_py()
+                        or 0)
+        if "ws_tokens" in b.column_names:
+            ws = int(pc.sum(b.column("ws_tokens")).as_py() or 0)
+        return pa.table({"rows": pa.array([b.num_rows], pa.int64()),
+                         "chars": pa.array([chars], pa.int64()),
+                         "ws": pa.array([ws], pa.int64())})
+    return sums
+
+
+def curate_documents_with_report(ds: ray.data.Dataset,
+                                 cfg: CurationConfig | None = None):
+    """Audit/report mode: run ``curate_documents`` with a checkpoint after
+    every enabled stage, recording the retention funnel — rows, utf8 chars,
+    ws_tokens (once annotated), kept_frac vs the previous stage — and each
+    stage's wall time. The curated output is IDENTICAL to a plain
+    ``curate_documents`` run (every stage is a pure function of input +
+    seed); the checkpoints only pin what the lazy DAG would recompute.
+    Returns ``(curated, report)`` — report is a list of per-stage dicts in
+    execution order, JSON-ready (the curation analog of the alignment job's
+    per-partition manifest metrics, state/checkpoint.py).
+
+    At 100 TB each checkpoint is the same spill-backed materialize the
+    pipeline already uses at its multi-consumer boundaries; report mode
+    extends it to every stage — the audit run a production deploy does once
+    per recipe change, not the steady-state shape."""
+    report: list = []
+    out = curate_documents(ds, cfg, _report=report)
+    return out, report
+
+
 def curate_documents(ds: ray.data.Dataset,
-                     cfg: CurationConfig | None = None) -> ray.data.Dataset:
+                     cfg: CurationConfig | None = None,
+                     _report: list | None = None) -> ray.data.Dataset:
     """The full annotate -> filter -> dedup -> near-dup -> sample chain.
     Returns the curated corpus with the annotation columns attached."""
+    import time
+
     from ..functions.dedup import exact_dedup
     from ..functions.sampling import hash_sample
 
     cfg = cfg or CurationConfig()
+    _t = [time.time()]
+
+    def tap(d: ray.data.Dataset, name: str) -> ray.data.Dataset:
+        if _report is None:
+            return d
+        d = d.materialize()
+        parts = d.map_batches(_stage_sums(cfg),
+                              batch_format="pyarrow").take_all()
+        rec = {"stage": name,
+               "rows": int(sum(p["rows"] for p in parts)),
+               "chars": int(sum(p["chars"] for p in parts)),
+               "ws_tokens": int(sum(p["ws"] for p in parts)),
+               "wall_s": round(time.time() - _t[0], 3)}
+        if _report:
+            prev = _report[-1]["rows"]
+            rec["kept_frac"] = round(rec["rows"] / prev, 6) if prev else None
+        _report.append(rec)
+        _t[0] = time.time()
+        return d
+
+    ds = tap(ds, "input")
     if cfg.lm_max_bits is not None and cfg.lm_reference is None:
         raise ValueError("lm_max_bits needs lm_reference to train on")
     if cfg.semantic_threshold is not None and cfg.embeddings is None:
@@ -302,6 +368,7 @@ def curate_documents(ds: ray.data.Dataset,
         ds = ds.map_batches(
             lambda b: dedup_lines_within_doc_batch(b, col=cfg.col),
             batch_format="pyarrow")
+        ds = tap(ds, "dedup_lines")
     if cfg.c4:
         from ..functions.text import c4_clean_batch
 
@@ -311,25 +378,32 @@ def curate_documents(ds: ray.data.Dataset,
               .map_batches(lambda b: b.filter(b.column("c4_doc_ok"))
                            .drop_columns(["c4_doc_ok"]),
                            batch_format="pyarrow"))
+        ds = tap(ds, "c4")
     if cfg.boilerplate_min_docs is not None:
         from ..functions.text import remove_boilerplate_lines
 
         ds = remove_boilerplate_lines(ds, col=cfg.col, id_col=cfg.id_col,
                                       min_docs=cfg.boilerplate_min_docs)
+        ds = tap(ds, "boilerplate")
     if cfg.passage_k is not None:
         from ..functions.text import remove_repeated_passages
 
         ds = remove_repeated_passages(ds, col=cfg.col, id_col=cfg.id_col,
                                       k=cfg.passage_k,
                                       min_docs=cfg.passage_min_docs)
+        ds = tap(ds, "passages")
     ds = annotate_documents(ds, cfg)
+    ds = tap(ds, "annotate")
     ds = filter_documents(ds, cfg)
+    ds = tap(ds, "filter")
     if cfg.benchmark is not None:
         from ..functions.dedup import decontaminate
 
         ds = decontaminate(ds, cfg.benchmark, col=cfg.col, id_col=cfg.id_col,
                            shingle_k=cfg.decontam_shingle_k)
+        ds = tap(ds, "decontaminate")
     ds = exact_dedup(ds, col=cfg.col, id_col=cfg.id_col)
+    ds = tap(ds, "exact_dedup")
     if cfg.near_dup:
         # The near-dup stage consumes its input THREE times (sketch pass,
         # candidate-text fetch, anti-join); a lazy input would re-execute
@@ -339,6 +413,7 @@ def curate_documents(ds: ray.data.Dataset,
         # exactly what a resumable production run wants here anyway).
         ds = ds.materialize()
         ds = remove_near_duplicates(ds, cfg)
+        ds = tap(ds, "near_dup")
     if cfg.semantic_threshold is not None:
         # SemDeDup over the survivors' embeddings: the (small) survivor-id
         # projection restricts the embedding table, the (small) kept-id set
@@ -362,6 +437,7 @@ def curate_documents(ds: ray.data.Dataset,
                            kept.select_columns([cfg.id_col]),
                            on=cfg.id_col, anti=True)
         ds = semi_join(ds, losers, on=cfg.id_col, anti=True)
+        ds = tap(ds, "semantic_dedup")
     if cfg.dsir_target is not None and (cfg.dsir_k is not None
                                         or cfg.dsir_fraction is not None):
         # DSIR toward the target domain: raw model trains on the survivors
@@ -377,9 +453,11 @@ def curate_documents(ds: ray.data.Dataset,
         ds = dsir_resample(ds, t_model, r_model, k=cfg.dsir_k,
                            fraction=cfg.dsir_fraction, col=cfg.col,
                            id_col=cfg.id_col, seed=cfg.seed)
+        ds = tap(ds, "dsir")
     if cfg.sample_fraction is not None:
         ds = hash_sample(ds, cfg.sample_fraction, id_col=cfg.id_col,
                          seed=cfg.seed)
+        ds = tap(ds, "sample")
     if cfg.unimax_budget_total is not None:
         # domain-balanced final cut: UniMax waterfill over per-domain token
         # totals of the SURVIVORS, each domain's allocation selected in
@@ -390,6 +468,7 @@ def curate_documents(ds: ray.data.Dataset,
                            max_epochs=cfg.unimax_max_epochs,
                            domain_col=cfg.unimax_domain_col,
                            id_col=cfg.id_col, seed=cfg.seed)
+        ds = tap(ds, "unimax")
     if cfg.token_budget_total is not None:
         # final cut: the best-quality survivors that fit the training
         # budget (exact sort-prefix semantics, no global sort). Multiple
@@ -398,6 +477,7 @@ def curate_documents(ds: ray.data.Dataset,
 
         ds = select_token_budget(ds.materialize(), cfg.token_budget_total,
                                  id_col=cfg.id_col, seed=cfg.seed)
+        ds = tap(ds, "token_budget")
     return ds
 
 

@@ -649,3 +649,33 @@ def test_unimax_budget_stage(ray_session):
     got_by_src = out.groupby("source")["ws_tokens"].sum()
     assert got_by_src.get("small", 0) > 0
     assert got_by_src["big"] <= budgets["big"]
+
+
+def test_curation_report_mode(ray_session):
+    """curate_documents_with_report returns the identical curated corpus
+    plus a per-stage retention funnel in execution order."""
+    import ray.data
+    from brdrq_ray.pipelines.curation import curate_documents_with_report
+
+    ds = ray.data.from_arrow(_corpus())
+    cfg = CurationConfig(quality_min=0.40, near_dup=True,
+                         jaccard_threshold=0.7, dedup_lines=True,
+                         sample_fraction=0.9)
+    out, report = curate_documents_with_report(ds, cfg)
+    plain = curate_documents(ray.data.from_arrow(_corpus()), cfg).to_pandas()
+    assert set(out.to_pandas()["doc_id"]) == set(plain["doc_id"])
+    stages = [r["stage"] for r in report]
+    assert stages == ["input", "dedup_lines", "annotate", "filter",
+                      "exact_dedup", "near_dup", "sample"]
+    rows = [r["rows"] for r in report]
+    assert rows[0] == _corpus().num_rows
+    # rewrites keep rows; every filtering stage is monotone non-increasing
+    assert rows[1] == rows[0] and rows[2] == rows[1]
+    assert all(a >= b for a, b in zip(rows[2:], rows[3:]))
+    assert rows[-1] == len(plain)
+    # annotate onward carries token counts; every record is JSON-ready
+    import json
+    assert report[2]["ws_tokens"] > 0
+    assert all(r["chars"] >= 0 and r["wall_s"] >= 0 for r in report)
+    assert all("kept_frac" in r for r in report[1:])
+    json.dumps(report)
