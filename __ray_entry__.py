@@ -484,6 +484,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ckey = hashlib.sha1(f.read()).hexdigest()[:12]
         df = ivf_knn(ray.data.read_parquet(path), Q, k=5, cache_key=ckey)
         df["cosine"] = df["cosine"].round(5)
+        # composite cross-check (output unchanged): IVF-PQ with probe-ALL
+        # cells + re-rank over ALL candidates must equal brute force exactly
+        # — an equality gate over the whole compressed path (cell assign,
+        # residual encode, per-cell ADC + coarse offset, merge, re-rank).
+        # ADC pruning QUALITY is pytest-gated on clustered fixtures; the
+        # driver fixture is uniform noise where ADC@r recall is undefined.
+        from brdrq_ray.functions.pq import ivfpq_knn
+        from brdrq_ray.functions.similarity import knn_brute_force
+        exact = knn_brute_force(ray.data.read_parquet(path), Q, k=5)
+        pqd = ivfpq_knn(ray.data.read_parquet(path), Q, k=5, n_clusters=8,
+                        m=8, ks=64, n_probe=8, rerank=tbl.num_rows)
+        for qid in range(len(Q)):
+            a = set(pqd[pqd.query_id == qid]["vec_id"])
+            b = set(exact[exact.query_id == qid]["vec_id"])
+            if a != b:
+                raise AssertionError(
+                    f"IVF-PQ rerank top-5 != exact top-5 for query {qid}: "
+                    f"{sorted(a)} vs {sorted(b)}")
         return df
 
     def _media_refs(sf_dir: str):

@@ -190,9 +190,21 @@ def run_queries() -> dict:
         return dsir_resample(docs.materialize(), t_model, r_model,
                              fraction=0.25)
 
+    def _pq_knn(sf_dir: str):
+        import numpy as np
+        import pyarrow.parquet as pqt
+        import ray.data
+        from brdrq_ray.functions.pq import ivfpq_knn
+        path = f"{sf_dir}/embeddings.parquet"
+        Q = np.asarray(pqt.read_table(path).column("embedding")
+                       .to_pylist()[:16])
+        return ivfpq_knn(ray.data.read_parquet(path), Q, k=10,
+                         n_clusters=None, m=8, ks=64, n_probe=4, rerank=50)
+
     qs["semantic_dedup"] = _semantic_dedup
     qs["bpe_train_encode"] = _bpe_train_encode
     qs["dsir_resample"] = _dsir
+    qs["pq_knn"] = _pq_knn
 
     def _media_dedup(sf_dir: str):
         # runs over the headline fixture (the sf dir has no media table):
@@ -210,7 +222,7 @@ def run_queries() -> dict:
              "asof_join",
              "exact_dedup_documents", "token_count", "knn_top5", "minhash_pairs",
              "curation_e2e", "semantic_dedup", "bpe_train_encode",
-             "dsir_resample", "media_dedup",
+             "dsir_resample", "media_dedup", "pq_knn",
              "align_predict", "align_evaluate", "autoupdate", "spatial_semi_join",
              "semi_anti_join", "correction", "media_decode"]
     reps = max(1, int(os.environ.get("BRDRQ_QUERY_REPS", "2")))

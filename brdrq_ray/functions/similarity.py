@@ -37,11 +37,18 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(self.id_col).to_pylist())
-        V = _normalize(np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float64))
+        # rows ordered by id first, then a STABLE score sort: the per-batch
+        # partial top-k follows the (cosine desc, id asc) total order the
+        # driver merge uses, so exact-tie candidates (duplicate vectors — a
+        # real dedup-corpus case) surface identically under any partitioning
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = _normalize(np.asarray(batch.column(self.vec_col).to_pylist(),
+                                  dtype=np.float64))[order]
         sim = self.Q @ V.T                      # (n_q, n_batch)
         k = min(self.k, sim.shape[1])
         # partial top-k per query within this batch
-        idx = np.argpartition(-sim, kth=k - 1, axis=1)[:, :k]
+        idx = np.argsort(-np.round(sim, 9), axis=1, kind="stable")[:, :k]
         rows_q = np.repeat(np.arange(sim.shape[0]), k)
         rows_v = idx.ravel()
         return pa.table({
@@ -250,9 +257,14 @@ def ivf_probe(index: dict, queries: np.ndarray, k: int = 10, n_probe: int = 4,
                 if qs is None or len(qs) == 0:
                     continue
                 rows = np.nonzero(cells == c)[0]
+                # id-ordered rows + stable sort: exact-tie candidates
+                # (duplicate vectors) surface partition-invariantly, in the
+                # same (cosine desc, id asc) order the driver merge applies
+                rows = rows[np.argsort(ids[rows], kind="stable")]
                 sim = self.Q[qs] @ V[rows].T            # (n_q_cell, n_rows)
                 kk = min(k, sim.shape[1])
-                top = np.argpartition(-sim, kth=kk - 1, axis=1)[:, :kk]
+                top = np.argsort(-np.round(sim, 9), axis=1,
+                                 kind="stable")[:, :kk]
                 rq = np.repeat(qs, kk)
                 rv = rows[top.ravel()]
                 out_q.append(rq)
