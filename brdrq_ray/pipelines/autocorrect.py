@@ -353,27 +353,39 @@ def run_alignment(thematic: ray.data.Dataset, reference: ray.data.Dataset,
         return fn(group)
 
     main = unified.groupby("part_key").map_groups(align_group, batch_format="pyarrow")
-    if oversized is None:
-        return main
-    # the oversized subset is tiny by assumption: materialize it (one filter
-    # scan), and only when non-empty run the fallback DAG under its own exact
-    # plan (coarser level derived from the true max extent)
-    oversized = oversized.materialize()
-    if oversized.count() == 0:
-        return main
-    over_unified, _, over_handle, _ = prepare_aligned_inputs(
-        oversized, reference, max_rd, cell_level=None,
-        hot_threshold=hot_threshold, broadcast_reference=broadcast_reference,
-        plan_sample=1.0, pre_parsed=True)
-    fn2 = AlignGroupFn(cfg, mode=mode, max_rd=max_rd, add_metadata=add_metadata,
-                       ref_broadcast=over_handle, slots=slots)
+    res = main
+    if oversized is not None:
+        # the oversized subset is tiny by assumption: materialize it (one
+        # filter scan), and only when non-empty run the fallback DAG under
+        # its own exact plan (coarser level derived from the true max extent)
+        oversized = oversized.materialize()
+        if oversized.count() > 0:
+            over_unified, _, over_handle, _ = prepare_aligned_inputs(
+                oversized, reference, max_rd, cell_level=None,
+                hot_threshold=hot_threshold,
+                broadcast_reference=broadcast_reference,
+                plan_sample=1.0, pre_parsed=True)
+            fn2 = AlignGroupFn(cfg, mode=mode, max_rd=max_rd,
+                               add_metadata=add_metadata,
+                               ref_broadcast=over_handle, slots=slots)
 
-    def align_group_over(group: pa.Table) -> pa.Table:
-        return fn2(group)
+            def align_group_over(group: pa.Table) -> pa.Table:
+                return fn2(group)
 
-    fallback = over_unified.groupby("part_key").map_groups(
-        align_group_over, batch_format="pyarrow")
-    return main.union(fallback)
+            fallback = over_unified.groupby("part_key").map_groups(
+                align_group_over, batch_format="pyarrow")
+            res = main.union(fallback)
+    from ..processors import PROCESSOR_TOPOLOGY, get_processor_by_id
+    proc_cls = None
+    try:
+        proc_cls = get_processor_by_id(cfg.processor_id)
+    except (KeyError, NotImplementedError):
+        pass  # AlignGroupFn raises inside the DAG for truly unknown ids
+    if getattr(proc_cls, "post_pass", None) == "topology" \
+            or cfg.processor_id == PROCESSOR_TOPOLOGY:
+        from ..functions.topology import topology_resolve
+        res = topology_resolve(res)
+    return res
 
 
 # --- result materialization (A5 analog) ------------------------------------

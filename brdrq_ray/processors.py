@@ -97,8 +97,20 @@ class NetworkProcessor(SnapProcessor):
     strategy_default = SNAP_PREFER_ENDS_AND_ANGLES
 
 
+class TopologyProcessor(OverlapProcessor):
+    """Topology-aware alignment: the per-feature kernel is the overlap
+    processor unchanged; selecting this id additionally runs the
+    cross-feature topology post-pass (functions/topology.topology_resolve —
+    deterministic priority tessellation making the aligned layer
+    overlap-free) after alignment. The reference registers this id but
+    ships it disabled (brdrq_utils.py:102-110), so the semantics here are
+    engine-defined and frozen in SEMANTICS.md."""
+
+    post_pass = "topology"
+
+
 register(PROCESSOR_ALIGNER, OverlapProcessor)
 register(PROCESSOR_SNAP, SnapProcessor)
 register(PROCESSOR_NETWORK, NetworkProcessor)
-register(PROCESSOR_DIEUSSAERT, None)
-register(PROCESSOR_TOPOLOGY, None)
+register(PROCESSOR_DIEUSSAERT, None)  # disabled upstream too; no public semantic to rebuild
+register(PROCESSOR_TOPOLOGY, TopologyProcessor)

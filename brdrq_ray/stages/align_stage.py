@@ -234,10 +234,14 @@ class AlignGroupFn:
             if t_kind != g.GEOM_POLYGON:
                 # line/point themes -> snap processor (A9/A11); one row per
                 # feature at the working distance
-                from ..processors import PROCESSOR_SNAP, get_processor_by_id
+                from ..processors import (
+                    PROCESSOR_SNAP,
+                    PROCESSOR_TOPOLOGY,
+                    get_processor_by_id,
+                )
                 pid = self.cfg.processor_id
-                if pid == "2024:aligner2024a":
-                    pid = PROCESSOR_SNAP  # polygons' default doesn't apply
+                if pid in ("2024:aligner2024a", PROCESSOR_TOPOLOGY):
+                    pid = PROCESSOR_SNAP  # polygon processors don't apply
                 proc = get_processor_by_id(pid)(self.cfg)
                 pr = proc.align(t_ids[i], t_kind, theme_parts, candidates,
                                 self.cfg.relevant_distance)

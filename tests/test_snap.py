@@ -68,7 +68,11 @@ def test_processor_registry():
     with pytest.raises(KeyError):
         procs.get_processor_by_id("nope")
     with pytest.raises(NotImplementedError):
-        procs.get_processor_by_id("2024:topology2024a")
+        procs.get_processor_by_id("2024:dieussaert2024a")
+    # topology has a real body since r4 session 5 (engine-defined semantics)
+    topo = procs.get_processor_by_id("2024:topology2024a")
+    assert isinstance(topo(cfg), procs.OverlapProcessor)
+    assert topo.post_pass == "topology"
 
 
 def test_snap_processor_via_align_stage(ray_session):
