@@ -780,6 +780,79 @@ def select_domain_budgets(ds, budgets: dict, domain_col: str = "source",
         batch_format="pyarrow", concurrency=_pool())
 
 
+def temperature_budgets(token_counts: dict, alpha: float, total_budget: int,
+                        max_epochs: float | None = 1.0) -> dict:
+    """Temperature-based domain reweighting (the multilingual-sampling rule
+    of mT5/Gopher/PaLM: sample domain d with p_d proportional to
+    tokens_d^alpha). alpha=1 keeps natural proportions; alpha=0 is uniform;
+    in between boosts small domains without drowning large ones.
+
+    Returns integer per-domain token budgets summing to <= total_budget:
+    allocation proportional to tokens^alpha, capped at
+    floor(max_epochs x tokens_d) (no domain repeats data beyond max_epochs;
+    None disables the cap), overflow redistributed among uncapped domains by
+    the same alpha weights until stable (<= n_domains rounds). Deterministic
+    — pure integer/float math on the (tiny) domain-count dict; feed the
+    result to :func:`select_domain_budgets` for the actual corpus cut."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    toks = {d: int(c) for d, c in token_counts.items() if int(c) > 0}
+    caps = {d: (int(max_epochs * toks[d]) if max_epochs is not None
+                else int(total_budget)) for d in toks}
+    w = {d: float(toks[d]) ** alpha for d in toks}
+    budgets = {d: 0 for d in toks}
+    remaining = int(total_budget)
+    active = sorted(toks, key=str)
+    while remaining > 0 and active:
+        wsum = sum(w[d] for d in active)
+        if wsum <= 0:
+            break
+        capped = []
+        allocated = 0
+        for d in active:
+            share = int(remaining * w[d] / wsum)
+            room = caps[d] - budgets[d]
+            take = min(share, room)
+            budgets[d] += take
+            allocated += take
+            if budgets[d] >= caps[d]:
+                capped.append(d)
+        remaining -= allocated
+        if capped:
+            active = [d for d in active if d not in capped]
+        elif allocated == 0:
+            # integer floors stalled: hand the tail out one token at a time
+            # by descending weight (ties by name) until it is gone
+            for d in sorted(active, key=lambda d: (-w[d], str(d))):
+                if remaining <= 0:
+                    break
+                give = min(remaining, caps[d] - budgets[d])
+                budgets[d] += give
+                remaining -= give
+            break
+    return budgets
+
+
+def temperature_select(ds, alpha: float, total_budget: int,
+                       max_epochs: float | None = 1.0,
+                       domain_col: str = "source",
+                       token_col: str = "ws_tokens",
+                       id_col: str = "doc_id", seed: str = "temp",
+                       flag_col: str | None = None, **kwargs):
+    """Temperature-balanced token-budget selection: per-domain budgets from
+    :func:`temperature_budgets` over the exact domain token totals, then
+    each domain keeps its allocation's worth of documents in deterministic
+    hash order (the same histogram-refinement machinery as UniMax — never a
+    global sort). ``flag_col`` switches to the audit form."""
+    counts = domain_token_counts(ds, domain_col=domain_col,
+                                 token_col=token_col)
+    budgets = temperature_budgets(counts, alpha, total_budget,
+                                  max_epochs=max_epochs)
+    return select_domain_budgets(ds, budgets, domain_col=domain_col,
+                                 token_col=token_col, id_col=id_col,
+                                 seed=seed, flag_col=flag_col, **kwargs)
+
+
 def _pool():
     """Cluster-sized actor-pool bounds (see functions/pool.py)."""
     from .pool import actor_pool

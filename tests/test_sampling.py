@@ -344,3 +344,68 @@ def test_select_domain_budgets_explicit(ray_session):
                                     flag_col="in_domain_budget").to_pandas()
     assert set(flagged[flagged["in_domain_budget"]]["doc_id"]) == want
     assert len(flagged) == n
+
+
+def test_temperature_budgets_properties():
+    from brdrq_ray.functions.sampling import temperature_budgets
+
+    toks = {"big": 1_000_000, "mid": 100_000, "small": 10_000}
+    # alpha=1, no caps binding: proportional within integer floors
+    b = temperature_budgets(toks, 1.0, 222_000, max_epochs=None)
+    total = sum(toks.values())
+    for d in toks:
+        assert abs(b[d] - 222_000 * toks[d] / total) <= 3
+    # alpha=0: uniform (caps off)
+    b0 = temperature_budgets(toks, 0.0, 30_000, max_epochs=None)
+    assert set(b0.values()) == {10_000}
+    # alpha between: small domains boosted vs natural share
+    bh = temperature_budgets(toks, 0.5, 222_000, max_epochs=None)
+    assert bh["small"] / 222_000 > toks["small"] / total
+    assert bh["big"] / 222_000 < toks["big"] / total
+    # max_epochs caps bind and overflow redistributes
+    bc = temperature_budgets(toks, 0.0, 600_000, max_epochs=1.0)
+    assert bc["small"] == 10_000            # capped at 1 epoch
+    assert bc["mid"] == 100_000             # capped too
+    assert bc["big"] == 490_000             # got the whole overflow
+    assert sum(bc.values()) == 600_000
+    # budget above all caps: allocate only what caps allow
+    ball = temperature_budgets(toks, 1.0, 10_000_000, max_epochs=1.0)
+    assert ball == {"big": 1_000_000, "mid": 100_000, "small": 10_000}
+    # exhaustive: every token of the budget lands somewhere when room exists
+    bex = temperature_budgets({"a": 7, "b": 13}, 0.7, 11, max_epochs=None)
+    assert sum(bex.values()) == 11
+    with pytest.raises(ValueError):
+        temperature_budgets(toks, -0.1, 100)
+
+
+def test_temperature_select_equals_brute_force(ray_session):
+    import pandas as pd
+    import ray.data
+    from brdrq_ray.functions.sampling import (
+        domain_token_counts,
+        temperature_budgets,
+        temperature_select,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 500
+    df = pd.DataFrame({
+        "doc_id": [f"t{i:04d}" for i in range(n)],
+        "source": rng.choice(["a", "b", "c"], size=n, p=[0.7, 0.2, 0.1]),
+        "ws_tokens": rng.integers(1, 60, n).astype(np.int64),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    counts = {d: int(df[df.source == d].ws_tokens.sum())
+              for d in df.source.unique()}
+    assert domain_token_counts(ds) == counts
+    budgets = temperature_budgets(counts, 0.3, 4000)
+    want = _unimax_brute(df, budgets, seed="temp")
+    out = temperature_select(ds, 0.3, 4000).to_pandas()
+    assert set(out["doc_id"]) == want
+    # partition invariance
+    out2 = temperature_select(ds.repartition(7), 0.3, 4000).to_pandas()
+    assert set(out2["doc_id"]) == want
+    # audit form flags the same rows
+    flagged = temperature_select(ds, 0.3, 4000,
+                                 flag_col="in_temp").to_pandas()
+    assert set(flagged[flagged["in_temp"]]["doc_id"]) == want
