@@ -532,6 +532,109 @@ def cluster_sample(ds, k_per_cluster: int, mode: str = "far",
                               id_col=id_col, **kwargs)
     return semi_join(ds, kept.select_columns([id_col]), on=id_col)
 
+def knn_join(queries, corpus, k: int = 10, n_clusters: int | None = None,
+             n_probe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id", query_id_col: str | None = None,
+             train_sample: int = 2048,
+             distributed_train: bool | None = None) -> ray.data.Dataset:
+    """Dataset-to-dataset ANN join: every row of ``queries`` gets its top-k
+    cosine neighbors from ``corpus`` — the similarity-join shape where BOTH
+    sides are datasets, so no driver-side query matrix ever exists (unlike
+    :func:`knn_brute_force` / :func:`ivf_probe`, whose queries broadcast).
+
+    Distributed shape: one codebook (the shared IVF training path) ships by
+    ray.put; the corpus assigns each vector to its nearest cell (one
+    streaming pass), each query replicates to its ``n_probe`` nearest cells
+    (bounded n_probe-fold fan-out of the query side only); ONE cell shuffle
+    co-locates them, each cell group runs one matmul + stable partial top-k,
+    and a tiny per-query groupby (group size = n_probe x k rows) merges the
+    global top-k. Recall follows IVF semantics: exact when
+    ``n_probe >= n_clusters``, approximate below.
+
+    Ids are returned as strings (``query_id``, ``vec_id``) — the two sides'
+    id types need not match. Deterministic: round-9 scores, (cosine desc,
+    id asc) total order everywhere."""
+    import pandas as pd
+
+    C = _fit_codebook(corpus, n_clusters, vec_col, train_sample,
+                      distributed_train)
+    cref = ray.put(C)
+    qcol = query_id_col or id_col
+    ncl = len(C)
+    probe = min(n_probe, ncl)
+
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(cref)
+        V = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
+                                  dtype=np.float64))
+        cell = (V @ Cc.T).argmax(axis=1)
+        n = batch.num_rows
+        return pa.table({
+            "cell": pa.array(cell, pa.int32()),
+            "side": pa.array(["c"] * n, pa.string()),
+            "rid": batch.column(id_col).cast(pa.string()),
+            vec_col: batch.column(vec_col),
+        })
+
+    def query_side(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(cref)
+        V = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
+                                  dtype=np.float64))
+        near = np.argsort(-(V @ Cc.T), axis=1, kind="stable")[:, :probe]
+        n = batch.num_rows
+        rows = np.repeat(np.arange(n), probe)
+        vecs = batch.column(vec_col)
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        return pa.table({
+            "cell": pa.array(near.ravel(), pa.int32()),
+            "side": pa.array(["q"] * (n * probe), pa.string()),
+            "rid": batch.column(qcol).cast(pa.string()).take(pa.array(rows)),
+            vec_col: vecs.take(pa.array(rows)),
+        })
+
+    unified = corpus.map_batches(corpus_side, batch_format="pyarrow").union(
+        queries.map_batches(query_side, batch_format="pyarrow"))
+
+    def cell_knn(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("side").to_pylist())
+        is_q = side == "q"
+        if not is_q.any() or is_q.all():
+            return pa.table({"qid": pa.array([], pa.string()),
+                             "rid": pa.array([], pa.string()),
+                             "cosine": pa.array([], pa.float64())})
+        ids = np.asarray(group.column("rid").to_pylist())
+        V = _normalize(np.asarray(group.column(vec_col).to_pylist(),
+                                  dtype=np.float64))
+        qi = np.nonzero(is_q)[0]
+        ci = np.nonzero(~is_q)[0]
+        ci = ci[np.argsort(ids[ci], kind="stable")]   # id-ordered ties
+        sim = np.round(V[qi] @ V[ci].T, 9)
+        kk = min(k, sim.shape[1])
+        top = np.argsort(-sim, axis=1, kind="stable")[:, :kk]
+        rows_q = np.repeat(np.arange(len(qi)), kk)
+        rows_c = top.ravel()
+        return pa.table({
+            "qid": pa.array(ids[qi][rows_q]),
+            "rid": pa.array(ids[ci][rows_c]),
+            "cosine": pa.array(sim[rows_q, rows_c], pa.float64()),
+        })
+
+    partial = unified.groupby("cell").map_groups(cell_knn,
+                                                 batch_format="pyarrow")
+
+    def merge(g) -> "pd.DataFrame":
+        g = g.sort_values(["cosine", "rid"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pd.DataFrame({"query_id": g["qid"].to_numpy(),
+                             "vec_id": g["rid"].to_numpy(),
+                             "cosine": g["cosine"].to_numpy(),
+                             "rank": np.arange(1, len(g) + 1,
+                                               dtype=np.int64)})
+
+    return partial.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
 def _pool():
     """Cluster-sized actor-pool bounds (see functions/pool.py)."""
     from .pool import actor_pool
