@@ -6,7 +6,9 @@ plugin/brdrq/brdrq_utils.py:212-230; enum :102-110): the polygon
 overlap-relevance processor ('2024:aligner2024a'), the vertex-snapping
 processor for lines/points ('2024:snap2024a'), the network processor
 ('2024:network2024a', a faster line/point variant), plus two processors the
-reference ships disabled ('2024:dieussaert2024a', '2024:topology2024a').
+reference ships disabled ('2024:dieussaert2024a', '2024:topology2024a') —
+both carry ENGINE-DEFINED bodies here (SEMANTICS.md sections 14b/14c) since
+there is no upstream behavior to match.
 
 The engine mirrors that: a registry of kernel callables keyed by the same
 ids; AlignGroupFn instantiates by id. Registering a new processor = one
@@ -55,6 +57,14 @@ class OverlapProcessor:
     def __init__(self, cfg):
         self.cfg = cfg
 
+    @classmethod
+    def effective_config(cls, cfg):
+        """Config the polygon alignment kernel runs under when this
+        processor id is selected — AlignGroupFn consults this once at init
+        (the polygon path runs the kernel directly for throughput, so a
+        processor's config transform must be visible to the whole stage)."""
+        return cfg
+
     def align(self, theme_id, kind, theme_parts, candidates, rd):
         from . import alignment as al
         if kind != g.GEOM_POLYGON:
@@ -97,6 +107,40 @@ class NetworkProcessor(SnapProcessor):
     strategy_default = SNAP_PREFER_ENDS_AND_ANGLES
 
 
+class DieussaertProcessor(OverlapProcessor):
+    """The original buffer-based relevant-overlap method
+    ('2024:dieussaert2024a'). The reference registers the id but ships it
+    disabled (the enum member is commented out, brdrq_utils.py:108) and the
+    brdr body is not vendored, so the semantics here are ENGINE-DEFINED and
+    frozen in SEMANTICS.md section 14c: the overlap kernel restricted to the
+    reference-covered domain — the open-domain strategy is forced to EXCLUDE
+    (theme area not covered by any reference polygon is dropped), matching
+    the original method's definition over a full reference partition
+    (parcels), where no open domain exists. Polygon-only: the reference
+    notes non-polygon input errors for this processor
+    (brdrq_dockwidget_featurealigner.py:1683)."""
+
+    def __init__(self, cfg):
+        super().__init__(type(self).effective_config(cfg))
+
+    @classmethod
+    def effective_config(cls, cfg):
+        import dataclasses
+
+        from .alignment import OD_EXCLUDE
+        if getattr(cfg, "od_strategy", None) == OD_EXCLUDE:
+            return cfg
+        return dataclasses.replace(cfg, od_strategy=OD_EXCLUDE)
+
+    def align(self, theme_id, kind, theme_parts, candidates, rd):
+        if kind != g.GEOM_POLYGON:
+            raise TypeError(
+                "DieussaertProcessor only handles polygons (the reference "
+                "notes non-polygon input errors for this processor, "
+                "brdrq_dockwidget_featurealigner.py:1683)")
+        return super().align(theme_id, kind, theme_parts, candidates, rd)
+
+
 class TopologyProcessor(OverlapProcessor):
     """Topology-aware alignment: the per-feature kernel is the overlap
     processor unchanged; selecting this id additionally runs the
@@ -112,5 +156,5 @@ class TopologyProcessor(OverlapProcessor):
 register(PROCESSOR_ALIGNER, OverlapProcessor)
 register(PROCESSOR_SNAP, SnapProcessor)
 register(PROCESSOR_NETWORK, NetworkProcessor)
-register(PROCESSOR_DIEUSSAERT, None)  # disabled upstream too; no public semantic to rebuild
+register(PROCESSOR_DIEUSSAERT, DieussaertProcessor)
 register(PROCESSOR_TOPOLOGY, TopologyProcessor)

@@ -130,7 +130,13 @@ class AlignGroupFn:
     def __init__(self, cfg: al.AlignConfig, mode: str = "predict",
                  max_rd: float | None = None, add_metadata: bool = True,
                  ref_broadcast=None, slots: tuple | None = None):
-        self.cfg = cfg
+        # the selected processor may transform the config for the polygon
+        # kernel (e.g. Dieussaert forces od_strategy=EXCLUDE, SEMANTICS.md
+        # 14c) — resolve ONCE here so every downstream cfg read agrees
+        from ..processors import get_processor_by_id
+        proc_cls = get_processor_by_id(cfg.processor_id)
+        eff = getattr(proc_cls, "effective_config", None)
+        self.cfg = eff(cfg) if eff is not None else cfg
         self.mode = mode
         self.max_rd = max_rd if max_rd is not None else cfg.relevant_distance
         self.add_metadata = add_metadata

@@ -67,8 +67,13 @@ def test_processor_registry():
                       procs.NetworkProcessor)
     with pytest.raises(KeyError):
         procs.get_processor_by_id("nope")
-    with pytest.raises(NotImplementedError):
-        procs.get_processor_by_id("2024:dieussaert2024a")
+    # dieussaert has a real body since r4 session 5 (engine-defined: the
+    # overlap kernel with od_strategy forced to EXCLUDE — SEMANTICS.md 14c)
+    dieu = procs.get_processor_by_id("2024:dieussaert2024a")(cfg)
+    assert isinstance(dieu, procs.OverlapProcessor)
+    assert dieu.cfg.od_strategy == "EXCLUDE"
+    with pytest.raises(TypeError):
+        dieu.align("L0", g.GEOM_LINESTRING, [], [], 1.0)
     # topology has a real body since r4 session 5 (engine-defined semantics)
     topo = procs.get_processor_by_id("2024:topology2024a")
     assert isinstance(topo(cfg), procs.OverlapProcessor)
@@ -195,3 +200,34 @@ def test_partial_snapping_evaluate_materializes_per_rd():
     ref = align_one(theme, cands, rep.rd, cfg)
     assert [r.tolist() for p in rep.pr.result for r in p] == \
            [r.tolist() for p in ref.result for r in p]
+
+
+def test_dieussaert_processor_end_to_end(ray_session):
+    """Engine-defined semantic (SEMANTICS.md 14c): the Dieussaert id runs
+    the overlap kernel with od_strategy forced to EXCLUDE, regardless of
+    the configured strategy."""
+    import pyarrow as pa
+    import ray.data
+
+    from brdrq_ray.pipelines.autocorrect import run_alignment
+    from brdrq_ray.sources import fixtures as fx
+
+    theme = fx.make_thematic_table(nx=8, ny=8, seed=11, n_features=12)
+    ref = fx.make_reference_table(nx=8, ny=8, seed=11)
+    dieu = run_alignment(
+        ray.data.from_arrow(theme), ray.data.from_arrow(ref),
+        AlignConfig(relevant_distance=2.0, od_strategy="AS_IS",
+                    processor_id=procs.PROCESSOR_DIEUSSAERT)).to_pandas()
+    excl = run_alignment(
+        ray.data.from_arrow(theme), ray.data.from_arrow(ref),
+        AlignConfig(relevant_distance=2.0, od_strategy="EXCLUDE")).to_pandas()
+    asis = run_alignment(
+        ray.data.from_arrow(theme), ray.data.from_arrow(ref),
+        AlignConfig(relevant_distance=2.0, od_strategy="AS_IS")).to_pandas()
+    key = ["theme_id"]
+    dieu = dieu.sort_values(key).reset_index(drop=True)
+    excl = excl.sort_values(key).reset_index(drop=True)
+    asis = asis.sort_values(key).reset_index(drop=True)
+    assert list(dieu.result_geom) == list(excl.result_geom)
+    # and the forced EXCLUDE is load-bearing: AS_IS differs on this fixture
+    assert list(dieu.result_geom) != list(asis.result_geom)
