@@ -74,6 +74,53 @@ def _make_media_table(docs_tbl):
                      "payload": pa.array(payloads, pa.binary())})
 
 
+def _bench_media_real() -> str:
+    """Decodable-media variant for the perceptual bench: refs group ~5x like
+    the exact table, each group shares a base PPM image, each ref gets a
+    lightly-noised re-encode of its group's base (the crawl's re-encoded-copy
+    shape). Cached lazily alongside the main fixture (its own _DONE marker so
+    pre-existing fixture caches pick it up without a regen)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from brdrq_ray.functions.multimodal import encode_ppm
+
+    fdir = _bench_fixture_dir()
+    path = f"{fdir}/media_real.parquet"
+    done = f"{fdir}/_DONE_MEDIA_REAL"
+    if os.path.exists(done):
+        return path
+    docs_tbl = pq.read_table(f"{fdir}/documents.parquet", columns=["spans"])
+    refs = sorted({s["media_ref"] for spans in docs_tbl.column("spans").to_pylist()
+                   for s in spans if s["kind"] == "media"})
+    groups = max(1, len(refs) // 5)
+    base = {}
+    payloads = []
+    for r in refs:
+        g = int(hashlib.md5(r.encode()).hexdigest(), 16) % groups
+        if g not in base:
+            rng = np.random.default_rng(g)
+            h, w = 40 + g % 17, 48 + g % 23
+            gx = np.linspace(0, 200, w)[None, :, None]
+            gy = np.linspace(0, 150, h)[:, None, None]
+            base[g] = np.clip(0.4 * gx + 0.35 * gy
+                              + rng.uniform(0, 70, size=(h, w, 3)),
+                              0, 255).astype(np.uint8)
+        rng_r = np.random.default_rng(
+            int(hashlib.md5(f"n:{r}".encode()).hexdigest()[:8], 16))
+        noisy = np.clip(base[g].astype(np.int16)
+                        + rng_r.integers(-2, 3, size=base[g].shape),
+                        0, 255).astype(np.uint8)
+        payloads.append(encode_ppm(noisy))
+    pq.write_table(pa.table({"media_ref": pa.array(refs, pa.string()),
+                             "payload": pa.array(payloads, pa.binary())}),
+                   path)
+    open(done, "w").close()
+    return path
+
+
 def run_headline() -> dict:
     import ray.data
     from brdrq_ray.alignment import AlignConfig, OD_EXCLUDE
@@ -218,11 +265,26 @@ def run_queries() -> dict:
         return out_docs
 
     qs["media_dedup"] = _media_dedup
+
+    def _media_dedup_perceptual(sf_dir: str):
+        # perceptual variant: real PPM payloads, ~5x groups of lightly-noised
+        # re-encodes — decode + DCT pHash actor pool, Hamming banding,
+        # connected components, span rewrite
+        import ray.data
+        from brdrq_ray.pipelines.documents import dedup_media_payloads
+        fdir = _bench_fixture_dir()
+        out_docs, _, _ = dedup_media_payloads(
+            ray.data.read_parquet(f"{fdir}/documents.parquet"),
+            ray.data.read_parquet(_bench_media_real()),
+            perceptual_hamming=8)
+        return out_docs
+
+    qs["media_dedup_perceptual"] = _media_dedup_perceptual
     names = ["metrics_agg", "grouped_topk", "hash_join", "hash_join_broadcast",
              "asof_join",
              "exact_dedup_documents", "token_count", "knn_top5", "minhash_pairs",
              "curation_e2e", "semantic_dedup", "bpe_train_encode",
-             "dsir_resample", "media_dedup", "pq_knn",
+             "dsir_resample", "media_dedup", "media_dedup_perceptual", "pq_knn",
              "align_predict", "align_evaluate", "autoupdate", "spatial_semi_join",
              "semi_anti_join", "correction", "media_decode"]
     reps = max(1, int(os.environ.get("BRDRQ_QUERY_REPS", "2")))

@@ -847,12 +847,29 @@ def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 
 def simhash_neardup_pairs(ds, col: str = "text", id_col: str = "doc_id",
                           max_hamming: int = 3):
-    """SimHash near-dup pairs within Hamming distance ``max_hamming`` — the
-    classic pigeonhole banding (Manku et al., WWW'07): split the 64-bit
-    fingerprint into max_hamming+1 blocks; two hashes within distance k must
-    agree on at least one block, so docs bucket by (block_id, block_value),
-    candidate pairs form inside buckets (one shuffle of the tiny sketch
-    table), and an exact XOR-popcount verify filters them. Returns
+    """SimHash near-dup pairs within Hamming distance ``max_hamming``: one
+    vectorized sketch pass, then the generic 64-bit pigeonhole banding
+    (``hamming_neardup_pairs``). Returns (id_a, id_b, hamming), id_a < id_b."""
+    def sketch(batch: pa.Table) -> pa.Table:
+        return (simhash_batch(batch.select([id_col, col]), col)
+                .select([id_col, "simhash"]))
+
+    hashed = ds.map_batches(sketch, batch_format="pyarrow")
+    return hamming_neardup_pairs(hashed, "simhash", id_col=id_col,
+                                 max_hamming=max_hamming)
+
+
+def hamming_neardup_pairs(ds, hash_col: str, id_col: str = "doc_id",
+                          max_hamming: int = 3):
+    """Near-dup pairs within Hamming distance ``max_hamming`` over ANY
+    64-bit hash column (SimHash text fingerprints, image pHash/dHash, audio
+    spectral hashes, majority-vote video hashes) — the classic pigeonhole
+    banding (Manku et al., WWW'07): split the 64-bit value into
+    max_hamming+1 blocks; two hashes within distance k must agree on at
+    least one block, so rows bucket by (block_id, block_value), candidate
+    pairs form inside buckets (one shuffle of the tiny (id, hash) sketch
+    table — payloads/texts never move), and an exact XOR-popcount verify
+    filters them. Input must carry one row per id. Returns
     (id_a, id_b, hamming) with id_a < id_b."""
     n_blocks = max_hamming + 1
     bits = 64 // n_blocks
@@ -860,9 +877,9 @@ def simhash_neardup_pairs(ds, col: str = "text", id_col: str = "doc_id",
              for i in range(n_blocks)]
 
     def sketch_and_band(batch: pa.Table) -> pa.Table:
-        t = simhash_batch(batch.select([id_col, col]), col)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        sh = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sh = (batch.column(hash_col).to_numpy(zero_copy_only=False)
+              .astype(np.int64).view(np.uint64))
         out_id = np.tile(ids, n_blocks)
         out_sh = np.tile(sh, n_blocks)
         out_block = np.repeat(np.arange(n_blocks, dtype=np.int32), len(ids))

@@ -416,3 +416,198 @@ def decode_images(ds, fake: bool = False, batch_size: int = 64,
                           fn_constructor_kwargs=dict(fake=fake),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (near-duplicate media across re-encodes / light edits)
+# ---------------------------------------------------------------------------
+#
+# The exact media dedup (pipelines/documents.canonical_media_refs) catches
+# byte-identical payloads only; re-encoded, lightly-noised or re-gained
+# copies need a perceptual fingerprint. One 64-bit hash per payload, then
+# the SAME pigeonhole Hamming banding as SimHash text near-dup
+# (functions/dedup.hamming_neardup_pairs) — payload bytes never shuffle,
+# only the tiny (ref, hash) sketch table does.
+
+def _to_gray(arr: np.ndarray) -> np.ndarray:
+    """HxWx3 uint8 -> HxW float64 luma (ITU-R BT.601 weights)."""
+    a = arr.astype(np.float64)
+    return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+
+def _box_resize(gray: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Deterministic area-mean resize to (th, tw): rows/cols are binned into
+    nearly-equal integer spans and each output cell is the mean of its box.
+    Tiny inputs are nearest-upsampled first so every box is non-empty."""
+    h, w = gray.shape
+    if h < th:
+        gray = gray[(np.arange(th) * h) // th, :]
+        h = th
+    if w < tw:
+        gray = gray[:, (np.arange(tw) * w) // tw]
+        w = tw
+    rb = (np.arange(th + 1, dtype=np.int64) * h) // th
+    cb = (np.arange(tw + 1, dtype=np.int64) * w) // tw
+    rs = np.add.reduceat(gray, rb[:-1], axis=0)
+    cs = np.add.reduceat(rs, cb[:-1], axis=1)
+    counts = np.diff(rb)[:, None] * np.diff(cb)[None, :]
+    return cs / counts
+
+
+def _pack_bits64(bits: np.ndarray) -> np.uint64:
+    """64 bools -> uint64, bit i = bits[i] (little-endian bit order, matching
+    the SimHash packing so Hamming banding treats both families alike)."""
+    return np.packbits(bits.astype(np.uint8),
+                       bitorder="little").view(np.uint64)[0]
+
+
+def dhash64(arr: np.ndarray) -> np.uint64:
+    """Difference hash: 8x9 area-mean luma grid, bit = right pixel brighter
+    than its left neighbour. Robust to re-encoding and global gain."""
+    g8 = _box_resize(_to_gray(arr), 8, 9)
+    return _pack_bits64((g8[:, 1:] > g8[:, :-1]).ravel())
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II matrix (type-II, norm='ortho')."""
+    k = np.arange(n, dtype=np.float64)[:, None]
+    i = np.arange(n, dtype=np.float64)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] *= np.sqrt(0.5)
+    return m
+
+
+def phash64(arr: np.ndarray, dct: np.ndarray | None = None) -> np.uint64:
+    """Perceptual hash: 32x32 area-mean luma -> 2-D orthonormal DCT-II (two
+    matmuls) -> the 8x8 lowest-frequency block thresholded at its median.
+    Robust to re-encoding, light noise and small local edits."""
+    global _DCT32
+    if dct is None:
+        if _DCT32 is None:
+            _DCT32 = _dct_matrix(32)
+        dct = _DCT32
+    g32 = _box_resize(_to_gray(arr), 32, 32)
+    d = dct @ g32 @ dct.T
+    block = d[:8, :8].ravel()
+    return _pack_bits64(block > np.median(block))
+
+
+def _log_band_edges(n_bins: int, bands: int = 9) -> np.ndarray:
+    """Strictly increasing integer edges 0 = e0 < ... < e_bands = n_bins,
+    log-spaced — audio energy concentrates at low frequencies, so linear
+    splits would drop every real tone into band 0 and hash everything to
+    the same value. Requires n_bins >= bands."""
+    e = np.round(np.power(float(n_bins),
+                          np.arange(bands + 1) / bands)).astype(np.int64)
+    e[0], e[-1] = 0, n_bins
+    for i in range(1, bands + 1):              # strict from the left
+        e[i] = max(e[i], e[i - 1] + 1)
+    for i in range(bands - 1, -1, -1):         # strict from the right
+        e[i] = min(e[i], e[i + 1] - 1)
+    return e
+
+
+def audio_hash64(samples: np.ndarray) -> np.uint64:
+    """Spectral-delta hash over mono samples (Haitsma-Kalker-style): 8 equal
+    time frames x 9 LOG-spaced rfft band energies (DC excluded);
+    bit[t, b] = energy rises from band b to b+1 in frame t. Invariant to
+    global gain (comparisons only)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) < 160:                     # tiny clips: cycle-pad
+        x = np.resize(x, 160)
+    fb = (np.arange(9, dtype=np.int64) * len(x)) // 8
+    bits = np.empty((8, 8), dtype=bool)
+    for t in range(8):
+        spec = np.abs(np.fft.rfft(x[fb[t]:fb[t + 1]]))[1:]  # drop DC
+        if len(spec) < 9:
+            spec = np.resize(spec, 9)
+        bb = _log_band_edges(len(spec), 9)
+        e = np.add.reduceat(spec * spec, bb[:-1])
+        bits[t] = e[1:] > e[:-1]
+    return _pack_bits64(bits.ravel())
+
+
+def video_hash64(payload: bytes, dct: np.ndarray | None = None) -> np.uint64:
+    """Majority-vote pHash across the container's frames: bit set iff a
+    strict majority of frame pHashes set it (ties -> 0; deterministic)."""
+    votes = np.zeros(64, dtype=np.int64)
+    n = 0
+    for _, ppm in decode_video_frames(payload):
+        h = phash64(decode_ppm(ppm), dct)
+        votes += np.unpackbits(
+            np.asarray([h], dtype=np.uint64).view(np.uint8),
+            bitorder="little").astype(np.int64)
+        n += 1
+    if n == 0:
+        return np.uint64(0)
+    return _pack_bits64(votes * 2 > n)
+
+
+class MediaHashStage:
+    """Actor-pool stage: one perceptual 64-bit hash per payload, decoder
+    picked by payload magic (P6 PPM / BMP -> pHash, RIFF WAV -> spectral
+    hash, BRDRVID1 -> majority-vote frame pHash). The DCT matrix is built
+    once per actor. ``fake=True`` hashes undecodable bytes with blake2b
+    (plumbing/smoke paths), mirroring the other media stages' flag."""
+
+    def __init__(self, fake: bool = False, id_col: str = "media_ref",
+                 payload_col: str = "payload"):
+        self.fake = fake
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self._dct = _dct_matrix(32)
+
+    def _hash_one(self, payload: bytes) -> np.uint64:
+        if payload.startswith(b"P6") or payload.startswith(b"BM"):
+            return phash64(decode_image_payload(payload), self._dct)
+        if payload.startswith(b"RIFF"):
+            return audio_hash64(decode_wav(payload)[0])
+        if payload.startswith(VIDEO_MAGIC):
+            return video_hash64(payload, self._dct)
+        if self.fake:
+            dig = hashlib.blake2b(payload, digest_size=8).digest()
+            return np.frombuffer(dig, dtype=np.uint64)[0]
+        raise ValueError("undecodable media payload (JPEG/PNG/MP3/MP4 need "
+                         "external codecs absent in this container); pass "
+                         "fake=True for opaque-bytes plumbing")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        hashes = np.fromiter((self._hash_one(p) for p in payloads),
+                             dtype=np.uint64, count=len(payloads))
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "phash": pa.array(hashes.view(np.int64), pa.int64()),
+        })
+
+
+def media_hashes(media, fake: bool = False, id_col: str = "media_ref",
+                 payload_col: str = "payload", batch_size: int = 32,
+                 concurrency=None):
+    """(id, phash) sketch table for a media Dataset — the only thing later
+    stages shuffle; payload bytes stay where they were read."""
+    from .pool import actor_pool
+
+    return media.map_batches(
+        MediaHashStage,
+        fn_constructor_kwargs=dict(fake=fake, id_col=id_col,
+                                   payload_col=payload_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or actor_pool())
+
+
+def media_neardup_pairs(media, max_hamming: int = 6, fake: bool = False,
+                        id_col: str = "media_ref",
+                        payload_col: str = "payload"):
+    """Perceptually near-duplicate media pairs: per-payload 64-bit hash
+    (actor pool), then the generic pigeonhole Hamming banding. Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
+    from .dedup import hamming_neardup_pairs
+
+    hashed = media_hashes(media, fake=fake, id_col=id_col,
+                          payload_col=payload_col)
+    return hamming_neardup_pairs(hashed, "phash", id_col=id_col,
+                                 max_hamming=max_hamming)

@@ -281,6 +281,36 @@ def canonical_media_refs(media: ray.data.Dataset, ref_col: str = "media_ref",
             .groupby("__b").map_groups(per_bucket, batch_format="pandas"))
 
 
+def canonical_media_refs_perceptual(media: ray.data.Dataset,
+                                    max_hamming: int = 6,
+                                    fake: bool = False,
+                                    ref_col: str = "media_ref",
+                                    payload_col: str = "payload"
+                                    ) -> ray.data.Dataset:
+    """(media_ref, canonical_ref) for refs in a PERCEPTUAL near-dup cluster:
+    canonical = min ref in the connected component of pairs within
+    ``max_hamming`` bits of the 64-bit perceptual hash (image pHash / audio
+    spectral hash / majority-vote frame pHash — functions/multimodal).
+    Byte-identical payloads hash identically (Hamming 0), so the clusters
+    SUBSUME exact content dedup; re-encoded / lightly-noised / re-gained
+    copies additionally collapse. Scale shape: only the (ref, 64-bit hash)
+    sketch table shuffles (pigeonhole banding), payload bytes never move.
+    Emits only rows whose ref changes."""
+    from ..functions.dedup import duplicate_clusters
+    from ..functions.multimodal import media_neardup_pairs
+
+    pairs = media_neardup_pairs(media, max_hamming=max_hamming, fake=fake,
+                                id_col=ref_col, payload_col=payload_col)
+    clusters = duplicate_clusters(pairs)
+
+    def changed_only(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([ref_col, "canonical_ref"])
+        return t.filter(pa.compute.not_equal(t.column(ref_col),
+                                             t.column("canonical_ref")))
+
+    return clusters.map_batches(changed_only, batch_format="pyarrow")
+
+
 def _replace_media_refs(batch: pa.Table, old_index, new_refs) -> pa.Table:
     """Rebuild the spans column with media_ref values remapped through
     (old_index -> new_refs). Pure Arrow list/struct surgery: the list
@@ -311,7 +341,9 @@ def dedup_media_payloads(docs: ray.data.Dataset, media: ray.data.Dataset,
                          ref_col: str = "media_ref",
                          payload_col: str = "payload",
                          n_buckets: int = 64,
-                         broadcast_limit: int = 4_000_000):
+                         broadcast_limit: int = 4_000_000,
+                         perceptual_hamming: int | None = None,
+                         fake_hash: bool = False):
     """Dedup media payloads across an interleaved corpus. Returns
     ``(docs_rewritten, media_kept, remap)``:
 
@@ -337,7 +369,13 @@ def dedup_media_payloads(docs: ray.data.Dataset, media: ray.data.Dataset,
     otherwise concentrate the whole corpus in one join bucket), and
     documents are rebuilt by a scale-aware bucketed groupby (~1024
     docs/bucket) with Arrow list surgery — no driver-side mapping at any
-    size."""
+    size.
+
+    ``perceptual_hamming``: when set, canonicalization uses PERCEPTUAL
+    near-dup clusters (64-bit pHash/spectral/frame hashes within that many
+    bits, connected components, min ref wins) instead of exact md5 groups —
+    re-encoded or lightly-edited copies of the same media collapse too.
+    ``fake_hash`` forwards the opaque-bytes fallback to the hash stage."""
     import pandas as pd
 
     import ray
@@ -345,9 +383,16 @@ def dedup_media_payloads(docs: ray.data.Dataset, media: ray.data.Dataset,
     from ..functions.relational import semi_join
     from ..functions.vhash import bucket_i32
 
-    mapping = canonical_media_refs(media, ref_col=ref_col,
-                                   payload_col=payload_col,
-                                   n_buckets=n_buckets)
+    if perceptual_hamming is not None:
+        # near-dup canonicalization: perceptual clusters subsume exact
+        # (byte-identical payloads are Hamming-0 pairs)
+        mapping = canonical_media_refs_perceptual(
+            media, max_hamming=perceptual_hamming, fake=fake_hash,
+            ref_col=ref_col, payload_col=payload_col)
+    else:
+        mapping = canonical_media_refs(media, ref_col=ref_col,
+                                       payload_col=payload_col,
+                                       n_buckets=n_buckets)
     changed = mapping.map_batches(
         lambda t: t.filter(pa.compute.not_equal(t.column(ref_col),
                                                 t.column("canonical_ref"))),
