@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .vecs import embedding_matrix
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -979,7 +981,7 @@ class CosineBucketStage:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float64)
+        vecs = embedding_matrix(batch.column(self.vec_col))
         signs = (vecs @ self.planes) > 0
         bucket = np.zeros(len(vecs), dtype=np.int64)
         for i in range(signs.shape[1]):

@@ -47,6 +47,7 @@ import ray
 import ray.data
 
 from .similarity import _normalize
+from .vecs import embedding_matrix
 
 
 def _kmeans_plain(X: np.ndarray, ks: int, iters: int = 12,
@@ -184,7 +185,7 @@ def pq_encode(ds, model: dict, vec_col: str = "embedding",
             self.model = ray.get(mref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            V = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            V = embedding_matrix(batch.column(vec_col))
             if self.model["normalize"]:
                 V = _normalize(V)
             codes = pq_encode_codes(self.model, V)
@@ -258,8 +259,7 @@ def pq_search(encoded, model: dict, queries: np.ndarray, k: int = 10,
                     id_col: pa.array(ids[rows_v]),
                     "adc_score": pa.array(S[rows_q, rows_v], pa.float64())}
             if rerank > 0:
-                V = _normalize(np.asarray(
-                    batch.column(vec_col).to_pylist(), dtype=np.float64))[order]
+                V = _normalize(embedding_matrix(batch.column(vec_col)))[order]
                 cols["cosine"] = pa.array(
                     np.einsum("ij,ij->i", self.Q[rows_q], V[rows_v]),
                     pa.float64())
@@ -312,8 +312,7 @@ def ivfpq_build(ds, n_clusters: int | None = None, m: int = 8, ks: int = 256,
             self.pq = ray.get(pref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            V = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
-                                      dtype=np.float64))
+            V = _normalize(embedding_matrix(batch.column(vec_col)))
             cell = (V @ self.C.T).argmax(axis=1)
             codes = pq_encode_codes(self.pq, V - self.C[cell])
             cols = {id_col: batch.column(id_col),
@@ -393,8 +392,7 @@ def ivfpq_probe(index: dict, queries: np.ndarray, k: int = 10,
             ids = np.asarray(batch.column(id_col).to_pylist())
             V = None
             if rerank > 0:
-                V = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
-                                          dtype=np.float64))
+                V = _normalize(embedding_matrix(batch.column(vec_col)))
             out = {"query_id": [], "id": [], "adc": [], "cos": []}
             for c in np.unique(cells):
                 qs = cell_queries.get(int(c))

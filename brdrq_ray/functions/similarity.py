@@ -16,6 +16,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .vecs import embedding_matrix
+
 
 def _normalize(M: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(M, axis=1, keepdims=True)
@@ -43,8 +45,7 @@ class BruteForceTopK:
         # real dedup-corpus case) surface identically under any partitioning
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        V = _normalize(np.asarray(batch.column(self.vec_col).to_pylist(),
-                                  dtype=np.float64))[order]
+        V = _normalize(embedding_matrix(batch.column(self.vec_col)))[order]
         sim = self.Q @ V.T                      # (n_q, n_batch)
         k = min(self.k, sim.shape[1])
         # partial top-k per query within this batch
@@ -120,8 +121,7 @@ def kmeans_refine_distributed(ds, C0: np.ndarray, iters: int = 3,
 
         def stats(batch: pa.Table) -> pa.Table:
             Cc = ray.get(cref)
-            V = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
-                                      dtype=np.float64))
+            V = _normalize(embedding_matrix(batch.column(vec_col)))
             assign = (V @ Cc.T).argmax(axis=1)
             sums = np.zeros((ncl, dim), dtype=np.float64)
             np.add.at(sums, assign, V)
@@ -193,7 +193,7 @@ def ivf_build(ds, n_clusters: int | None = 16, vec_col: str = "embedding",
             self.C = ray.get(cref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            V = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+            V = _normalize(embedding_matrix(batch.column(vec_col)))
             assign = (V @ self.C.T).argmax(axis=1)
             return batch.append_column("ivf_cell", pa.array(assign, pa.int32()))
 
@@ -250,7 +250,7 @@ def ivf_probe(index: dict, queries: np.ndarray, k: int = 10, n_probe: int = 4,
             # the hive partition column comes back as string -> int
             cells = batch.column("ivf_cell").cast(pa.int32()).to_numpy(zero_copy_only=False)
             ids = np.asarray(batch.column(id_col).to_pylist())
-            V = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+            V = _normalize(embedding_matrix(batch.column(vec_col)))
             out_q, out_id, out_s = [], [], []
             for c in np.unique(cells):
                 qs = cell_queries.get(int(c))
@@ -364,8 +364,7 @@ def _assign_cells(ds, C: np.ndarray, vec_col: str, out_col: str = "sem_cell"):
             self.C = ray.get(cref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            V = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
-                                      dtype=np.float64))
+            V = _normalize(embedding_matrix(batch.column(vec_col)))
             return batch.append_column(
                 out_col, pa.array((V @ self.C.T).argmax(axis=1), pa.int32()))
 
@@ -494,8 +493,7 @@ def cluster_sample_ids(ds, k_per_cluster: int, mode: str = "far",
     def partial(batch: pa.Table) -> pa.Table:
         Cc = ray.get(cref)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=object)
-        V = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
-                                  dtype=np.float64))
+        V = _normalize(embedding_matrix(batch.column(vec_col)))
         sim = V @ Cc.T
         cell = sim.argmax(axis=1)
         csim = np.round(sim[np.arange(len(cell)), cell], 9)
@@ -565,8 +563,7 @@ def knn_join(queries, corpus, k: int = 10, n_clusters: int | None = None,
 
     def corpus_side(batch: pa.Table) -> pa.Table:
         Cc = ray.get(cref)
-        V = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
-                                  dtype=np.float64))
+        V = _normalize(embedding_matrix(batch.column(vec_col)))
         cell = (V @ Cc.T).argmax(axis=1)
         n = batch.num_rows
         return pa.table({
@@ -578,8 +575,7 @@ def knn_join(queries, corpus, k: int = 10, n_clusters: int | None = None,
 
     def query_side(batch: pa.Table) -> pa.Table:
         Cc = ray.get(cref)
-        V = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
-                                  dtype=np.float64))
+        V = _normalize(embedding_matrix(batch.column(vec_col)))
         near = np.argsort(-(V @ Cc.T), axis=1, kind="stable")[:, :probe]
         n = batch.num_rows
         rows = np.repeat(np.arange(n), probe)
@@ -604,8 +600,7 @@ def knn_join(queries, corpus, k: int = 10, n_clusters: int | None = None,
                              "rid": pa.array([], pa.string()),
                              "cosine": pa.array([], pa.float64())})
         ids = np.asarray(group.column("rid").to_pylist())
-        V = _normalize(np.asarray(group.column(vec_col).to_pylist(),
-                                  dtype=np.float64))
+        V = _normalize(embedding_matrix(group.column(vec_col)))
         qi = np.nonzero(is_q)[0]
         ci = np.nonzero(~is_q)[0]
         ci = ci[np.argsort(ids[ci], kind="stable")]   # id-ordered ties
