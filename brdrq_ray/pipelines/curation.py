@@ -97,6 +97,11 @@ class CurationConfig:
     embeddings: object | None = None          # Dataset (id_col, embedding)
     semantic_threshold: float | None = None   # cosine; None = stage off
     embedding_col: str = "embedding"
+    # no embeddings table? set embed_dim to sketch one from the text itself
+    # (hashed n-gram count-sketch, functions/embed — deterministic, no model)
+    embed_dim: int | None = None
+    embed_k: int = 3
+    embed_seed: int = 0
     # extra knobs for semantic_dedup_keep_ids (n_clusters, train_sample, ...)
     semantic_kwargs: dict = field(default_factory=dict)
     # DSIR: resample k docs (or a fraction) toward dsir_target's distribution
@@ -350,8 +355,12 @@ def curate_documents(ds: ray.data.Dataset,
     ds = tap(ds, "input")
     if cfg.lm_max_bits is not None and cfg.lm_reference is None:
         raise ValueError("lm_max_bits needs lm_reference to train on")
-    if cfg.semantic_threshold is not None and cfg.embeddings is None:
-        raise ValueError("semantic_threshold needs an embeddings table")
+    if cfg.semantic_threshold is not None and cfg.embeddings is None \
+            and cfg.embed_dim is None:
+        raise ValueError("semantic_threshold needs an embeddings table or "
+                         "embed_dim (hashed n-gram embeddings from text)")
+    if cfg.embeddings is not None and cfg.embed_dim is not None:
+        raise ValueError("set embeddings OR embed_dim, not both")
     if (cfg.dsir_k is not None or cfg.dsir_fraction is not None) \
             and cfg.dsir_target is None:
         raise ValueError("dsir_k/dsir_fraction need a dsir_target corpus")
@@ -424,8 +433,18 @@ def curate_documents(ds: ray.data.Dataset,
         ds = ds.materialize()  # consumed by id projection AND anti-join
         # pin the restricted embedding table too: keep_ids consumes it
         # several times (count, codebook sample, refine passes, assignment)
-        emb = semi_join(cfg.embeddings, ds.select_columns([cfg.id_col]),
-                        on=cfg.id_col).materialize()
+        if cfg.embeddings is not None:
+            emb = semi_join(cfg.embeddings, ds.select_columns([cfg.id_col]),
+                            on=cfg.id_col)
+        else:
+            # sketch embeddings from the survivors' own text (every survivor
+            # is embedded, so the loser anti-join below covers the corpus)
+            from ..functions.embed import embed_documents
+            emb = embed_documents(
+                ds.select_columns([cfg.id_col, cfg.col]), col=cfg.col,
+                dim=cfg.embed_dim, k=cfg.embed_k, seed=cfg.embed_seed,
+                out_col=cfg.embedding_col).drop_columns([cfg.col])
+        emb = emb.materialize()
         kept = semantic_dedup_keep_ids(emb, threshold=cfg.semantic_threshold,
                                        vec_col=cfg.embedding_col,
                                        id_col=cfg.id_col,
