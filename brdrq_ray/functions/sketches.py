@@ -210,6 +210,53 @@ def binned_quantiles(ds, col: str, bin_width: float, qs) -> dict:
                                hist["csum"].to_numpy(), w, qs)
 
 
+def grouped_binned_quantiles(ds, group_col: str, col: str, bin_width: float,
+                             qs) -> "object":
+    """Per-group :func:`binned_quantiles`: one output row per group with the
+    group's total count and one ``p{q}`` column per requested quantile.
+
+    Scale shape: each batch pre-aggregates (group, bin) counts (the combiner
+    runs before anything moves), then ONE groupby(group) shuffle co-locates a
+    group's occupied-bin partials — the exchange moves histogram rows, never
+    data rows, and a group's reduce input is bounded by its occupied-bin
+    count, not its row count. Integer counts sum order-free, so the output
+    is deterministic under any partitioning — same property that lets the
+    global form be hash-compared against SQL.
+    """
+    import pandas as pd
+
+    w = float(bin_width)
+    q_list = [float(q) for q in qs]
+    q_cols = [f"p{q:g}" for q in q_list]
+
+    def batch_hist(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        grp = t.column(group_col)
+        ok = np.isfinite(v)
+        df = pd.DataFrame({
+            "g": grp.to_pandas()[ok],
+            "bin": np.floor(v[ok] / w).astype(np.int64),
+        })
+        agg = df.groupby(["g", "bin"], sort=True).size().reset_index(name="c")
+        return pa.table({group_col: pa.array(agg["g"]),
+                         "bin": pa.array(agg["bin"], pa.int64()),
+                         "c": pa.array(agg["c"], pa.int64())})
+
+    def per_group(gt: pa.Table) -> pa.Table:
+        hist = (gt.select(["bin", "c"]).to_pandas()
+                  .groupby("bin", sort=True)["c"].sum().reset_index())
+        res = quantiles_from_hist(hist["bin"].to_numpy(),
+                                  hist["c"].to_numpy(), w, q_list)
+        cols = {group_col: gt.column(group_col).slice(0, 1),
+                "total": pa.array([res["total"]], pa.int64())}
+        for q, name in zip(q_list, q_cols):
+            cols[name] = pa.array([res["quantiles"][q]], pa.float64())
+        return pa.table(cols)
+
+    return (ds.map_batches(batch_hist, batch_format="pyarrow")
+              .groupby(group_col).map_groups(per_group, batch_format="pyarrow"))
+
+
 def quantiles_from_hist(bins: np.ndarray, counts: np.ndarray,
                         bin_width: float, qs) -> dict:
     """The quantile formula shared by binned_quantiles and fused stat passes:

@@ -1031,3 +1031,47 @@ def test_curation_survives_empty_corpus(ray_session):
     cfg = CurationConfig(quality_min=1.1, near_dup=True)  # floor > max score
     out = curate_documents(ray.data.from_arrow(docs), cfg)
     assert out.count() == 0
+
+
+def test_grouped_binned_quantiles(ray_session):
+    import ray.data
+    from brdrq_ray.functions.sketches import (binned_quantiles,
+                                              grouped_binned_quantiles,
+                                              quantiles_from_hist)
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    groups = rng.choice(["a", "b", "c", "skew"], size=n,
+                        p=[0.4, 0.3, 0.2, 0.1])
+    vals = np.where(groups == "skew",
+                    rng.exponential(100.0, n), rng.normal(50.0, 12.0, n))
+    t = pa.table({"g": groups.tolist(), "v": vals})
+    w, qs = 2.5, [0.5, 0.9, 0.99]
+
+    got = (grouped_binned_quantiles(ray.data.from_arrow(t), "g", "v", w, qs)
+           .to_pandas().set_index("g").sort_index())
+    assert list(got.index) == ["a", "b", "c", "skew"]
+    for gname in ["a", "b", "c", "skew"]:
+        gv = vals[groups == gname]
+        bins, counts = np.unique(np.floor(gv / w).astype(np.int64),
+                                 return_counts=True)
+        want = quantiles_from_hist(bins, counts, w, qs)
+        row = got.loc[gname]
+        assert row["total"] == want["total"] == len(gv)
+        for q in qs:
+            assert row[f"p{q:g}"] == want["quantiles"][q]
+
+    # partition invariance: bit-identical across block layouts
+    alt = (grouped_binned_quantiles(
+               ray.data.from_arrow(t).repartition(17), "g", "v", w, qs)
+           .to_pandas().set_index("g").sort_index())
+    assert got.equals(alt)
+
+    # one-group form agrees with the global sketch
+    one = pa.table({"g": ["x"] * n, "v": vals})
+    g1 = (grouped_binned_quantiles(ray.data.from_arrow(one), "g", "v", w, qs)
+          .to_pandas().iloc[0])
+    glob = binned_quantiles(ray.data.from_arrow(one), "v", w, qs)
+    assert g1["total"] == glob["total"]
+    for q in qs:
+        assert g1[f"p{q:g}"] == glob["quantiles"][q]

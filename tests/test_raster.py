@@ -41,3 +41,108 @@ def test_raster_roundtrip_error_bound(ray_session):
         perim = g.geom_perimeter(kind, parts)
         got = vec.loc[tid, "raster_area"]
         assert abs(got - a) <= perim * cs  # center-sampling error bound
+
+
+def _zonal_brute_force(raster_cells, raster_vals, zone_wkts, level):
+    """Independent oracle: PIP of every raster cell CENTER against every
+    zone polygon, aggregated with plain Python."""
+    cs = tiles.cell_size(level)
+    _, cx, cy = tiles.cell_xy(np.asarray(raster_cells, dtype=np.int64))
+    centers = np.column_stack([
+        tiles.WORLD_ORIGIN[0] + (cx + 0.5) * cs,
+        tiles.WORLD_ORIGIN[1] + (cy + 0.5) * cs,
+    ])
+    out = {}
+    for zone, wkt in zone_wkts.items():
+        kind, parts = g.parse_wkt(wkt)
+        inside = g.points_in_polygon(centers, parts)
+        vals = np.asarray(raster_vals, dtype=np.float64)[inside]
+        if len(vals):
+            out[zone] = (len(vals), vals.sum(), vals.mean(),
+                         vals.min(), vals.max())
+    return out
+
+
+def _zonal_fixture(level):
+    cs = tiles.cell_size(level)
+    ox, oy = tiles.WORLD_ORIGIN
+    # raster: a 12x12 cell block with a deterministic value per cell
+    gx, gy = np.meshgrid(np.arange(100, 112), np.arange(200, 212))
+    gx, gy = gx.ravel(), gy.ravel()
+    cells = tiles.encode_cells(ox + (gx + 0.5) * cs, oy + (gy + 0.5) * cs, level)
+    vals = (gx * 31 + gy * 7).astype(np.float64)
+    def rect(i0, j0, ni, nj):
+        x0, y0 = ox + i0 * cs, oy + j0 * cs
+        x1, y1 = x0 + ni * cs, y0 + nj * cs
+        return (f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                f"{x0} {y1}, {x0} {y0}))")
+    zones = {
+        "za": rect(100, 200, 4, 4),           # 16 cells
+        "zb": rect(102, 202, 6, 3),           # overlaps za
+        "zc": rect(108, 208, 4, 4),           # disjoint corner
+        "zd": rect(150, 250, 3, 3),           # outside the raster entirely
+    }
+    return cells, vals, zones
+
+
+def test_zonal_stats_vs_brute_force(ray_session):
+    import ray.data
+    from brdrq_ray.functions.raster import zonal_stats
+
+    level = 16
+    cells, vals, zones = _zonal_fixture(level)
+    want = _zonal_brute_force(cells, vals, zones, level)
+    assert set(want) == {"za", "zb", "zc"}  # zd covers no raster cells
+
+    raster = ray.data.from_arrow(pa.table({
+        "cell": pa.array(cells, pa.int64()),
+        "value": pa.array(vals, pa.float64()),
+    }))
+    zt = ray.data.from_arrow(pa.table({
+        "theme_id": list(zones), "geometry_wkt": list(zones.values()),
+    }))
+    got = (zonal_stats(raster, zt, level)
+           .to_pandas().set_index("zone").sort_index())
+    assert list(got.index) == sorted(want)
+    for zone, (n, s, mean, mn, mx) in want.items():
+        row = got.loc[zone]
+        assert row["cell_count"] == n
+        assert row["value_sum"] == pytest.approx(s, abs=0)
+        assert row["value_mean"] == pytest.approx(mean)
+        assert row["value_min"] == mn and row["value_max"] == mx
+
+
+def test_zonal_stats_partition_invariance(ray_session):
+    import ray.data
+    from brdrq_ray.functions.raster import zonal_stats
+
+    level = 16
+    cells, vals, zones = _zonal_fixture(level)
+    rt = pa.table({"cell": pa.array(cells, pa.int64()),
+                   "value": pa.array(vals, pa.float64())})
+    zt = pa.table({"theme_id": list(zones),
+                   "geometry_wkt": list(zones.values())})
+    outs = []
+    for blocks, nb in ((1, 8), (7, 3), (32, 64)):
+        got = zonal_stats(ray.data.from_arrow(rt).repartition(blocks),
+                          ray.data.from_arrow(zt), level, n_buckets=nb)
+        outs.append(got.to_pandas().sort_values("zone").reset_index(drop=True))
+    for other in outs[1:]:
+        # bit-identical under any partitioning / bucket count
+        assert outs[0].equals(other)
+
+
+def test_zonal_stats_empty_sides(ray_session):
+    import ray.data
+    from brdrq_ray.functions.raster import zonal_stats
+
+    level = 16
+    cells, vals, zones = _zonal_fixture(level)
+    rt = pa.table({"cell": pa.array(cells, pa.int64()),
+                   "value": pa.array(vals, pa.float64())})
+    zt = pa.table({"theme_id": list(zones),
+                   "geometry_wkt": list(zones.values())})
+    empty_r = ray.data.from_arrow(rt).filter(lambda r: False)
+    assert zonal_stats(empty_r, ray.data.from_arrow(zt), level).count() == 0
+    empty_z = ray.data.from_arrow(zt).filter(lambda r: False)
+    assert zonal_stats(ray.data.from_arrow(rt), empty_z, level).count() == 0
