@@ -176,6 +176,185 @@ def zonal_stats(raster: ray.data.Dataset, zones: ray.data.Dataset, level: int,
     return partials.groupby("zone").map_groups(fold, batch_format="pyarrow")
 
 
+_AGG_FOLDS = {
+    "mean": lambda v: float(np.sum(v)) / len(v),
+    "sum": lambda v: float(np.sum(v)),
+    "min": lambda v: float(np.min(v)),
+    "max": lambda v: float(np.max(v)),
+    "count": lambda v: float(len(v)),
+}
+
+
+def downsample(raster: ray.data.Dataset, d: int = 1, agg: str = "mean",
+               value_col: str = "value") -> ray.data.Dataset:
+    """Raster pyramid step: (cell, value) rows at level L -> one row per
+    occupied parent cell at level L-d, value aggregated by ``agg``
+    (mean/sum/min/max/count).
+
+    Scale shape: the parent id is a per-batch vectorized bit op, then ONE
+    groupby(parent) exchange re-keys the raster (the unavoidable move of a
+    resolution change); every reduce group is bounded by 4**d child rows.
+    The fold sorts children by cell id before summing, so float output is
+    bit-identical under any partitioning for the unique-cell raster
+    contract (at most one row per cell — a raster, not a point cloud).
+    """
+    fold_fn = _AGG_FOLDS[agg]
+
+    def key(t: pa.Table) -> pa.Table:
+        cells = t.column("cell").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "parent": pa.array(tiles.parent_cells(cells, d), pa.int64()),
+            "child": pa.array(cells, pa.int64()),
+            "val": t.column(value_col).cast(pa.float64()),
+        })
+
+    def fold(gt: pa.Table) -> pa.Table:
+        gt = gt.sort_by("child")
+        v = gt.column("val").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cell": gt.column("parent").slice(0, 1),
+            "value": pa.array([fold_fn(v)], pa.float64()),
+        })
+
+    return (raster.map_batches(key, batch_format="pyarrow")
+            .groupby("parent").map_groups(fold, batch_format="pyarrow"))
+
+
+def map_algebra(a: ray.data.Dataset, b: ray.data.Dataset, op: str = "add",
+                value_col: str = "value", n_buckets: int = 64,
+                fill: float | None = None) -> ray.data.Dataset:
+    """Cell-aligned raster algebra: per-cell ``a op b`` (add/sub/mul/div/
+    min/max) over two (cell, value) rasters at the same level.
+
+    ``fill=None`` keeps only cells present in BOTH rasters (inner); a float
+    ``fill`` substitutes for the missing side so the output covers the union
+    of occupied cells. Scale shape: ONE tagged-union bucketed shuffle on
+    hash(cell) co-locates matching cells (neither raster is broadcast or
+    fanned out); each bucket does a vectorized pandas merge + numpy kernel.
+    Unique-cell raster contract on both sides (duplicates join SQL-style).
+    """
+    import pandas as pd
+
+    from .vhash import bucket_i32
+
+    kernel = {
+        "add": np.add, "sub": np.subtract, "mul": np.multiply,
+        "div": np.divide, "min": np.minimum, "max": np.maximum,
+    }[op]
+    out_schema = pa.schema([("cell", pa.int64()), ("value", pa.float64())])
+    if a.schema() is None or b.schema() is None:
+        if fill is None or (a.schema() is None and b.schema() is None):
+            return ray.data.from_arrow(out_schema.empty_table())
+
+    def side(mark: int):
+        def fn(t: pa.Table) -> pa.Table:
+            cells = t.column("cell").cast(pa.int64())
+            return pa.table({
+                "cell": cells,
+                "val": t.column(value_col).cast(pa.float64()),
+                "__mark": pa.array(np.full(t.num_rows, mark, np.int8)),
+                "__b": bucket_i32(cells, n_buckets),
+            })
+        return fn
+
+    sides = []
+    if a.schema() is not None:
+        sides.append(a.map_batches(side(0), batch_format="pyarrow"))
+    if b.schema() is not None:
+        sides.append(b.map_batches(side(1), batch_format="pyarrow"))
+    unioned = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
+
+    def per_bucket(gt: pa.Table) -> pa.Table:
+        marks = gt.column("__mark").to_numpy(zero_copy_only=False)
+
+        def df(m):
+            part = gt.filter(pa.array(marks == m))
+            return pd.DataFrame({
+                "cell": part.column("cell").to_numpy(zero_copy_only=False),
+                f"v{m}": part.column("val").to_numpy(zero_copy_only=False),
+            })
+
+        how = "inner" if fill is None else "outer"
+        m = df(0).merge(df(1), on="cell", how=how).sort_values(
+            "cell", kind="mergesort")
+        if m.empty:
+            return out_schema.empty_table()
+        va = m["v0"].to_numpy(dtype=np.float64)
+        vb = m["v1"].to_numpy(dtype=np.float64)
+        if fill is not None:
+            va = np.where(np.isnan(va), fill, va)
+            vb = np.where(np.isnan(vb), fill, vb)
+        return pa.table({"cell": pa.array(m["cell"].to_numpy(), pa.int64()),
+                         "value": pa.array(kernel(va, vb), pa.float64())})
+
+    return unioned.groupby("__b").map_groups(per_bucket,
+                                             batch_format="pyarrow")
+
+
+def focal_mean(raster: ray.data.Dataset, radius: int = 1,
+               value_col: str = "value") -> ray.data.Dataset:
+    """Focal (moving-window) mean: for each OCCUPIED cell, the mean of the
+    values of occupied cells in its (2*radius+1)^2 neighborhood (itself
+    included) — the classic raster smoothing stencil.
+
+    Scale shape: each input row emits one (target, source, value)
+    contribution per neighbor it can reach (bounded (2r+1)^2-fold row
+    amplification of the compact (cell, value) projection — never of any
+    payload), then ONE groupby(target) exchange; a reduce group holds at
+    most (2r+1)^2 rows. Targets that are not themselves occupied are
+    dropped inside the fold (no output for empty cells). Deterministic:
+    the fold sums contributions in source-cell order.
+    """
+    offs = [(di, dj) for di in range(-radius, radius + 1)
+            for dj in range(-radius, radius + 1)]
+
+    def contribute(t: pa.Table) -> pa.Table:
+        cells = t.column("cell").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        level, cx, cy = tiles.cell_xy(cells)
+        if len(level) == 0:
+            return pa.table({"target": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.float64()),
+                             "is_self": pa.array([], pa.bool_())})
+        lv = int(level[0])
+        n = 1 << lv
+        tgt, src, out_v, selfs = [], [], [], []
+        for di, dj in offs:
+            tx, ty = cx + di, cy + dj
+            ok = (tx >= 0) & (tx < n) & (ty >= 0) & (ty < n)
+            if not ok.any():
+                continue
+            tgt.append(tiles.encode_cells(
+                tiles.WORLD_ORIGIN[0] + (tx[ok] + 0.5) * tiles.cell_size(lv),
+                tiles.WORLD_ORIGIN[1] + (ty[ok] + 0.5) * tiles.cell_size(lv),
+                lv))
+            src.append(cells[ok])
+            out_v.append(vals[ok])
+            selfs.append(np.full(int(ok.sum()), di == 0 and dj == 0, bool))
+        return pa.table({
+            "target": pa.array(np.concatenate(tgt), pa.int64()),
+            "source": pa.array(np.concatenate(src), pa.int64()),
+            "val": pa.array(np.concatenate(out_v), pa.float64()),
+            "is_self": pa.array(np.concatenate(selfs), pa.bool_()),
+        })
+
+    def fold(gt: pa.Table) -> pa.Table:
+        if not pc.any(gt.column("is_self")).as_py():
+            return pa.schema([("cell", pa.int64()),
+                              ("value", pa.float64())]).empty_table()
+        gt = gt.sort_by("source")
+        v = gt.column("val").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cell": gt.column("target").slice(0, 1),
+            "value": pa.array([float(np.sum(v)) / len(v)], pa.float64()),
+        })
+
+    return (raster.map_batches(contribute, batch_format="pyarrow")
+            .groupby("target").map_groups(fold, batch_format="pyarrow"))
+
+
 def vectorize(ds: ray.data.Dataset, id_col: str = "theme_id") -> ray.data.Dataset:
     """(id, cell) occupancy rows -> one (id, geometry_wkt, area) row per id."""
     import pandas as pd

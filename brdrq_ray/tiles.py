@@ -83,6 +83,19 @@ def cell_bounds(cell_id: int):
     return x0, y0, x0 + cs, y0 + cs
 
 
+def parent_cells(cell_ids: np.ndarray, d: int = 1) -> np.ndarray:
+    """Cell id at `d` levels coarser, for each input cell (vectorized pure
+    bit op: level field decremented, Morton code shifted by 2 bits/level —
+    the quadtree parent, the grid analog of H3 cellToParent)."""
+    c = np.asarray(cell_ids).astype(np.uint64)
+    level = c >> np.uint64(58)
+    if d < 0 or np.any(level < np.uint64(d)):
+        raise ValueError("d must be in [0, min cell level]")
+    morton = c & np.uint64((1 << 58) - 1)
+    return (((level - np.uint64(d)) << np.uint64(58))
+            | (morton >> np.uint64(2 * d))).astype(np.int64)
+
+
 def owner_cell(x: np.ndarray, y: np.ndarray, level: int) -> np.ndarray:
     """The cell owning a feature = the cell containing its centroid/anchor.
     Exactly one owner per feature (SURVEY.md section 7.4.3)."""

@@ -146,3 +146,140 @@ def test_zonal_stats_empty_sides(ray_session):
     assert zonal_stats(empty_r, ray.data.from_arrow(zt), level).count() == 0
     empty_z = ray.data.from_arrow(zt).filter(lambda r: False)
     assert zonal_stats(ray.data.from_arrow(rt), empty_z, level).count() == 0
+
+
+def _grid_raster(level, i0=100, j0=200, ni=12, nj=12):
+    cs = tiles.cell_size(level)
+    ox, oy = tiles.WORLD_ORIGIN
+    gx, gy = np.meshgrid(np.arange(i0, i0 + ni), np.arange(j0, j0 + nj))
+    gx, gy = gx.ravel(), gy.ravel()
+    cells = tiles.encode_cells(ox + (gx + 0.5) * cs, oy + (gy + 0.5) * cs, level)
+    vals = (gx * 13 + gy * 3).astype(np.float64)
+    return gx, gy, cells, vals
+
+
+def test_parent_cells_roundtrip():
+    level = 16
+    gx, gy, cells, _ = _grid_raster(level)
+    for d in (0, 1, 3):
+        parents = tiles.parent_cells(cells, d)
+        lv, px, py = tiles.cell_xy(parents)
+        assert (lv == level - d).all()
+        assert (px == gx >> d).all() and (py == gy >> d).all()
+    with pytest.raises(ValueError):
+        tiles.parent_cells(cells, level + 1)
+
+
+def test_downsample_vs_brute_force(ray_session):
+    import ray.data
+    from brdrq_ray.functions.raster import downsample
+
+    level = 16
+    gx, gy, cells, vals = _grid_raster(level)
+    ds = ray.data.from_arrow(pa.table({
+        "cell": pa.array(cells, pa.int64()),
+        "value": pa.array(vals, pa.float64()),
+    }))
+    for d, agg in ((1, "mean"), (2, "sum"), (1, "min"), (2, "max"),
+                   (1, "count")):
+        got = (downsample(ds, d, agg).to_pandas()
+               .set_index("cell").sort_index())
+        # brute force: group child values by (gx>>d, gy>>d)
+        want = {}
+        for x, y, v in zip(gx >> d, gy >> d, vals):
+            want.setdefault((x, y), []).append(v)
+        assert len(got) == len(want)
+        for (x, y), vs in want.items():
+            ox, oy = tiles.WORLD_ORIGIN
+            cs = tiles.cell_size(level - d)
+            pid = int(tiles.encode_cells(np.array([ox + (x + 0.5) * cs]),
+                                         np.array([oy + (y + 0.5) * cs]),
+                                         level - d)[0])
+            exp = {"mean": np.mean, "sum": np.sum, "min": np.min,
+                   "max": np.max, "count": len}[agg](vs)
+            assert got.loc[pid, "value"] == pytest.approx(float(exp), rel=1e-12)
+    # partition invariance: bit-identical across block layouts
+    a = downsample(ds, 1, "mean").to_pandas().sort_values("cell").reset_index(drop=True)
+    b = (downsample(ds.repartition(13), 1, "mean").to_pandas()
+         .sort_values("cell").reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_map_algebra_vs_brute_force(ray_session):
+    import ray.data
+    from brdrq_ray.functions.raster import map_algebra
+
+    level = 16
+    gx, gy, cells, vals = _grid_raster(level)
+    # raster b covers a shifted window: partial overlap with a
+    gx2, gy2, cells2, vals2 = _grid_raster(level, i0=106, j0=206)
+    a = ray.data.from_arrow(pa.table({"cell": pa.array(cells, pa.int64()),
+                                      "value": pa.array(vals, pa.float64())}))
+    b = ray.data.from_arrow(pa.table({"cell": pa.array(cells2, pa.int64()),
+                                      "value": pa.array(vals2 * 0.5, pa.float64())}))
+    av = dict(zip(cells.tolist(), vals.tolist()))
+    bv = dict(zip(cells2.tolist(), (vals2 * 0.5).tolist()))
+
+    # inner: only the 6x6 overlap window
+    got = map_algebra(a, b, "add").to_pandas().set_index("cell")["value"]
+    inner = set(av) & set(bv)
+    assert set(got.index) == inner and len(inner) == 36
+    for c in inner:
+        assert got[c] == av[c] + bv[c]
+
+    # outer with fill: union of occupied cells
+    got = map_algebra(a, b, "mul", fill=1.0).to_pandas().set_index("cell")["value"]
+    assert set(got.index) == set(av) | set(bv)
+    for c in got.index:
+        assert got[c] == av.get(c, 1.0) * bv.get(c, 1.0)
+
+    # each op kernel on the overlap
+    for op, fn in (("sub", lambda x, y: x - y), ("div", lambda x, y: x / y),
+                   ("min", min), ("max", max)):
+        got = map_algebra(a, b, op).to_pandas().set_index("cell")["value"]
+        for c in inner:
+            assert got[c] == pytest.approx(fn(av[c], bv[c]), rel=1e-12)
+
+    # empty sides
+    empty = ray.data.from_arrow(pa.table({"cell": pa.array([], pa.int64()),
+                                          "value": pa.array([], pa.float64())}
+                                         )).filter(lambda r: False)
+    assert map_algebra(a, empty, "add").count() == 0
+    assert map_algebra(a, empty, "add", fill=0.0).count() == len(av)
+
+
+def test_focal_mean_vs_brute_force(ray_session):
+    import ray.data
+    from brdrq_ray.functions.raster import focal_mean
+
+    level = 16
+    gx, gy, cells, vals = _grid_raster(level, ni=8, nj=8)
+    # punch a hole so the stencil sees missing neighbors mid-grid
+    keep = ~((gx == 103) & (gy == 203))
+    gx, gy, cells, vals = gx[keep], gy[keep], cells[keep], vals[keep]
+    ds = ray.data.from_arrow(pa.table({
+        "cell": pa.array(cells, pa.int64()),
+        "value": pa.array(vals, pa.float64()),
+    }))
+    for radius in (1, 2):
+        got = (focal_mean(ds, radius).to_pandas()
+               .set_index("cell")["value"])
+        # brute force over occupied cells
+        occ = {(x, y): v for x, y, v in zip(gx, gy, vals)}
+        assert set(got.index) == set(cells.tolist())
+        for (x, y), _ in occ.items():
+            neigh = [occ[(x + di, y + dj)]
+                     for di in range(-radius, radius + 1)
+                     for dj in range(-radius, radius + 1)
+                     if (x + di, y + dj) in occ]
+            ox, oy = tiles.WORLD_ORIGIN
+            cs = tiles.cell_size(level)
+            cid = int(tiles.encode_cells(np.array([ox + (x + 0.5) * cs]),
+                                         np.array([oy + (y + 0.5) * cs]),
+                                         level)[0])
+            assert got[cid] == pytest.approx(np.mean(neigh), rel=1e-12)
+    # partition invariance
+    a = focal_mean(ds, 1).to_pandas().sort_values("cell").reset_index(drop=True)
+    b = (focal_mean(ds.repartition(11), 1).to_pandas()
+         .sort_values("cell").reset_index(drop=True))
+    assert a.equals(b)
