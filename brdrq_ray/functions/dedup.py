@@ -628,6 +628,236 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
                 batch_format="pandas"))
 
 
+def jaccard_similarity_join(ds, col: str = "text", id_col: str = "doc_id",
+                            threshold: float = 0.7, shingle_k: int = 3,
+                            order_by_frequency: bool = True,
+                            broadcast_df_limit: int = 4_000_000,
+                            broadcast_texts_limit: int = 100_000):
+    """EXACT all-pairs n-gram Jaccard similarity join (recall 1.0): every
+    pair of docs whose word-``shingle_k``-gram SETS have jaccard >=
+    ``threshold``, as (id_a, id_b, jaccard) with id_a < id_b.
+
+    :func:`minhash_lsh_pairs` is probabilistic — banding can miss a
+    qualifying pair. This is its exact counterpart via PREFIX FILTERING
+    (Chaudhuri et al. ICDE'06; the MapReduce formulation is Vernica et al.
+    SIGMOD'10): under ANY fixed global total order of the gram universe,
+    two sets with jaccard >= t MUST share at least one gram inside their
+    prefixes of length ``|S| - ceil(t*|S|) + 1`` (if all shared grams sat
+    past both prefixes, the overlap could be at most ceil(t*|S|)-1 <
+    t*|S| <= t*|union|). So grouping PREFIX grams surfaces every
+    qualifying pair; the length filter ``min|S| >= t*max|S|`` (a jaccard
+    >= t necessity) prunes within groups, and every candidate is verified
+    with the true jaccard via the machinery shared with minhash_lsh_pairs
+    (identical shingle/short-doc semantics, so the two operators agree on
+    pair values). Docs with EMPTY gram sets (no words) have no prefix and
+    are excluded by construction — the verifier's both-empty jaccard=1
+    convention cannot fire here (documented deviation: an all-empty corpus
+    yields no pairs rather than all pairs).
+
+    Gram order: ``order_by_frequency=True`` (default) orders rare-first by
+    document frequency, the published heuristic — prefixes then hold the
+    rarest grams and candidate groups stay tiny. The df table is ONE
+    combiner-first vocabulary-sized groupby-sum; it attaches back hybrid:
+    below ``broadcast_df_limit`` distinct grams a sorted (gram, df) array
+    pair ships once via ray.put and prefixes are selected per batch with a
+    searchsorted (doc rows never leave their batch), above it a
+    distributed lookup join + ONE id-bucketed shuffle restores doc
+    locality. ``False`` orders by the gram hash itself — still exact (any
+    fixed order is), zero extra passes, weaker pruning.
+
+    Scale shape: only (id, gram, set_size) projections and candidate pairs
+    shuffle; texts move only into the verify of actual candidates (its
+    hybrid legs are documented in minhash_lsh_pairs). No star guard: with
+    rare-first prefixes a large collision group means many docs genuinely
+    share a rare gram — the exhaustive listing there is the contracted
+    output, not an artifact, so truncating it would break recall.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .relational import lookup_join
+
+    n_shuffle_buckets = 64
+
+    if ds.schema() is None:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+
+    def _select_prefix(di, gi, sizes, dfv):
+        """Indices of the prefix rows: within each doc, rank grams by
+        (df ASC, gram ASC — int64 view order, matching the pandas leg) and
+        keep the first |S| - ceil(t*|S|) + 1. ceil biased DOWN by 1e-9 so
+        fp error can only lengthen a prefix (recall-safe)."""
+        p = sizes - np.ceil(threshold * sizes - 1e-9).astype(np.int64) + 1
+        order = np.lexsort((gi, dfv, di))
+        d_s = di[order]
+        counts = np.bincount(d_s, minlength=len(sizes))
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank = np.arange(len(d_s)) - np.repeat(starts, counts)
+        return order[rank < p[d_s]]
+
+    def _gram_arrays(t: pa.Table):
+        texts = t.column(col).to_pylist()
+        di, sh = _shingle_hashes(texts, shingle_k, ordered=True)
+        sizes = np.bincount(di, minlength=t.num_rows) if len(di) else \
+            np.zeros(t.num_rows, np.int64)
+        return di, sh.view(np.int64), sizes
+
+    def _prefix_table(t: pa.Table, keep_idx, di, gi, sizes) -> pa.Table:
+        ids = t.column(id_col).take(pa.array(di[keep_idx], pa.int64()))
+        return pa.table({id_col: ids,
+                         "gram": pa.array(gi[keep_idx], pa.int64()),
+                         "sz": pa.array(sizes[di[keep_idx]], pa.int64())})
+
+    df_ref = None
+    distributed_df = False
+    if order_by_frequency:
+        # pass 1 (combiner-first): document frequency of every gram — the
+        # per-batch partial is already per-doc-deduped, so cnt partials sum
+        # to true doc frequencies
+        def df_partial(t: pa.Table) -> pa.Table:
+            _, gi, _ = _gram_arrays(t)
+            u, c = np.unique(gi, return_counts=True)
+            return pa.table({"gram": pa.array(u, pa.int64()),
+                             "cnt": pa.array(c, pa.int64())})
+
+        df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow")
+                  .groupby("gram").aggregate(Sum("cnt", alias_name="df"))
+                  .materialize())
+        if df_tbl.count() <= broadcast_df_limit:
+            chunks = [b for b in df_tbl.iter_batches(batch_format="pyarrow")]
+            if chunks:
+                tb = pa.concat_tables(chunks).sort_by("gram")
+                df_ref = ray.put((tb.column("gram").to_numpy(),
+                                  tb.column("df").to_numpy()))
+            else:
+                # gram-free corpus (all texts empty): nothing can match the
+                # empty df anyway, but PrefixStage still wants the arrays
+                df_ref = ray.put((np.empty(0, np.int64),
+                                  np.empty(0, np.int64)))
+        else:
+            distributed_df = True
+
+    if not distributed_df:
+        class PrefixStage:
+            """Prefix selection stays inside the gram-producing batch (doc
+            rows never split across blocks); df lookup is one searchsorted
+            against the broadcast sorted array, or the gram value itself in
+            hash-order mode."""
+
+            def __init__(self):
+                self.df = ray.get(df_ref) if df_ref is not None else None
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                di, gi, sizes = _gram_arrays(t)
+                if len(gi) == 0:
+                    return pa.table({
+                        id_col: t.column(id_col).slice(0, 0),
+                        "gram": pa.array([], pa.int64()),
+                        "sz": pa.array([], pa.int64())})
+                if self.df is None:
+                    dfv = gi
+                else:
+                    g_sorted, d_arr = self.df
+                    dfv = d_arr[np.searchsorted(g_sorted, gi)]
+                keep_idx = _select_prefix(di, gi, sizes, dfv)
+                return _prefix_table(t, keep_idx, di, gi, sizes)
+
+        prefix = ds.map_batches(PrefixStage, batch_format="pyarrow",
+                                concurrency=_pool())
+    else:
+        # pass 2, distributed df: full gram rows -> lookup join attaches df
+        # -> ONE id-bucketed shuffle restores doc locality for the ranking
+        def gram_rows(t: pa.Table) -> pa.Table:
+            di, gi, sizes = _gram_arrays(t)
+            ids = t.column(id_col).take(pa.array(di, pa.int64()))
+            return pa.table({id_col: ids,
+                             "gram": pa.array(gi, pa.int64()),
+                             "sz": pa.array(sizes[di], pa.int64())})
+
+        with_df = lookup_join(ds.map_batches(gram_rows, batch_format="pyarrow"),
+                              df_tbl, on="gram", value_col="df",
+                              n_buckets=n_shuffle_buckets)
+
+        def add_doc_bucket(t: pa.Table) -> pa.Table:
+            b = _id_shuffle_bucket(
+                t.column(id_col).to_numpy(zero_copy_only=False),
+                n_buckets=n_shuffle_buckets)
+            return t.append_column("__b", b)
+
+        def prefix_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values([id_col, "df", "gram"], kind="mergesort")
+            r = g.groupby(id_col, sort=False).cumcount().to_numpy()
+            sz = g["sz"].to_numpy(dtype=np.int64)
+            p = sz - np.ceil(threshold * sz - 1e-9).astype(np.int64) + 1
+            return g.loc[r < p, [id_col, "gram", "sz"]]
+
+        prefix = (with_df.map_batches(add_doc_bucket, batch_format="pyarrow")
+                  .groupby("__b").map_groups(prefix_bucket,
+                                             batch_format="pandas"))
+
+    # candidate pairs: group prefix rows by gram (hash-bucketed — one
+    # vectorized pandas call per bucket, pair emission across ALL collision
+    # groups at once, no per-group Python)
+    def add_gram_bucket(t: pa.Table) -> pa.Table:
+        b = _id_shuffle_bucket(
+            t.column("gram").to_numpy(zero_copy_only=False),
+            n_buckets=n_shuffle_buckets)
+        return t.append_column("gb", b)
+
+    def bulk_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["gram", id_col], kind="mergesort")
+        gr = g["gram"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = gr[1:] != gr[:-1]
+        codes = np.cumsum(new) - 1
+        counts = np.bincount(codes)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        row = np.arange(len(g))
+        after = np.repeat(starts + counts, counts) - row - 1
+        tot = int(after.sum())
+        if tot == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a = np.repeat(row, after)
+        base = np.concatenate([[0], np.cumsum(after)[:-1]])
+        b = np.arange(tot) - np.repeat(base, after) + np.repeat(row + 1, after)
+        sz = g["sz"].to_numpy(dtype=np.int64)
+        sa, sb = sz[a], sz[b]
+        # jaccard >= t requires min|S| >= t*max|S|; epsilon keeps fp error
+        # from dropping a boundary pair (verify re-checks anyway)
+        ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
+        ids = g[id_col].to_numpy()
+        df = pd.DataFrame({"id_a": ids[a[ok]], "id_b": ids[b[ok]]})
+        return df.drop_duplicates(["id_a", "id_b"])  # partial dedupe
+
+    cand = (prefix.map_batches(add_gram_bucket, batch_format="pyarrow")
+            .groupby("gb").map_groups(bulk_pairs, batch_format="pandas"))
+
+    # the same pair surfaces once per shared prefix gram -> global dedupe,
+    # hash-bucketed (the minhash_lsh_pairs shape)
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        bucket = _id_shuffle_bucket(
+            t.column("id_a").to_numpy(zero_copy_only=False),
+            t.column("id_b").to_numpy(zero_copy_only=False),
+            n_buckets=n_shuffle_buckets)
+        return t.append_column("pbucket", bucket)
+
+    def pair_dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    cand = (cand.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("pbucket").map_groups(pair_dedupe, batch_format="pandas"))
+
+    return _verify_candidate_pairs(
+        cand, ds, id_col=id_col, col=col, shingle_k=shingle_k,
+        jaccard_threshold=threshold,
+        broadcast_texts_limit=broadcast_texts_limit,
+        n_shuffle_buckets=n_shuffle_buckets)
+
+
 def _clusters_union_find(edges) -> "ray.data.Dataset":
     """Driver-side components for a small (bounded) edge table: path-halving
     union-find with union-by-min so each root IS the min member — the same
