@@ -401,13 +401,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pack_sequences(ds, token_budget=512)
 
     def minhash_pairs(sf_dir: str):
+        # COMPOSITE gate (bench times the production minhash leg under its
+        # own name): the probabilistic MinHash-LSH pairs must be a SUBSET of
+        # the exact prefix-filtered jaccard join (same verify, exhaustive vs
+        # banded candidates); the returned table is the EXACT join with an
+        # in_minhash audit flag, so the golden pins both operators plus the
+        # containment in one row set.
+        import pandas as pd
         import ray.data
-        from brdrq_ray.functions.dedup import minhash_lsh_pairs
+        from brdrq_ray.functions.dedup import (jaccard_similarity_join,
+                                               minhash_lsh_pairs)
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
         # join-based verify: the corpus is never read or broadcast driver-side
-        pairs = minhash_lsh_pairs(ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                                        columns=["doc_id", "text"]),
-                                  jaccard_threshold=0.5)
-        return _round_floats(pairs, ["jaccard"], 6)
+        mh = minhash_lsh_pairs(docs, jaccard_threshold=0.5).to_pandas()
+        exact = _round_floats(jaccard_similarity_join(docs, threshold=0.5),
+                              ["jaccard"], 6).to_pandas()
+        mh_set = set(zip(mh["id_a"], mh["id_b"]))
+        ex_set = set(zip(exact["id_a"], exact["id_b"]))
+        extra = mh_set - ex_set
+        if extra:
+            # the one contracted divergence: both-empty docs (jaccard-1.0
+            # convention) pair under minhash but have no grams to prefix on
+            jac = {(a, b): j for a, b, j in zip(mh["id_a"], mh["id_b"],
+                                                mh["jaccard"])}
+            bad = {p for p in extra if jac[p] < 1.0}
+            if bad:
+                raise AssertionError(f"minhash pairs missing from exact join: {sorted(bad)[:5]}")
+        exact["in_minhash"] = [p in mh_set for p in zip(exact["id_a"],
+                                                        exact["id_b"])]
+        return exact.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
     def neardup_clusters(sf_dir: str):
         import ray.data

@@ -195,6 +195,26 @@ def run_queries() -> dict:
     qs = entrymod.queries()
     qs["hash_join_broadcast"] = rel.broadcast_hash_join
 
+    # production dedup legs under their own names (the driver-facing
+    # `minhash_pairs` is a composite gate — minhash ⊆ exact-join containment
+    # plus two to_pandas materializations — whose time is gate cost)
+    def _minhash_prod(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.dedup import minhash_lsh_pairs
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+    def _jaccard_exact(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.dedup import jaccard_similarity_join
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return jaccard_similarity_join(docs, threshold=0.5)
+
+    qs["minhash_pairs"] = _minhash_prod
+    qs["jaccard_join_exact"] = _jaccard_exact
+
     def _curation(sf_dir: str):
         import ray.data
         from brdrq_ray.pipelines.curation import CurationConfig, curate_and_pack
@@ -283,6 +303,7 @@ def run_queries() -> dict:
     names = ["metrics_agg", "grouped_topk", "hash_join", "hash_join_broadcast",
              "asof_join",
              "exact_dedup_documents", "token_count", "knn_top5", "minhash_pairs",
+             "jaccard_join_exact",
              "curation_e2e", "semantic_dedup", "bpe_train_encode",
              "dsir_resample", "media_dedup", "media_dedup_perceptual", "pq_knn",
              "align_predict", "align_evaluate", "autoupdate", "spatial_semi_join",

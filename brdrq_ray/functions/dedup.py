@@ -674,7 +674,6 @@ def jaccard_similarity_join(ds, col: str = "text", id_col: str = "doc_id",
     """
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     from .relational import lookup_join
 
@@ -721,11 +720,19 @@ def jaccard_similarity_join(ds, col: str = "text", id_col: str = "doc_id",
         def df_partial(t: pa.Table) -> pa.Table:
             _, gi, _ = _gram_arrays(t)
             u, c = np.unique(gi, return_counts=True)
+            b = _id_shuffle_bucket(u, n_buckets=n_shuffle_buckets)
             return pa.table({"gram": pa.array(u, pa.int64()),
-                             "cnt": pa.array(c, pa.int64())})
+                             "cnt": pa.array(c, pa.int64()),
+                             "db": b})
 
+        def df_sum(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("gram", sort=True)["cnt"].sum().reset_index()
+            return out.rename(columns={"cnt": "df"})
+
+        # hash-bucketed sum (one vectorized pandas call per bucket) — the
+        # native per-key aggregate measured ~5x slower on the same partials
         df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow")
-                  .groupby("gram").aggregate(Sum("cnt", alias_name="df"))
+                  .groupby("db").map_groups(df_sum, batch_format="pandas")
                   .materialize())
         if df_tbl.count() <= broadcast_df_limit:
             chunks = [b for b in df_tbl.iter_batches(batch_format="pyarrow")]
