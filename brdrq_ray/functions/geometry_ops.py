@@ -158,6 +158,49 @@ def listing(ds: ray.data.Dataset, sort_col: str, descending: bool = True,
     return ds.sort(sort_col, descending=descending).limit(limit)
 
 
+# --- geometry simplification (egress/prep; engine addition) -----------------
+
+def simplify_geometries(ds: ray.data.Dataset, tolerance: float,
+                        geom_col: str = "geom",
+                        repair: bool = True) -> ray.data.Dataset:
+    """Douglas-Peucker simplification of every feature at ``tolerance``
+    (meters) — the standard egress reduction before shipping geometry to a
+    viewer or a coarse-level analysis. Pure per-feature map_batches (no
+    shuffle); vertices are a subset of the input so the snap grid is
+    preserved; ``repair=True`` (default) runs make_valid on simplified
+    polygons because plain DP may self-intersect. Updates bbox columns when
+    present and appends a ``simplify_pts_removed`` audit column."""
+    class Simplify:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            new_geoms, removed = [], []
+            boxes = []
+            for buf in batch.column(geom_col).to_pylist():
+                kind, parts = g.unpack_geom(buf)
+                n_before = sum(len(r) for rings in parts for r in rings)
+                kind, parts = g.simplify_parts(kind, parts, tolerance)
+                if repair and kind == g.GEOM_POLYGON:
+                    kind, parts = g.make_valid(kind, parts)
+                n_after = sum(len(r) for rings in parts for r in rings)
+                new_geoms.append(g.pack_geom(kind, parts))
+                removed.append(n_before - n_after)
+                boxes.append(g.geom_bbox(parts) if parts else
+                             (0.0, 0.0, 0.0, 0.0))
+            idx = batch.column_names.index(geom_col)
+            out = batch.set_column(idx, geom_col,
+                                   pa.array(new_geoms, pa.binary()))
+            for bi, name in enumerate(("xmin", "ymin", "xmax", "ymax")):
+                if name in out.column_names:
+                    out = out.set_column(
+                        out.column_names.index(name), name,
+                        pa.array([b[bi] for b in boxes], pa.float64()))
+            return out.append_column("simplify_pts_removed",
+                                     pa.array(removed, pa.int64()))
+
+    from .pool import actor_pool
+    return ds.map_batches(Simplify, batch_format="pyarrow",
+                          concurrency=actor_pool())
+
+
 # --- M15: exact union-area (admission guard, distributed) -------------------
 
 def union_area(parsed: ray.data.Dataset, level: int = 13,

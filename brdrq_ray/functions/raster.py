@@ -220,6 +220,30 @@ def downsample(raster: ray.data.Dataset, d: int = 1, agg: str = "mean",
             .groupby("parent").map_groups(fold, batch_format="pyarrow"))
 
 
+def upsample(raster: ray.data.Dataset, d: int = 1,
+             value_col: str = "value") -> ray.data.Dataset:
+    """Raster pyramid inverse step: (cell, value) rows at level L -> the
+    4**d child cells at level L+d, each carrying the parent's value
+    (nearest-neighbor upsampling). Aligns a coarse raster to a finer one so
+    :func:`map_algebra` can combine rasters built at different levels.
+
+    Scale shape: pure map_batches — NO shuffle; bounded 4**d-fold row
+    amplification of the compact (cell, value) projection. Exact inverse
+    property: ``downsample(upsample(r, d), d, agg)`` == r for every agg
+    (all 4**d children of a parent carry one identical value)."""
+    def fan_out(t: pa.Table) -> pa.Table:
+        cells = t.column("cell").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        kids = tiles.child_cells(cells, d)
+        return pa.table({
+            "cell": pa.array(kids.ravel(), pa.int64()),
+            "value": pa.array(np.repeat(vals, kids.shape[1]), pa.float64()),
+        })
+
+    return raster.map_batches(fan_out, batch_format="pyarrow")
+
+
 def map_algebra(a: ray.data.Dataset, b: ray.data.Dataset, op: str = "add",
                 value_col: str = "value", n_buckets: int = 64,
                 fill: float | None = None) -> ray.data.Dataset:

@@ -774,3 +774,90 @@ def inradius_approx(parts, resolution: float, bbox=None) -> float:
         return 0.0
     d = points_to_boundary_distance(pts[inside], parts)
     return float(d.max())
+
+
+# ---------------------------------------------------------------------------
+# Douglas-Peucker simplification
+# ---------------------------------------------------------------------------
+
+def _dp_refine(pts: np.ndarray, tol: float, keep: np.ndarray, stack) -> None:
+    """Iterative Douglas-Peucker over ``pts``: split each (i, j) anchor span
+    at its farthest interior point while that distance exceeds ``tol``.
+    Distances per span are one vectorized cross-product pass."""
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        seg = pts[j] - pts[i]
+        length = math.hypot(seg[0], seg[1])
+        mid = pts[i + 1:j]
+        if length == 0.0:
+            d = np.hypot(mid[:, 0] - pts[i, 0], mid[:, 1] - pts[i, 1])
+        else:
+            d = np.abs((mid[:, 0] - pts[i, 0]) * seg[1]
+                       - (mid[:, 1] - pts[i, 1]) * seg[0]) / length
+        k = int(d.argmax())
+        if d[k] > tol:
+            k += i + 1
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+
+
+def dp_keep_mask(ring: np.ndarray, tol: float, closed: bool) -> np.ndarray:
+    """Keep-mask of Douglas-Peucker at tolerance ``tol``. Open polylines
+    anchor both endpoints; closed rings (stored UNCLOSED) anchor point 0 and
+    the point farthest from it (deterministic — ties resolve to the first
+    argmax), then refine the two wrap-around halves."""
+    pts = np.asarray(ring, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return np.ones(n, dtype=bool)
+    if not closed:
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        _dp_refine(pts, tol, keep, [(0, n - 1)])
+        return keep
+    ext = np.vstack([pts, pts[:1]])  # close the ring for the two half-spans
+    far = int(np.hypot(ext[:, 0] - ext[0, 0], ext[:, 1] - ext[0, 1]).argmax())
+    keep = np.zeros(n + 1, dtype=bool)
+    keep[0] = keep[n] = True
+    if far not in (0, n):
+        keep[far] = True
+        _dp_refine(ext, tol, keep, [(0, far), (far, n)])
+    return keep[:n]
+
+
+def simplify_parts(kind: int, parts, tol: float):
+    """Douglas-Peucker simplification of a packed-geometry structure.
+
+    Every output vertex is an input vertex (the snap grid is preserved by
+    construction) and every dropped vertex lies within ``tol`` of the kept
+    segment that replaced its run — the classic DP contract. Degenerate
+    output is dropped: a polygon ring below 3 points or with zero area
+    (holes individually; losing the shell drops the whole part), a line
+    below 2 points. Points pass through. Plain DP can self-intersect —
+    callers that need valid polygons repair with :func:`make_valid`
+    (the simplify_geometries operator does by default)."""
+    if kind == GEOM_POINT or tol <= 0:
+        return kind, parts
+    out_parts = []
+    for rings in parts:
+        if kind == GEOM_LINESTRING:
+            line = rings[0]
+            kept = line[dp_keep_mask(line, tol, closed=False)]
+            if len(kept) >= 2:
+                out_parts.append([kept])
+            continue
+        new_rings = []
+        for ri, ring in enumerate(rings):
+            kept = ring[dp_keep_mask(ring, tol, closed=True)]
+            if len(kept) < 3 or ring_signed_area(kept) == 0.0:
+                if ri == 0:
+                    break  # shell degenerated: drop the whole part
+                continue  # hole degenerated: drop just the hole
+            new_rings.append(kept)
+        else:
+            if new_rings:
+                out_parts.append(new_rings)
+    return kind, out_parts

@@ -96,6 +96,21 @@ def parent_cells(cell_ids: np.ndarray, d: int = 1) -> np.ndarray:
             | (morton >> np.uint64(2 * d))).astype(np.int64)
 
 
+def child_cells(cell_ids: np.ndarray, d: int = 1) -> np.ndarray:
+    """All 4**d descendant cell ids at `d` levels finer, for each input cell:
+    shape (len(cell_ids), 4**d), row i = children of cell_ids[i] in Morton
+    order (pure bit op — the inverse fan-out of :func:`parent_cells`)."""
+    c = np.asarray(cell_ids).astype(np.uint64)
+    level = c >> np.uint64(58)
+    if d < 0 or np.any(level + np.uint64(d) > np.uint64(MAX_LEVEL)):
+        raise ValueError("d must keep level <= MAX_LEVEL")
+    morton = c & np.uint64((1 << 58) - 1)
+    suffix = np.arange(1 << (2 * d), dtype=np.uint64)
+    return ((((level + np.uint64(d)) << np.uint64(58))[:, None]
+             | (morton << np.uint64(2 * d))[:, None]
+             | suffix[None, :]).astype(np.int64))
+
+
 def owner_cell(x: np.ndarray, y: np.ndarray, level: int) -> np.ndarray:
     """The cell owning a feature = the cell containing its centroid/anchor.
     Exactly one owner per feature (SURVEY.md section 7.4.3)."""

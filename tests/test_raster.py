@@ -283,3 +283,72 @@ def test_focal_mean_vs_brute_force(ray_session):
     b = (focal_mean(ds.repartition(11), 1).to_pandas()
          .sort_values("cell").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_child_cells_roundtrip():
+    level = 14
+    gx, gy, cells, _ = _grid_raster(level, ni=5, nj=5)
+    for d in (1, 2):
+        kids = tiles.child_cells(cells, d)
+        assert kids.shape == (len(cells), 4 ** d)
+        # every child's parent is its source cell
+        back = tiles.parent_cells(kids.ravel(), d).reshape(kids.shape)
+        assert (back == cells[:, None]).all()
+        # children tile the parent exactly: distinct, and their (x, y)
+        # ranges cover [gx<<d, (gx+1)<<d)
+        lv, kx, ky = tiles.cell_xy(kids.ravel())
+        assert (lv == level + d).all()
+        assert len(np.unique(kids.ravel())) == kids.size
+        assert (kx.reshape(kids.shape) >> d == gx[:, None]).all()
+        assert (ky.reshape(kids.shape) >> d == gy[:, None]).all()
+    with pytest.raises(ValueError):
+        tiles.child_cells(cells, tiles.MAX_LEVEL - level + 1)
+
+
+def test_upsample_inverse_of_downsample(ray_session):
+    import ray.data
+    from brdrq_ray.functions.raster import downsample, upsample
+
+    level = 14
+    gx, gy, cells, vals = _grid_raster(level, ni=6, nj=6)
+    ds = ray.data.from_arrow(pa.table({
+        "cell": pa.array(cells, pa.int64()),
+        "value": pa.array(vals, pa.float64()),
+    }))
+    for d in (1, 2):
+        up = upsample(ds, d)
+        assert up.count() == len(cells) * 4 ** d
+        for agg in ("mean", "min", "max"):
+            back = (downsample(up, d, agg).to_pandas()
+                    .sort_values("cell").reset_index(drop=True))
+            orig = (ds.to_pandas().sort_values("cell")
+                    .reset_index(drop=True))
+            assert back.equals(orig)
+        # sum/count scale by the fan-out
+        s = (downsample(up, d, "sum").to_pandas().set_index("cell")["value"]
+             .sort_index())
+        o = ds.to_pandas().set_index("cell")["value"].sort_index()
+        assert np.allclose(s.to_numpy(), o.to_numpy() * 4 ** d)
+
+
+def test_upsample_cross_level_algebra(ray_session):
+    """The composition upsample enables: combine a fine raster with a
+    coarse one via map_algebra after aligning levels."""
+    import ray.data
+    from brdrq_ray.functions.raster import map_algebra, upsample
+
+    level = 14
+    gx, gy, cells, vals = _grid_raster(level, ni=4, nj=4)
+    fine = ray.data.from_arrow(pa.table({
+        "cell": pa.array(cells, pa.int64()),
+        "value": pa.array(vals, pa.float64())}))
+    coarse_cells = np.unique(tiles.parent_cells(cells, 1))
+    coarse = ray.data.from_arrow(pa.table({
+        "cell": pa.array(coarse_cells, pa.int64()),
+        "value": pa.array(np.full(len(coarse_cells), 100.0), pa.float64())}))
+    got = (map_algebra(fine, upsample(coarse, 1), "add").to_pandas()
+           .set_index("cell")["value"])
+    assert set(got.index) == set(cells.tolist())
+    want = dict(zip(cells.tolist(), (vals + 100.0).tolist()))
+    for c, v in want.items():
+        assert got[c] == v
