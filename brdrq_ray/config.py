@@ -43,6 +43,10 @@ class AlignJob:
     partial_snap_strategy: str = "PREFER_VERTICES"
     partial_snap_max_segment_length: float = 2.0
     # engine/scale knobs (no reference analog — the parallel execution layer)
+    #: Douglas-Peucker egress simplification (meters); None/0 = off
+    #: (byte-identical to pre-knob output). Applied inside the sink
+    #: projection pass, make_valid-repaired.
+    simplify_tolerance: float | None = None
     workfolder: str = "/tmp/brdrq_out"
     cell_level: int | None = None
     hot_threshold: int = 256
@@ -149,7 +153,8 @@ def run_job(job: AlignJob) -> dict:
         if os.path.isdir(out_dir):
             import shutil
             shutil.rmtree(out_dir)
-        layer = select_result_type(results, slot)
+        layer = select_result_type(results, slot,
+                                   simplify_tolerance=job.simplify_tolerance)
         if not job.add_attributes and "props" in (layer.schema().names or []):
             layer = layer.drop_columns(["props"])
         layer.write_parquet(out_dir)

@@ -403,13 +403,19 @@ _GEOM_SLOT_COLS = list(RESULT_TYPES.values())
 
 
 def select_result_type(results: ray.data.Dataset, result_type: str,
-                       drop_empty_diffs: bool = True) -> ray.data.Dataset:
+                       drop_empty_diffs: bool = True,
+                       simplify_tolerance: float | None = None
+                       ) -> ray.data.Dataset:
     """Project the flat result table to one result type (the reference emits
     one FeatureCollection per slot, get_results_as_geojson at
     plugin/brdrq/brdrq_algorithm_autocorrectborders.py:620-646), re-emitting
     WKT. Diff layers drop empty geometries (brdr_perimeter == 0 filter,
     reference: remove_empty_features_from_diff_layers,
-    plugin/brdrq/brdrq_utils.py:1513-1527)."""
+    plugin/brdrq/brdrq_utils.py:1513-1527). ``simplify_tolerance`` (engine
+    egress knob, default off) Douglas-Peucker-simplifies each geometry
+    inside this same projection pass — no extra scan — with make_valid
+    repair; perimeter and the empty-diff filter see the simplified shape
+    (a sliver diff below tolerance vanishes from the diff layer)."""
     geom_col = RESULT_TYPES[result_type]
     schema_names = results.schema().names
     if geom_col not in schema_names:
@@ -428,6 +434,11 @@ def select_result_type(results: ray.data.Dataset, result_type: str,
         wkts, perims = [], []
         for buf in batch.column(geom_col).to_pylist():
             kind, parts = g.unpack_geom(buf)
+            if simplify_tolerance:
+                kind, parts = g.simplify_parts(kind, parts,
+                                               simplify_tolerance)
+                if kind == g.GEOM_POLYGON:
+                    kind, parts = g.make_valid(kind, parts)
             wkts.append(g.to_wkt(kind, parts))
             perims.append(g.geom_perimeter(kind, parts))
         out = out.append_column("geometry_wkt", pa.array(wkts, pa.string()))

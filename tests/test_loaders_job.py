@@ -154,3 +154,51 @@ def test_admission_guard(ray_session, tmp_path):
                    workfolder=str(tmp_path / "out2"))
     with pytest.raises(ValueError, match="admission cap"):
         run_job(job)
+
+
+def test_align_job_simplify_tolerance(ray_session, tmp_path):
+    """Egress simplification knob: same rows, fewer-or-equal vertices per
+    result geometry, default run byte-identical to the knob at None."""
+    from brdrq_ray.config import AlignJob, run_job
+    from brdrq_ray.geom import core as g
+
+    theme = fx.make_thematic_table(nx=8, ny=8, seed=42, n_features=10)
+    ref = fx.make_reference_table(nx=8, ny=8, seed=42)
+    tpath = str(tmp_path / "theme.parquet")
+    rpath = str(tmp_path / "ref.parquet")
+    pq.write_table(theme, tpath)
+    pq.write_table(ref, rpath)
+
+    base = dict(input_thematic=tpath,
+                reference={"loader": "parquet", "path": rpath},
+                relevant_distance=2.0, od_strategy="EXCLUDE",
+                checkpoint=False)
+    plain = run_job(AlignJob(**base, workfolder=str(tmp_path / "o0")))
+    simp = run_job(AlignJob(**base, simplify_tolerance=1.0,
+                            workfolder=str(tmp_path / "o1")))
+
+    import ray.data
+
+    def verts(path):
+        df = (ray.data.read_parquet(path).to_pandas()
+              .sort_values("theme_id").reset_index(drop=True))
+        n = []
+        for w in df["geometry_wkt"]:
+            kind, parts = g.parse_wkt(w)
+            n.append(sum(len(r) for rings in parts for r in rings))
+        return df, n
+
+    d0, n0 = verts(plain["outputs"]["result"])
+    d1, n1 = verts(simp["outputs"]["result"])
+    assert list(d0["theme_id"]) == list(d1["theme_id"])  # same rows
+    assert all(b <= a for a, b in zip(n0, n1))
+    assert sum(n1) < sum(n0)  # something actually simplified
+    # simplified geometries stay valid: make_valid is a no-op on them
+    for w in d1["geometry_wkt"]:
+        kind, parts = g.parse_wkt(w)
+        k2, p2 = g.make_valid(kind, parts)
+        assert g.geom_area(k2, p2) == pytest.approx(
+            g.geom_area(kind, parts), rel=1e-9)
+    # knob at None is the default path (JSON roundtrip carries the field)
+    job = AlignJob(**base, workfolder="x")
+    assert AlignJob.from_json(job.to_json()) == job
