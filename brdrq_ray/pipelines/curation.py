@@ -73,6 +73,11 @@ class CurationConfig:
     seed: str = "curate"
     # near-dup knobs pass through to minhash_lsh_pairs
     minhash_kwargs: dict = field(default_factory=dict)
+    # exact near-dup pair source: route through the recall-1.0 prefix-
+    # filtered jaccard join instead of MinHash-LSH candidates (same verify,
+    # same threshold; pays the document-frequency pass for zero missed
+    # pairs — minhash_kwargs is then unused)
+    near_dup_exact: bool = False
     # optional stages (None = stage off)
     boilerplate_min_docs: int | None = None   # C4 frequent-line removal
     passage_k: int | None = None              # repeated-passage excision k
@@ -245,12 +250,18 @@ def remove_near_duplicates(ds: ray.data.Dataset, cfg: CurationConfig) -> ray.dat
     cluster table (small: clustered docs only) fetches scores through the
     distributed lookup join and each cluster group keeps its argmax. Either
     way losers are anti-joined out distributedly (no driver-side id set)."""
-    from ..functions.dedup import duplicate_clusters, minhash_lsh_pairs
+    from ..functions.dedup import (duplicate_clusters,
+                                   jaccard_similarity_join,
+                                   minhash_lsh_pairs)
     from ..functions.relational import semi_join
 
-    pairs = minhash_lsh_pairs(ds, col=cfg.col, id_col=cfg.id_col,
-                              jaccard_threshold=cfg.jaccard_threshold,
-                              **cfg.minhash_kwargs)
+    if cfg.near_dup_exact:
+        pairs = jaccard_similarity_join(ds, col=cfg.col, id_col=cfg.id_col,
+                                        threshold=cfg.jaccard_threshold)
+    else:
+        pairs = minhash_lsh_pairs(ds, col=cfg.col, id_col=cfg.id_col,
+                                  jaccard_threshold=cfg.jaccard_threshold,
+                                  **cfg.minhash_kwargs)
     clusters = duplicate_clusters(pairs)
 
     if cfg.near_dup_keep == "best_quality":

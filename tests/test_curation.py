@@ -679,3 +679,34 @@ def test_curation_report_mode(ray_session):
     assert all(r["chars"] >= 0 and r["wall_s"] >= 0 for r in report)
     assert all("kept_frac" in r for r in report[1:])
     json.dumps(report)
+
+
+def test_near_dup_exact_backend(ray_session):
+    """near_dup_exact=True routes pair generation through the recall-1.0
+    jaccard join. The fixture's GOOD variants sit at jaccard 0.5098 — just
+    above the 0.5 threshold, where LSH banding detection is ~coin-flip — so
+    the exact backend merges ALL of {0..4, 20..25} into one cluster while
+    minhash keeps the pairs it happened to band. Exact survivors are
+    therefore a SUBSET of minhash survivors, with the brute-force-correct
+    cluster structure."""
+    import ray.data
+
+    t = _corpus()
+    mh_ids = sorted(curate_documents(
+        ray.data.from_arrow(t),
+        CurationConfig(quality_min=0.3, jaccard_threshold=0.5,
+                       near_dup_exact=False, sample_fraction=None)
+    ).to_pandas()["doc_id"])
+    ex_ids = sorted(curate_documents(
+        ray.data.from_arrow(t),
+        CurationConfig(quality_min=0.3, jaccard_threshold=0.5,
+                       near_dup_exact=True, sample_fraction=None)
+    ).to_pandas()["doc_id"])
+    assert set(ex_ids) <= set(mh_ids)
+    # exact: every GOOD variant is >= 0.5-similar to the copies -> one
+    # cluster, min id 0 survives; the near-dup pair keeps min id 10
+    assert 0 in ex_ids
+    assert all(i not in ex_ids for i in (1, 2, 3, 4, 20, 21, 22, 23, 24, 25))
+    assert 10 in ex_ids and 11 not in ex_ids
+    # minhash found the exact copies (jaccard 1.0 always bands together)
+    assert 0 in mh_ids and all(i not in mh_ids for i in (1, 2, 3, 4))
