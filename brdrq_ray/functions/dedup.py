@@ -398,11 +398,51 @@ def minhash_lsh_pairs(ds, col: str = "text", id_col: str = "doc_id",
         text_lookup=text_lookup, n_shuffle_buckets=n_shuffle_buckets)
 
 
+def _pairs_exact_jaccard(ta: np.ndarray, tb: np.ndarray,
+                         shingle_k: int) -> np.ndarray:
+    """Vectorized exact n-gram jaccard for aligned text arrays (one value
+    per (ta[i], tb[i]) pair): shingle the UNIQUE texts once with the batch
+    kernel, then count per-pair intersections with one lexsort over the
+    (pair, shingle) rows — no per-pair Python set building. Same
+    window/short-doc semantics as _word_shingles; both-empty pairs score
+    1.0 (the ngram_jaccard convention)."""
+    n = len(ta)
+    uniq, inv = np.unique(np.concatenate([ta, tb]), return_inverse=True)
+    di, sh = _shingle_hashes(uniq, shingle_k, ordered=True)
+    cnts = np.bincount(di, minlength=len(uniq))
+    starts = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
+    ia, ib = inv[:n], inv[n:]
+
+    def side_rows(idx):
+        c = cnts[idx]
+        total = int(c.sum())
+        pair = np.repeat(np.arange(n), c)
+        base = np.concatenate([[0], np.cumsum(c)[:-1]]).astype(np.int64)
+        off = np.arange(total) - np.repeat(base, c) + np.repeat(
+            starts[idx], c)
+        return pair, sh[off]
+
+    pa_i, sha = side_rows(ia)
+    pb_i, shb = side_rows(ib)
+    kp = np.concatenate([pa_i, pb_i])
+    ks = np.concatenate([sha, shb])
+    order = np.lexsort((ks, kp))
+    kp, ks = kp[order], ks[order]
+    dup = (kp[1:] == kp[:-1]) & (ks[1:] == ks[:-1])
+    inter = np.bincount(kp[1:][dup], minlength=n)
+    ca, cb = cnts[ia], cnts[ib]
+    union = ca + cb - inter
+    return np.where((ca == 0) & (cb == 0), 1.0,
+                    np.where((ca == 0) | (cb == 0), 0.0,
+                             inter / np.maximum(union, 1)))
+
+
 def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
                             col: str = "text", shingle_k: int = 3,
                             jaccard_threshold: float = 0.7,
                             broadcast_texts_limit: int = 100_000,
-                            text_lookup=None, n_shuffle_buckets: int = 64):
+                            text_lookup=None, n_shuffle_buckets: int = 64,
+                            id_collect_limit: int = 4_000_000):
     """True n-gram-Jaccard verification of candidate (id_a, id_b) pairs
     against the corpus ``ds`` (candidate texts fetched column-pruned, never
     the whole corpus — path selection documented in minhash_lsh_pairs).
@@ -453,19 +493,26 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
 
     key_ds = cand.map_batches(pair_keys, batch_format="pyarrow")
 
-    if 2 * n_pairs > broadcast_texts_limit:
-        # candidate set too large for any driver-side structure: filter the
-        # corpus with the DISTRIBUTED bucketed semi-join against the pair-id
-        # projection — no id set ever lands on the driver
-        from .relational import semi_join
-        texts = semi_join(ds.select_columns([id_col, col]), key_ds, on=id_col)
-    else:
-        # bounded candidate set: collect the distinct ids ONCE (ids only,
-        # never texts) and filter the corpus with one vectorized pc.is_in
+    # leg choice, two-stage: ids are collectible while 2*n_pairs is under
+    # id_collect_limit (an int64/str array, MBs); TEXTS broadcast only while
+    # the DISTINCT id count is under broadcast_texts_limit — a duplicate-
+    # heavy candidate set (many pairs over few docs) now takes the fast
+    # broadcast leg its pair count used to kick it out of
+    uniq = None
+    if 2 * n_pairs <= id_collect_limit:
         chunks = []
         for b in key_ds.iter_batches(batch_format="pyarrow"):
             chunks.extend(b.column(id_col).chunks)
         uniq = pc.unique(pa.chunked_array(chunks))
+    if uniq is None or len(uniq) > broadcast_texts_limit:
+        # candidate id set too large for any driver-side structure: filter
+        # the corpus with the DISTRIBUTED bucketed semi-join against the
+        # pair-id projection — no id set ever lands on the driver
+        from .relational import semi_join
+        texts = semi_join(ds.select_columns([id_col, col]), key_ds, on=id_col)
+    else:
+        # bounded candidate set: the distinct ids (ids only, never texts)
+        # filter the corpus with one vectorized pc.is_in
         ids_ref = ray.put(uniq)
 
         class KeepCandidateTexts:
@@ -500,10 +547,13 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
                 if batch.num_rows == 0:
                     return _empty_pairs(batch)
                 df = batch.to_pandas()
-                jac = [ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""),
-                                     shingle_k)
-                       for a, b in zip(df["id_a"], df["id_b"])]
-                df["jaccard"] = jac
+                # vectorized batch kernel (shared with the distributed
+                # leg's verify_bucket) — never per-pair Python shingling
+                ta = np.array([self.texts.get(a, "") for a in df["id_a"]],
+                              dtype=object)
+                tb = np.array([self.texts.get(b, "") for b in df["id_b"]],
+                              dtype=object)
+                df["jaccard"] = _pairs_exact_jaccard(ta, tb, shingle_k)
                 df = df[df["jaccard"] >= jaccard_threshold]
                 return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -572,45 +622,13 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
         m = a_half.merge(b_half, on=["id_a", "id_b"], how="outer")
         if m.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        # vectorized exact jaccard over ALL pairs in the bucket: shingle the
-        # UNIQUE texts once with the batch kernel (same window/short-doc
-        # semantics as _word_shingles; the hash family differs but jaccard
-        # only reads set cardinalities), then count per-pair intersections
-        # with one lexsort over the (pair, shingle) rows — no per-pair
-        # Python set building (a duplicate-heavy crawl emits 10s-100s of
-        # candidate pairs per doc; this stage was the bottleneck there)
+        # vectorized exact jaccard over ALL pairs in the bucket — the shared
+        # _pairs_exact_jaccard batch kernel (a duplicate-heavy crawl emits
+        # 10s-100s of candidate pairs per doc; per-pair Python was the
+        # bottleneck there)
         ta = m["text_a"].fillna("").to_numpy(dtype=object)
         tb = m["text_b"].fillna("").to_numpy(dtype=object)
-        n = len(m)
-        uniq, inv = np.unique(np.concatenate([ta, tb]), return_inverse=True)
-        di, sh = _shingle_hashes(uniq, shingle_k, ordered=True)
-        cnts = np.bincount(di, minlength=len(uniq))
-        starts = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
-        ia, ib = inv[:n], inv[n:]
-
-        def side_rows(idx):
-            c = cnts[idx]
-            total = int(c.sum())
-            pair = np.repeat(np.arange(n), c)
-            base = np.concatenate([[0], np.cumsum(c)[:-1]]).astype(np.int64)
-            off = np.arange(total) - np.repeat(base, c) + np.repeat(
-                starts[idx], c)
-            return pair, sh[off]
-
-        pa_i, sha = side_rows(ia)
-        pb_i, shb = side_rows(ib)
-        kp = np.concatenate([pa_i, pb_i])
-        ks = np.concatenate([sha, shb])
-        order = np.lexsort((ks, kp))
-        kp, ks = kp[order], ks[order]
-        dup = (kp[1:] == kp[:-1]) & (ks[1:] == ks[:-1])
-        inter = np.bincount(kp[1:][dup], minlength=n)
-        ca, cb = cnts[ia], cnts[ib]
-        union = ca + cb - inter
-        jac = np.where((ca == 0) & (cb == 0), 1.0,
-                       np.where((ca == 0) | (cb == 0), 0.0,
-                                inter / np.maximum(union, 1)))
-        m["jaccard"] = jac
+        m["jaccard"] = _pairs_exact_jaccard(ta, tb, shingle_k)
         m = m[m["jaccard"] >= jaccard_threshold]
         return pd.DataFrame({"id_a": _ids_restored(m["id_a"]),
                              "id_b": _ids_restored(m["id_b"]),
@@ -645,8 +663,10 @@ def jaccard_similarity_join(ds, col: str = "text", id_col: str = "doc_id",
     prefixes of length ``|S| - ceil(t*|S|) + 1`` (if all shared grams sat
     past both prefixes, the overlap could be at most ceil(t*|S|)-1 <
     t*|S| <= t*|union|). So grouping PREFIX grams surfaces every
-    qualifying pair; the length filter ``min|S| >= t*max|S|`` (a jaccard
-    >= t necessity) prunes within groups, and every candidate is verified
+    qualifying pair; the length filter ``min|S| >= t*max|S|`` and the
+    PPJoin positional filter (overlap bound from the shared gram's rank in
+    both prefixes — see bulk_pairs) prune within groups, and every
+    candidate is verified
     with the true jaccard via the machinery shared with minhash_lsh_pairs
     (identical shingle/short-doc semantics, so the two operators agree on
     pair values). Docs with EMPTY gram sets (no words) have no prefix and
@@ -686,17 +706,19 @@ def jaccard_similarity_join(ds, col: str = "text", id_col: str = "doc_id",
             "jaccard": pa.array([], pa.float64())}))
 
     def _select_prefix(di, gi, sizes, dfv):
-        """Indices of the prefix rows: within each doc, rank grams by
-        (df ASC, gram ASC — int64 view order, matching the pandas leg) and
-        keep the first |S| - ceil(t*|S|) + 1. ceil biased DOWN by 1e-9 so
-        fp error can only lengthen a prefix (recall-safe)."""
+        """(row indices, ranks) of the prefix rows: within each doc, rank
+        grams by (df ASC, gram ASC — int64 view order, matching the pandas
+        leg) and keep the first |S| - ceil(t*|S|) + 1; the kept rank feeds
+        the positional filter. ceil biased DOWN by 1e-9 so fp error can
+        only lengthen a prefix (recall-safe)."""
         p = sizes - np.ceil(threshold * sizes - 1e-9).astype(np.int64) + 1
         order = np.lexsort((gi, dfv, di))
         d_s = di[order]
         counts = np.bincount(d_s, minlength=len(sizes))
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         rank = np.arange(len(d_s)) - np.repeat(starts, counts)
-        return order[rank < p[d_s]]
+        keep = rank < p[d_s]
+        return order[keep], rank[keep]
 
     def _gram_arrays(t: pa.Table):
         texts = t.column(col).to_pylist()
@@ -705,11 +727,13 @@ def jaccard_similarity_join(ds, col: str = "text", id_col: str = "doc_id",
             np.zeros(t.num_rows, np.int64)
         return di, sh.view(np.int64), sizes
 
-    def _prefix_table(t: pa.Table, keep_idx, di, gi, sizes) -> pa.Table:
+    def _prefix_table(t: pa.Table, keep_idx, ranks, di, gi, sizes
+                      ) -> pa.Table:
         ids = t.column(id_col).take(pa.array(di[keep_idx], pa.int64()))
         return pa.table({id_col: ids,
                          "gram": pa.array(gi[keep_idx], pa.int64()),
-                         "sz": pa.array(sizes[di[keep_idx]], pa.int64())})
+                         "sz": pa.array(sizes[di[keep_idx]], pa.int64()),
+                         "rk": pa.array(ranks, pa.int64())})
 
     df_ref = None
     distributed_df = False
@@ -749,32 +773,28 @@ def jaccard_similarity_join(ds, col: str = "text", id_col: str = "doc_id",
             distributed_df = True
 
     if not distributed_df:
-        class PrefixStage:
-            """Prefix selection stays inside the gram-producing batch (doc
-            rows never split across blocks); df lookup is one searchsorted
-            against the broadcast sorted array, or the gram value itself in
-            hash-order mode."""
+        # task pool, NOT an actor pool: the only state is the broadcast
+        # (gram, df) numpy pair, which ray.get resolves to the SAME
+        # zero-copy plasma mapping in every task — there is nothing to
+        # build per actor, so plain tasks reuse the already-warm worker
+        # pool instead of paying a cold actor spawn per slot
+        def prefix_stage(t: pa.Table) -> pa.Table:
+            di, gi, sizes = _gram_arrays(t)
+            if len(gi) == 0:
+                return pa.table({
+                    id_col: t.column(id_col).slice(0, 0),
+                    "gram": pa.array([], pa.int64()),
+                    "sz": pa.array([], pa.int64()),
+                    "rk": pa.array([], pa.int64())})
+            if df_ref is None:
+                dfv = gi
+            else:
+                g_sorted, d_arr = ray.get(df_ref)
+                dfv = d_arr[np.searchsorted(g_sorted, gi)]
+            keep_idx, ranks = _select_prefix(di, gi, sizes, dfv)
+            return _prefix_table(t, keep_idx, ranks, di, gi, sizes)
 
-            def __init__(self):
-                self.df = ray.get(df_ref) if df_ref is not None else None
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                di, gi, sizes = _gram_arrays(t)
-                if len(gi) == 0:
-                    return pa.table({
-                        id_col: t.column(id_col).slice(0, 0),
-                        "gram": pa.array([], pa.int64()),
-                        "sz": pa.array([], pa.int64())})
-                if self.df is None:
-                    dfv = gi
-                else:
-                    g_sorted, d_arr = self.df
-                    dfv = d_arr[np.searchsorted(g_sorted, gi)]
-                keep_idx = _select_prefix(di, gi, sizes, dfv)
-                return _prefix_table(t, keep_idx, di, gi, sizes)
-
-        prefix = ds.map_batches(PrefixStage, batch_format="pyarrow",
-                                concurrency=_pool())
+        prefix = ds.map_batches(prefix_stage, batch_format="pyarrow")
     else:
         # pass 2, distributed df: full gram rows -> lookup join attaches df
         # -> ONE id-bucketed shuffle restores doc locality for the ranking
@@ -800,7 +820,9 @@ def jaccard_similarity_join(ds, col: str = "text", id_col: str = "doc_id",
             r = g.groupby(id_col, sort=False).cumcount().to_numpy()
             sz = g["sz"].to_numpy(dtype=np.int64)
             p = sz - np.ceil(threshold * sz - 1e-9).astype(np.int64) + 1
-            return g.loc[r < p, [id_col, "gram", "sz"]]
+            out = g.loc[r < p, [id_col, "gram", "sz"]].copy()
+            out["rk"] = r[r < p]
+            return out
 
         prefix = (with_df.map_batches(add_doc_bucket, batch_format="pyarrow")
                   .groupby("__b").map_groups(prefix_bucket,
@@ -832,10 +854,20 @@ def jaccard_similarity_join(ds, col: str = "text", id_col: str = "doc_id",
         base = np.concatenate([[0], np.cumsum(after)[:-1]])
         b = np.arange(tot) - np.repeat(base, after) + np.repeat(row + 1, after)
         sz = g["sz"].to_numpy(dtype=np.int64)
+        rk = g["rk"].to_numpy(dtype=np.int64)
         sa, sb = sz[a], sz[b]
-        # jaccard >= t requires min|S| >= t*max|S|; epsilon keeps fp error
-        # from dropping a boundary pair (verify re-checks anyway)
+        # length filter: jaccard >= t requires min|S| >= t*max|S|
         ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
+        # positional filter (PPJoin, Xiao et al. WWW'08): jaccard >= t
+        # requires overlap >= alpha = ceil(t/(1+t)*(|A|+|B|)); at the FIRST
+        # shared gram (rank i in A, j in B) every other shared gram lies
+        # after it in both frequency-sorted lists, so overlap <=
+        # 1 + min(|A|-i-1, |B|-j-1). A pair is kept if ANY of its shared
+        # prefix grams passes — the first one always does for a qualifying
+        # pair (recall-safe); occurrences that can only be non-first fail
+        # their own bound and drop. Epsilons bias alpha DOWN (recall-safe).
+        alpha = np.ceil(threshold / (1.0 + threshold) * (sa + sb) - 1e-9)
+        ok &= 1 + np.minimum(sa - rk[a] - 1, sb - rk[b] - 1) >= alpha
         ids = g[id_col].to_numpy()
         df = pd.DataFrame({"id_a": ids[a[ok]], "id_b": ids[b[ok]]})
         return df.drop_duplicates(["id_a", "id_b"])  # partial dedupe
