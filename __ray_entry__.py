@@ -407,7 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # banded candidates); the returned table is the EXACT join with an
         # in_minhash audit flag, so the golden pins both operators plus the
         # containment in one row set.
-        import pandas as pd
+        import pyarrow.compute as pc
         import ray.data
         from brdrq_ray.functions.dedup import (jaccard_similarity_join,
                                                minhash_lsh_pairs)
@@ -421,11 +421,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ex_set = set(zip(exact["id_a"], exact["id_b"]))
         extra = mh_set - ex_set
         if extra:
-            # the one contracted divergence: both-empty docs (jaccard-1.0
-            # convention) pair under minhash but have no grams to prefix on
-            jac = {(a, b): j for a, b, j in zip(mh["id_a"], mh["id_b"],
-                                                mh["jaccard"])}
-            bad = {p for p in extra if jac[p] < 1.0}
+            # the ONE contracted divergence: docs with EMPTY gram sets (no
+            # words) pair under minhash but have no prefix to collide on.
+            # Verified structurally — a wordless text on both ends — not by
+            # jaccard == 1.0, which would also forgive a recall bug on
+            # exact-duplicate NON-empty docs.
+            extra_ids = {i for p in extra for i in p}
+            hit = docs.map_batches(
+                lambda t: t.filter(pc.is_in(t.column("doc_id"),
+                                            value_set=pa.array(
+                                                sorted(extra_ids)))),
+                batch_format="pyarrow").to_pandas()
+            wordless = {i for i, tx in zip(hit["doc_id"], hit["text"])
+                        if not (tx or "").split()}
+            bad = {p for p in extra if not set(p) <= wordless}
             if bad:
                 raise AssertionError(f"minhash pairs missing from exact join: {sorted(bad)[:5]}")
         exact["in_minhash"] = [p in mh_set for p in zip(exact["id_a"],

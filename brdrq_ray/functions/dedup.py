@@ -494,12 +494,19 @@ def _verify_candidate_pairs(cand, ds, *, id_col: str = "doc_id",
     key_ds = cand.map_batches(pair_keys, batch_format="pyarrow")
 
     # leg choice, two-stage: ids are collectible while 2*n_pairs is under
-    # id_collect_limit (an int64/str array, MBs); TEXTS broadcast only while
-    # the DISTINCT id count is under broadcast_texts_limit — a duplicate-
-    # heavy candidate set (many pairs over few docs) now takes the fast
-    # broadcast leg its pair count used to kick it out of
+    # id_collect_limit (int64 ids; STRING ids can be 100+ bytes each —
+    # URL-keyed crawls — so their pull is capped ~8x lower to keep the
+    # driver transfer byte-comparable); TEXTS broadcast only while the
+    # DISTINCT id count is under broadcast_texts_limit — a duplicate-heavy
+    # candidate set (many pairs over few docs) now takes the fast broadcast
+    # leg its pair count used to kick it out of
+    sch = cand.schema()
+    base = getattr(sch, "base_schema", sch)
+    id_is_str = (isinstance(base, pa.Schema)
+                 and pa.types.is_string(base.field("id_a").type))
+    collect_cap = id_collect_limit // 8 if id_is_str else id_collect_limit
     uniq = None
-    if 2 * n_pairs <= id_collect_limit:
+    if 2 * n_pairs <= collect_cap:
         chunks = []
         for b in key_ds.iter_batches(batch_format="pyarrow"):
             chunks.extend(b.column(id_col).chunks)

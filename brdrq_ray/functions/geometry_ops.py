@@ -166,10 +166,14 @@ def simplify_geometries(ds: ray.data.Dataset, tolerance: float,
     """Douglas-Peucker simplification of every feature at ``tolerance``
     (meters) — the standard egress reduction before shipping geometry to a
     viewer or a coarse-level analysis. Pure per-feature map_batches (no
-    shuffle); vertices are a subset of the input so the snap grid is
-    preserved; ``repair=True`` (default) runs make_valid on simplified
-    polygons because plain DP may self-intersect. Updates bbox columns when
-    present and appends a ``simplify_pts_removed`` audit column."""
+    shuffle); DP output vertices are a subset of the input (snap grid
+    preserved), except that ``repair=True`` (default, make_valid on
+    simplified polygons because plain DP may self-intersect) can INSERT
+    snapped crossing vertices when it splits a bowtie — the
+    ``simplify_pts_removed`` audit column (n_before - n_after) then goes
+    negative for that feature. Updates bbox columns when present
+    (NaN bbox for a feature that degenerates away, matching ingest's
+    empty-geometry convention)."""
     class Simplify:
         def __call__(self, batch: pa.Table) -> pa.Table:
             new_geoms, removed = [], []
@@ -183,8 +187,7 @@ def simplify_geometries(ds: ray.data.Dataset, tolerance: float,
                 n_after = sum(len(r) for rings in parts for r in rings)
                 new_geoms.append(g.pack_geom(kind, parts))
                 removed.append(n_before - n_after)
-                boxes.append(g.geom_bbox(parts) if parts else
-                             (0.0, 0.0, 0.0, 0.0))
+                boxes.append(g.geom_bbox(parts))  # (nan,)*4 when empty
             idx = batch.column_names.index(geom_col)
             out = batch.set_column(idx, geom_col,
                                    pa.array(new_geoms, pa.binary()))

@@ -229,8 +229,9 @@ def upsample(raster: ray.data.Dataset, d: int = 1,
 
     Scale shape: pure map_batches — NO shuffle; bounded 4**d-fold row
     amplification of the compact (cell, value) projection. Exact inverse
-    property: ``downsample(upsample(r, d), d, agg)`` == r for every agg
-    (all 4**d children of a parent carry one identical value)."""
+    property: ``downsample(upsample(r, d), d, agg)`` == r for
+    mean/min/max (all 4**d children carry one identical value); sum and
+    count come back scaled by the 4**d fan-out."""
     def fan_out(t: pa.Table) -> pa.Table:
         cells = t.column("cell").cast(pa.int64()).to_numpy(zero_copy_only=False)
         vals = t.column(value_col).cast(pa.float64()).to_numpy(
@@ -299,15 +300,20 @@ def map_algebra(a: ray.data.Dataset, b: ray.data.Dataset, op: str = "add",
             })
 
         how = "inner" if fill is None else "outer"
-        m = df(0).merge(df(1), on="cell", how=how).sort_values(
+        m = df(0).merge(df(1), on="cell", how=how,
+                        indicator=fill is not None).sort_values(
             "cell", kind="mergesort")
         if m.empty:
             return out_schema.empty_table()
         va = m["v0"].to_numpy(dtype=np.float64)
         vb = m["v1"].to_numpy(dtype=np.float64)
         if fill is not None:
-            va = np.where(np.isnan(va), fill, va)
-            vb = np.where(np.isnan(vb), fill, vb)
+            # substitute fill ONLY where the cell was genuinely absent from
+            # that side (merge indicator) — a present-but-NaN raster value
+            # (upstream nodata / 0-div artifact) must propagate as NaN
+            ind = m["_merge"].to_numpy()
+            va = np.where(ind == "right_only", fill, va)
+            vb = np.where(ind == "left_only", fill, vb)
         return pa.table({"cell": pa.array(m["cell"].to_numpy(), pa.int64()),
                          "value": pa.array(kernel(va, vb), pa.float64())})
 
@@ -343,6 +349,12 @@ def focal_mean(raster: ray.data.Dataset, radius: int = 1,
                              "val": pa.array([], pa.float64()),
                              "is_self": pa.array([], pa.bool_())})
         lv = int(level[0])
+        if not (level == lv).all():
+            # the stencil re-encodes neighbor cells at ONE grid level; a
+            # mixed-level raster (e.g. a forgotten upsample) would silently
+            # smear values across unrelated cells — error instead
+            raise ValueError("focal_mean requires a single-level raster; "
+                             f"saw levels {sorted(set(level.tolist()))}")
         n = 1 << lv
         tgt, src, out_v, selfs = [], [], [], []
         for di, dj in offs:

@@ -352,3 +352,38 @@ def test_upsample_cross_level_algebra(ray_session):
     want = dict(zip(cells.tolist(), (vals + 100.0).tolist()))
     for c, v in want.items():
         assert got[c] == v
+
+
+def test_map_algebra_nan_propagates_with_fill(ray_session):
+    """A present-but-NaN raster value must propagate as NaN under fill
+    semantics; fill applies only to genuinely absent cells (merge
+    indicator, not isnan)."""
+    import ray.data
+    from brdrq_ray.functions.raster import map_algebra
+
+    level = 16
+    _, _, cells, _ = _grid_raster(level, ni=3, nj=1)
+    a = ray.data.from_arrow(pa.table({
+        "cell": pa.array(cells, pa.int64()),
+        "value": pa.array([1.0, np.nan, 3.0], pa.float64())}))
+    b = ray.data.from_arrow(pa.table({
+        "cell": pa.array(cells[:2], pa.int64()),
+        "value": pa.array([10.0, 20.0], pa.float64())}))
+    got = (map_algebra(a, b, "add", fill=0.0).to_pandas()
+           .set_index("cell")["value"])
+    assert got[cells[0]] == 11.0
+    assert np.isnan(got[cells[1]])          # NaN + 20 stays NaN
+    assert got[cells[2]] == 3.0             # absent in b -> fill 0.0
+
+
+def test_focal_mean_rejects_mixed_levels(ray_session):
+    import ray.data
+    from brdrq_ray.functions.raster import focal_mean, upsample
+
+    _, _, cells, vals = _grid_raster(14, ni=3, nj=3)
+    ds = ray.data.from_arrow(pa.table({
+        "cell": pa.array(cells, pa.int64()),
+        "value": pa.array(vals, pa.float64())}))
+    mixed = ds.union(upsample(ds, 1))
+    with pytest.raises(Exception, match="single-level"):
+        focal_mean(mixed.repartition(1), radius=1).count()

@@ -168,3 +168,31 @@ def test_simplify_geometries_operator(ray_session):
     # the actor pool path twice)
     again = simplify_geometries(ray.data.from_arrow(tbl), tolerance=1.0)
     assert again.take_all()[0]["geom"] == row["geom"]
+
+
+def test_simplify_degenerate_feature_gets_nan_bbox(ray_session):
+    """A feature that collapses entirely keeps the codebase's NaN-bbox
+    convention for empty geometries (a (0,0,0,0) bbox would be a phantom
+    point at WORLD_ORIGIN for bbox-window consumers)."""
+    import math
+
+    import ray.data
+
+    from brdrq_ray.functions.geometry_ops import simplify_geometries
+
+    sliver = np.array([[0.0, 0.0], [50.0, 0.001], [50.0, 0.0]])
+    buf = g.pack_geom(g.GEOM_POLYGON, [[g.snap(sliver)]])
+    b0 = g.geom_bbox([[g.snap(sliver)]])
+    tbl = pa.table({
+        "theme_id": pa.array(["s"], pa.string()),
+        "geom": pa.array([buf], pa.binary()),
+        "xmin": pa.array([b0[0]], pa.float64()),
+        "ymin": pa.array([b0[1]], pa.float64()),
+        "xmax": pa.array([b0[2]], pa.float64()),
+        "ymax": pa.array([b0[3]], pa.float64()),
+    })
+    row = simplify_geometries(ray.data.from_arrow(tbl),
+                              tolerance=1.0).take_all()[0]
+    kind, parts = g.unpack_geom(row["geom"])
+    assert parts == []
+    assert all(math.isnan(row[c]) for c in ("xmin", "ymin", "xmax", "ymax"))
