@@ -204,6 +204,82 @@ def simplify_geometries(ds: ray.data.Dataset, tolerance: float,
                           concurrency=actor_pool())
 
 
+# --- CRS reprojection (ingress/egress; geom/crs.py chain) --------------------
+
+def reproject_geometries(ds: ray.data.Dataset, src: str, dst: str,
+                         geom_col: str = "geom") -> ray.data.Dataset:
+    """Reproject every packed geometry from CRS ``src`` to ``dst``
+    (supported pairs: geom/crs._TRANSFORMS — EPSG:31370 <-> EPSG:4326).
+
+    This is an INGRESS/EGRESS operator: the interior of a pipeline runs in
+    one projected meter CRS (the reference mandates it,
+    plugin/brdrq/brdrq_utils.py:1498-1502; tiles.py assumes it), so
+    reproject appears only at the boundary — load WGS84 interchange into
+    the working grid, or ship results back out as lon/lat.
+
+    Scale shape: pure map_batches, nothing shuffles. Per batch, EVERY ring
+    of every geometry is concatenated into ONE (n, 2) coordinate array, the
+    vectorized transform runs once, and the rings are re-sliced from the
+    result — coordinate math never executes per row. Coordinates are
+    emitted RAW (no snap): the 1e-6 snap grid is meaningful in meters only;
+    a caller landing in the meter CRS re-snaps at ingest (parse path).
+    Updates xmin/ymin/xmax/ymax columns when present (recomputed from the
+    transformed rings — axis-aligned boxes do not commute with reprojection,
+    so transforming the old corners would be wrong)."""
+    from ..geom.crs import transform_fn
+
+    fwd = transform_fn(src, dst)
+
+    class Reproject:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bufs = batch.column(geom_col).to_pylist()
+            shapes = []          # (kind, [n_rings per part], [ring lens])
+            chunks = []
+            for buf in bufs:
+                kind, parts = g.unpack_geom(buf)
+                ring_lens = []
+                part_lens = []
+                for rings in parts:
+                    part_lens.append(len(rings))
+                    for ring in rings:
+                        ring_lens.append(len(ring))
+                        chunks.append(ring)
+                shapes.append((kind, part_lens, ring_lens))
+            if chunks:
+                coords = np.concatenate(chunks, axis=0)
+                tx, ty = fwd(coords[:, 0], coords[:, 1])
+                coords = np.column_stack([tx, ty])
+            else:
+                coords = np.empty((0, 2))
+            out_geoms, boxes = [], []
+            off = 0
+            for kind, part_lens, ring_lens in shapes:
+                parts, ri = [], 0
+                for n_rings in part_lens:
+                    rings = []
+                    for _ in range(n_rings):
+                        n = ring_lens[ri]
+                        rings.append(coords[off:off + n])
+                        off += n
+                        ri += 1
+                    parts.append(rings)
+                out_geoms.append(g.pack_geom(kind, parts))
+                boxes.append(g.geom_bbox(parts))
+            idx = batch.column_names.index(geom_col)
+            out = batch.set_column(idx, geom_col,
+                                   pa.array(out_geoms, pa.binary()))
+            for bi, name in enumerate(("xmin", "ymin", "xmax", "ymax")):
+                if name in out.column_names:
+                    out = out.set_column(
+                        out.column_names.index(name), name,
+                        pa.array([b[bi] for b in boxes], pa.float64()))
+            return out
+
+    from .pool import actor_pool
+    return ds.map_batches(Reproject, batch_format="pyarrow",
+                          concurrency=actor_pool())
+
+
 # --- M15: exact union-area (admission guard, distributed) -------------------
 
 def union_area(parsed: ray.data.Dataset, level: int = 13,
