@@ -280,6 +280,58 @@ def reproject_geometries(ds: ray.data.Dataset, src: str, dst: str,
                           concurrency=actor_pool())
 
 
+# --- dissolve by attribute (per-key unary union) -----------------------------
+
+def dissolve_by(ds: ray.data.Dataset, key_col: str,
+                wkt_col: str = "geometry_wkt",
+                id_col: str = "theme_id") -> ray.data.Dataset:
+    """Per-key unary union (the ST_Union ... GROUP BY key verb; the
+    reference dissolves included reference parcels per feature the same way
+    — SURVEY.md D1, brdrq get_reference_union analog — here exposed over an
+    arbitrary attribute key).
+
+    Scale shape: ONE groupby(key) exchange; each reduce group unions its own
+    members with the divide-&-conquer overlay union in CANONICAL id order
+    (run- and partition-invariant float results — union_many's pairing is a
+    pure function of the sorted member list). The skew assumption is the
+    usual dissolve contract: members per key are bounded (a key that owns a
+    whole region should be pre-clipped — union_area holds the distributed
+    clip-to-cell shape for the global case).
+
+    Columns out: <key_col>, geom_wkt (canonical MULTIPOLYGON), area,
+    n_features."""
+    from ..geom.boolean import union_many
+    from ..stages.ingest import parse_geometries
+
+    parsed = ds.map_batches(parse_geometries, batch_format="pyarrow",
+                            fn_kwargs={"wkt_col": wkt_col})
+
+    key_type = pa.string()
+
+    def per_group(grp: pa.Table) -> pa.Table:
+        ids = np.asarray(grp.column(id_col).to_pylist(), dtype="U")
+        order = np.argsort(ids, kind="stable")
+        geoms = grp.column("geom").take(pa.array(order)).to_pylist()
+        parts_list = []
+        for buf in geoms:
+            kind, parts = g.unpack_geom(buf)
+            if kind == g.GEOM_POLYGON and parts:
+                parts_list.append(parts)
+        merged = union_many(parts_list)
+        key = grp.column(key_col)[0].as_py()
+        return pa.table({
+            key_col: pa.array([str(key)], key_type),
+            "geom_wkt": pa.array([g.to_wkt(g.GEOM_POLYGON, merged)],
+                                 pa.string()),
+            "area": pa.array([g.geom_area(g.GEOM_POLYGON, merged)],
+                             pa.float64()),
+            "n_features": pa.array([grp.num_rows], pa.int64()),
+        })
+
+    return parsed.groupby(key_col).map_groups(per_group,
+                                              batch_format="pyarrow")
+
+
 # --- M15: exact union-area (admission guard, distributed) -------------------
 
 def union_area(parsed: ray.data.Dataset, level: int = 13,

@@ -157,6 +157,191 @@ def intersects_semi_join(thematic: ray.data.Dataset, reference: ray.data.Dataset
                                                   batch_format="pyarrow")
 
 
+def intersection_overlay_join(thematic: ray.data.Dataset,
+                              reference: ray.data.Dataset,
+                              cell_level: int | None = None,
+                              hot_threshold: int = 512) -> ray.data.Dataset:
+    """Pairwise intersection overlay (the ST_Intersection join): for every
+    (theme, ref) pair whose geometries overlap with positive area, emit the
+    intersection geometry and its area. This is the semi-join (J1) upgraded
+    to carry the overlap geometry itself — the primitive behind the
+    reference's per-pair intersection slots (SURVEY.md D1/D2: the aligner
+    computes relevant intersections per candidate pair; here it is exposed
+    as a standalone two-dataset operator).
+
+    Scale shape: identical to :func:`intersects_semi_join` — ONE planned
+    co-partition shuffle (owner cell + salted hot cells on the thematic
+    side, cover replication on the reference side), per-group bbox
+    prefilter, exact overlay only on surviving pairs. Each theme row lives
+    in exactly one group, so a pair is tested (and emitted) at most once —
+    no cross-tile dedup pass. Output is deterministic under any input
+    partitioning: group rows are canonically ordered by id on both sides
+    before any float accumulation.
+
+    Columns out: theme_id, ref_id, inter_wkt (canonical MULTIPOLYGON,
+    6-decimal grid), inter_area (m², on the same grid as geom_area
+    everywhere else)."""
+    lt = thematic.map_batches(parse_geometries, batch_format="pyarrow")
+    rt = reference.map_batches(parse_geometries, batch_format="pyarrow")
+    unified = _tag_and_union(lt, rt, 0.0, cell_level, hot_threshold)
+
+    EMPTY = pa.table({"theme_id": pa.array([], pa.string()),
+                      "ref_id": pa.array([], pa.string()),
+                      "inter_wkt": pa.array([], pa.string()),
+                      "inter_area": pa.array([], pa.float64())})
+
+    def per_group(grp: pa.Table) -> pa.Table:
+        from ..geom.boolean import overlay
+        sides = _split_sides(grp)
+        if sides is None:
+            return EMPTY
+        t, r = sides
+        r_cache: dict[int, list] = {}
+        t_out, r_out, w_out, a_out = [], [], [], []
+        for i in range(len(t["ids"])):
+            hits = ((r["xmin"] <= t["xmax"][i]) & (r["xmax"] >= t["xmin"][i])
+                    & (r["ymin"] <= t["ymax"][i]) & (r["ymax"] >= t["ymin"][i]))
+            if not hits.any():
+                continue
+            _, tparts = g.unpack_geom(t["geoms"][i])
+            tid = t["ids"][i]
+            for j in np.nonzero(hits)[0]:  # ref side already id-sorted
+                j = int(j)
+                if j not in r_cache:
+                    r_cache[j] = g.unpack_geom(r["geoms"][j])[1]
+                inter = overlay(tparts, r_cache[j], "intersection")
+                area = g.geom_area(g.GEOM_POLYGON, inter)
+                if area > 0:
+                    t_out.append(tid)
+                    r_out.append(r["ids"][j])
+                    w_out.append(g.to_wkt(g.GEOM_POLYGON, inter))
+                    a_out.append(area)
+        return pa.table({"theme_id": pa.array(t_out, pa.string()),
+                         "ref_id": pa.array(r_out, pa.string()),
+                         "inter_wkt": pa.array(w_out, pa.string()),
+                         "inter_area": pa.array(a_out, pa.float64())})
+
+    return unified.groupby("part_key").map_groups(per_group,
+                                                  batch_format="pyarrow")
+
+
+def point_in_polygon_join(points: ray.data.Dataset,
+                          polygons: ray.data.Dataset,
+                          point_id_col: str = "point_id",
+                          cell_level: int | None = None,
+                          hot_threshold: int = 4096) -> ray.data.Dataset:
+    """Point-in-polygon join (the geocode/tag primitive the north rule names
+    as a first-class component): for every point contained in a polygon,
+    emit (point_id, theme_id). Points inside k overlapping polygons emit k
+    rows; points in none are dropped (inner-join semantics). Containment is
+    the engine's winding rule (points_in_rings != 0); points exactly ON a
+    boundary are implementation-defined, like every other boundary test in
+    the engine (callers needing closed/open semantics offset their points).
+
+    Inputs: ``points`` carries (point_id, x, y) columns — no geometry
+    parsing on the big side; ``polygons`` is the standard thematic WKT
+    contract (theme_id, geometry_wkt).
+
+    Scale shape: the LEVEL comes from the polygon side (replication cost is
+    driven by polygon extents — pick_level over the polygon histogram), the
+    points side never replicates: each point gets exactly ONE owner cell
+    from its own coordinates, so correctness holds at ANY level (point in
+    polygon => point's cell is inside the polygon's bbox cover — no ring
+    expansion needed). Hot cells are salted from the polygon histogram:
+    points split across k sub-keys, polygons replicated k times, so a
+    dense-city cell becomes k bounded groups. Per group the kernel loops
+    over the FEW polygons and runs the vectorized winding test over the
+    MANY bbox-surviving points at once — no per-point Python."""
+    from ..pipelines.autocorrect import plan_tiles
+
+    pg = polygons.map_batches(parse_geometries, batch_format="pyarrow")
+    plan = plan_tiles(pg, max_rd=0.0, cell_level=cell_level,
+                      hot_threshold=hot_threshold)
+
+    def p_side(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False).astype(np.float64)
+        y = b.column("y").to_numpy(zero_copy_only=False).astype(np.float64)
+        cells = tiles.owner_cell(x, y, plan.level)
+        b = b.append_column("cell", pa.array(cells, pa.int64()))
+        b = salt_theme(b, plan.salts, id_col=point_id_col)
+        n = b.num_rows
+        return pa.table({
+            "side": pa.array(["p"] * n),
+            "cell": b.column("cell"), "salt": b.column("salt"),
+            "point_id": b.column(point_id_col).cast(pa.string()),
+            "theme_id": pa.nulls(n, pa.string()),
+            "x": pa.array(x, pa.float64()), "y": pa.array(y, pa.float64()),
+            "geom": pa.nulls(n, pa.binary()),
+            "xmin": pa.nulls(n, pa.float64()), "ymin": pa.nulls(n, pa.float64()),
+            "xmax": pa.nulls(n, pa.float64()), "ymax": pa.nulls(n, pa.float64()),
+        })
+
+    def g_side(b: pa.Table) -> pa.Table:
+        b = explode_cover(b, plan.level, expand=0.0)
+        b = salt_reference(b, plan.salts)
+        n = b.num_rows
+        return pa.table({
+            "side": pa.array(["g"] * n),
+            "cell": b.column("cell"), "salt": b.column("salt"),
+            "point_id": pa.nulls(n, pa.string()),
+            "theme_id": b.column("theme_id").cast(pa.string()),
+            "x": pa.nulls(n, pa.float64()), "y": pa.nulls(n, pa.float64()),
+            "geom": b.column("geom"),
+            "xmin": b.column("xmin"), "ymin": b.column("ymin"),
+            "xmax": b.column("xmax"), "ymax": b.column("ymax"),
+        })
+
+    unified = points.map_batches(p_side, batch_format="pyarrow").union(
+        pg.map_batches(g_side, batch_format="pyarrow")).map_batches(
+            _part_key, batch_format="pyarrow")
+
+    EMPTY = pa.table({"point_id": pa.array([], pa.string()),
+                      "theme_id": pa.array([], pa.string())})
+
+    def per_group(grp: pa.Table) -> pa.Table:
+        side = np.asarray(grp.column("side").to_pylist())
+        pi = np.nonzero(side == "p")[0]
+        gi = np.nonzero(side == "g")[0]
+        if len(pi) == 0 or len(gi) == 0:
+            return EMPTY
+        # canonical order on both sides (run-deterministic output under any
+        # partitioning; float math here is per-point so order only affects
+        # row order, but the contract is uniform across the join family)
+        pid = np.asarray(grp.column("point_id").take(pa.array(pi)).to_pylist(),
+                         dtype="U")
+        order = np.argsort(pid, kind="stable")
+        pi, pid = pi[order], pid[order]
+        gid = np.asarray(grp.column("theme_id").take(pa.array(gi)).to_pylist(),
+                         dtype="U")
+        gi = gi[np.argsort(gid, kind="stable")]
+        px = grp.column("x").to_numpy(zero_copy_only=False)[pi]
+        py = grp.column("y").to_numpy(zero_copy_only=False)[pi]
+        pts = np.column_stack([px, py])
+        geoms = grp.column("geom").take(pa.array(gi)).to_pylist()
+        gids = grp.column("theme_id").take(pa.array(gi)).to_pylist()
+        xmin = grp.column("xmin").to_numpy(zero_copy_only=False)[gi]
+        xmax = grp.column("xmax").to_numpy(zero_copy_only=False)[gi]
+        ymin = grp.column("ymin").to_numpy(zero_copy_only=False)[gi]
+        ymax = grp.column("ymax").to_numpy(zero_copy_only=False)[gi]
+        p_out, g_out = [], []
+        for j in range(len(gids)):
+            m = ((px >= xmin[j]) & (px <= xmax[j])
+                 & (py >= ymin[j]) & (py <= ymax[j]))
+            if not m.any():
+                continue
+            _, parts = g.unpack_geom(geoms[j])
+            inside = g.points_in_polygon(pts[m], parts)
+            if inside.any():
+                hit_ids = pid[m][inside]
+                p_out.extend(hit_ids.tolist())
+                g_out.extend([gids[j]] * len(hit_ids))
+        return pa.table({"point_id": pa.array(p_out, pa.string()),
+                         "theme_id": pa.array(g_out, pa.string())})
+
+    return unified.groupby("part_key").map_groups(per_group,
+                                                  batch_format="pyarrow")
+
+
 def knn_reference_lookup(thematic: ray.data.Dataset, reference: ray.data.Dataset,
                          k: int = 3, max_distance: float = 100.0,
                          cell_level: int | None = None,

@@ -1,0 +1,196 @@
+"""Dataset-level spatial verbs beyond the semi-join: intersection overlay
+join (ST_Intersection), point-in-polygon join (geocode/tag), dissolve-by-key
+(ST_Union GROUP BY). Brute-force oracles + partition invariance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from brdrq_ray.geom import core as g
+from brdrq_ray.geom.boolean import overlay, union_many
+from brdrq_ray.sources import fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def spatial_tables():
+    theme = fx.make_thematic_table(nx=10, ny=10, seed=42, n_features=15)
+    ref = fx.make_reference_table(nx=10, ny=10, seed=42)
+    return theme, ref
+
+
+def test_intersection_overlay_join_vs_bruteforce(ray_session, spatial_tables):
+    import ray.data
+    from brdrq_ray.functions.spatial_join import intersection_overlay_join
+
+    theme, ref = spatial_tables
+    got = intersection_overlay_join(ray.data.from_arrow(theme),
+                                    ray.data.from_arrow(ref)).to_pandas()
+    # pairs unique (each theme lives in ONE group -> no cross-tile dupes)
+    assert not got.duplicated(["theme_id", "ref_id"]).any()
+
+    parcels, _ = fx.make_reference_parts(nx=10, ny=10, seed=42)
+    expect = {}
+    for i in range(theme.num_rows):
+        tid = theme.column("theme_id")[i].as_py()
+        _, tparts = g.parse_wkt(theme.column("geometry_wkt")[i].as_py())
+        _, tparts = g.make_valid(g.GEOM_POLYGON, tparts)
+        for rid, rparts in parcels.items():
+            inter = overlay(tparts, rparts, "intersection")
+            area = g.geom_area(g.GEOM_POLYGON, inter)
+            if area > 0:
+                expect[(tid, rid)] = (g.to_wkt(g.GEOM_POLYGON, inter), area)
+    got_map = {(r.theme_id, r.ref_id): (r.inter_wkt, r.inter_area)
+               for r in got.itertuples()}
+    assert set(got_map) == set(expect)
+    for k, (wkt, area) in expect.items():
+        # bit-stable: the per-group overlay sees the same canonicalized
+        # inputs as the driver-side oracle
+        assert got_map[k][0] == wkt
+        assert got_map[k][1] == area
+    # intersection areas never exceed the theme's own area
+    areas = {theme.column("theme_id")[i].as_py():
+             theme.column("geometry_wkt")[i].as_py()
+             for i in range(theme.num_rows)}
+    for (tid, _rid), (_w, a) in got_map.items():
+        _, tp = g.parse_wkt(areas[tid])
+        assert a <= g.geom_area(g.GEOM_POLYGON, tp) + 1e-6
+
+
+def _pip_fixture():
+    """Overlapping polygons + scattered points with known memberships."""
+    polys = {
+        "A": "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0))",
+        "B": "POLYGON ((20 20, 60 20, 60 60, 20 60, 20 20))",   # overlaps A
+        "C": "POLYGON ((100 100, 140 100, 140 140, 100 140, 100 100))",
+        "D": "POLYGON ((10 10, 30 10, 30 30, 10 30, 10 10))",   # inside A
+    }
+    rng = np.random.default_rng(1234)
+    px = rng.uniform(-20.0, 160.0, 400)
+    py = rng.uniform(-20.0, 160.0, 400)
+    points = pa.table({
+        "point_id": pa.array([f"pt{i:04d}" for i in range(len(px))]),
+        "x": pa.array(px, pa.float64()),
+        "y": pa.array(py, pa.float64()),
+    })
+    polygons = pa.table({
+        "theme_id": pa.array(list(polys), pa.string()),
+        "geometry_wkt": pa.array(list(polys.values()), pa.string()),
+    })
+    parts = {k: g.make_valid(*g.parse_wkt(w))[1] for k, w in polys.items()}
+    expect = set()
+    pts = np.column_stack([px, py])
+    for k, p in parts.items():
+        inside = g.points_in_polygon(pts, p)
+        for i in np.nonzero(inside)[0]:
+            expect.add((f"pt{int(i):04d}", k))
+    return points, polygons, expect
+
+
+def test_point_in_polygon_join_vs_bruteforce(ray_session):
+    import ray.data
+    from brdrq_ray.functions.spatial_join import point_in_polygon_join
+
+    points, polygons, expect = _pip_fixture()
+    got = point_in_polygon_join(ray.data.from_arrow(points),
+                                ray.data.from_arrow(polygons)).to_pandas()
+    got_pairs = set(zip(got["point_id"], got["theme_id"]))
+    assert got_pairs == expect
+    # the fixture guarantees multi-membership (D inside A; A/B overlap):
+    # at least one point matched >1 polygon
+    per_point = got.groupby("point_id").size()
+    assert per_point.max() >= 2
+    # and plenty of points matched none (inner-join semantics)
+    assert got["point_id"].nunique() < points.num_rows
+
+
+def test_point_in_polygon_join_partition_invariance(ray_session):
+    import ray.data
+    from brdrq_ray.functions.spatial_join import point_in_polygon_join
+
+    points, polygons, expect = _pip_fixture()
+    got = point_in_polygon_join(
+        ray.data.from_arrow(points).repartition(7),
+        ray.data.from_arrow(polygons).repartition(3)).to_pandas()
+    assert set(zip(got["point_id"], got["theme_id"])) == expect
+
+
+def test_point_in_polygon_join_forced_fine_level(ray_session):
+    """Polygons replicate to their full bbox cover: correctness holds even
+    at a cell level far finer than the polygons (many cells per polygon)."""
+    import ray.data
+    from brdrq_ray.functions.spatial_join import point_in_polygon_join
+
+    points, polygons, expect = _pip_fixture()
+    got = point_in_polygon_join(ray.data.from_arrow(points),
+                                ray.data.from_arrow(polygons),
+                                cell_level=22).to_pandas()
+    assert set(zip(got["point_id"], got["theme_id"])) == expect
+
+
+def test_dissolve_by_known_unions(ray_session):
+    import ray.data
+    from brdrq_ray.functions.geometry_ops import dissolve_by
+
+    # key "row": two adjacent unit squares -> one 2x1 rectangle (area 2)
+    # key "ovl": two overlapping squares 10x10 shifted 5 -> area 175
+    # key "solo": a lone square (area 100)
+    t = pa.table({
+        "theme_id": pa.array(["a1", "a2", "b1", "b2", "c1"], pa.string()),
+        "zone": pa.array(["row", "row", "ovl", "ovl", "solo"], pa.string()),
+        "geometry_wkt": pa.array([
+            "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+            "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))",
+            "POLYGON ((100 100, 110 100, 110 110, 100 110, 100 100))",
+            "POLYGON ((105 105, 115 105, 115 115, 105 115, 105 105))",
+            "POLYGON ((200 200, 210 200, 210 210, 200 210, 200 200))",
+        ], pa.string()),
+    })
+    out = dissolve_by(ray.data.from_arrow(t), "zone").to_pandas()
+    out = out.set_index("zone")
+    assert len(out) == 3
+    assert out.loc["row", "n_features"] == 2
+    assert out.loc["row", "area"] == pytest.approx(2.0, abs=1e-9)
+    assert out.loc["ovl", "area"] == pytest.approx(175.0, abs=1e-9)
+    assert out.loc["solo", "area"] == pytest.approx(100.0, abs=1e-9)
+    # dissolved geometry parses back to ONE part per key here
+    for z in ("row", "ovl", "solo"):
+        _, parts = g.parse_wkt(out.loc[z, "geom_wkt"])
+        assert len(parts) == 1
+        assert g.geom_area(g.GEOM_POLYGON, parts) == \
+            pytest.approx(out.loc[z, "area"], abs=1e-9)
+
+
+def test_dissolve_by_partition_invariant_and_matches_driver(ray_session,
+                                                            spatial_tables):
+    import ray.data
+    from brdrq_ray.functions.geometry_ops import dissolve_by
+
+    theme, _ = spatial_tables
+    # synthetic key: 3 zones by round-robin over theme_id order
+    ids = theme.column("theme_id").to_pylist()
+    zone = pa.array([f"z{i % 3}" for i in range(len(ids))], pa.string())
+    t = theme.append_column("zone", zone)
+
+    a = dissolve_by(ray.data.from_arrow(t), "zone").to_pandas()
+    b = dissolve_by(ray.data.from_arrow(t).repartition(5),
+                    "zone").to_pandas()
+    a = a.sort_values("zone").reset_index(drop=True)
+    b = b.sort_values("zone").reset_index(drop=True)
+    # bit-identical output under any input partitioning (canonical id-order
+    # union inside each reduce group)
+    assert (a["geom_wkt"] == b["geom_wkt"]).all()
+    assert (a["area"] == b["area"]).all()
+
+    # driver oracle: union_many over the SAME canonical order
+    for _, row in a.iterrows():
+        members = sorted(i for i, z in zip(ids, zone.to_pylist())
+                         if z == row["zone"])
+        parts_list = []
+        for tid in members:
+            w = theme.column("geometry_wkt")[ids.index(tid)].as_py()
+            kind, parts = g.make_valid(*g.parse_wkt(w))
+            if parts:
+                parts_list.append(parts)
+        merged = union_many(parts_list)
+        assert row["geom_wkt"] == g.to_wkt(g.GEOM_POLYGON, merged)
+        assert row["n_features"] == len(members)
