@@ -280,6 +280,111 @@ def reproject_geometries(ds: ray.data.Dataset, src: str, dst: str,
                           concurrency=actor_pool())
 
 
+# --- convex hull (per feature + distributed per key) -------------------------
+
+def convex_hull_geometries(ds: ray.data.Dataset,
+                           geom_col: str = "geom") -> ray.data.Dataset:
+    """Per-feature convex hull over a parsed dataset: ``geom`` is replaced
+    by its hull polygon (ST_ConvexHull per row). Pure map_batches — nothing
+    shuffles; bbox columns are unchanged by construction (the hull has the
+    same coordinate extremes as its input). brdr_area/brdr_perimeter are
+    recomputed when present. Features whose hull is degenerate (point /
+    collinear inputs) become empty polygons — hull-as-polygon semantics,
+    documented rather than silently emitting zero-area rings."""
+    from .pool import actor_pool
+
+    class HullFn:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bufs = batch.column(geom_col).to_pylist()
+            geoms, areas, perims = [], [], []
+            for buf in bufs:
+                _, parts = g.unpack_geom(buf)
+                rings = [r for rr in parts for r in rr]
+                hull = (g.convex_hull(np.vstack(rings)) if rings
+                        else np.empty((0, 2)))
+                hp = [[hull]] if len(hull) >= 3 else []
+                geoms.append(g.pack_geom(g.GEOM_POLYGON, hp))
+                areas.append(g.geom_area(g.GEOM_POLYGON, hp))
+                perims.append(g.geom_perimeter(g.GEOM_POLYGON, hp))
+            out = batch.set_column(batch.column_names.index(geom_col),
+                                   geom_col, pa.array(geoms, pa.binary()))
+            for name, vals in (("brdr_area", areas),
+                               ("brdr_perimeter", perims)):
+                if name in out.column_names:
+                    out = out.set_column(out.column_names.index(name), name,
+                                         pa.array(vals, pa.float64()))
+            return out
+
+    return ds.map_batches(HullFn, batch_format="pyarrow",
+                          concurrency=actor_pool())
+
+
+def convex_hull_by(ds: ray.data.Dataset, key_col: str,
+                   wkt_col: str = "geometry_wkt") -> ray.data.Dataset:
+    """Distributed per-key convex hull (ST_ConvexHull(ST_Collect(...))
+    GROUP BY key) with an exact combiner: each batch pre-hulls its own
+    vertices per key and ships ONLY the partial hull points — a point on a
+    partial hull edge is inside the convex span of its endpoints, so it can
+    never be a global extreme point and dropping it is lossless
+    (hull(hull(A) ∪ hull(B)) == hull(A ∪ B)). The groupby(key) exchange
+    therefore moves O(partial-hull vertices) rows, not O(total vertices) —
+    the combiner-first aggregate shape, applied to geometry.
+
+    Keys whose members are all empty geometries are dropped. Keys whose
+    union is degenerate (all points collinear) emit an EMPTY polygon with
+    area 0. Output: <key_col>, hull_wkt, hull_area, n_features."""
+    from collections import defaultdict
+
+    from ..stages.ingest import parse_geometries
+
+    parsed = ds.map_batches(parse_geometries, batch_format="pyarrow",
+                            fn_kwargs={"wkt_col": wkt_col})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        geoms = batch.column("geom").to_pylist()
+        pts_by: dict = defaultdict(list)
+        cnt: dict = defaultdict(int)
+        for k, buf in zip(keys, geoms):
+            _, parts = g.unpack_geom(buf)
+            cnt[k] += 1
+            for rr in parts:
+                pts_by[k].extend(rr)
+        out_k, out_x, out_y, out_n = [], [], [], []
+        for k in sorted(pts_by, key=str):
+            hull = g.convex_hull(np.vstack(pts_by[k]))
+            out_k.extend([k] * len(hull))
+            out_x.extend(hull[:, 0].tolist())
+            out_y.extend(hull[:, 1].tolist())
+            # feature count rides on the FIRST hull row of each key (the
+            # final fold sums the column, so the rest carry 0)
+            out_n.extend([cnt[k]] + [0] * (len(hull) - 1))
+        return pa.table({key_col: pa.array(out_k, pa.string()),
+                         "x": pa.array(out_x, pa.float64()),
+                         "y": pa.array(out_y, pa.float64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    def per_group(grp: pa.Table) -> pa.Table:
+        pts = np.column_stack([
+            grp.column("x").to_numpy(zero_copy_only=False),
+            grp.column("y").to_numpy(zero_copy_only=False)])
+        hull = g.convex_hull(pts)
+        hp = [[hull]] if len(hull) >= 3 else []
+        key = grp.column(key_col)[0].as_py()
+        import pyarrow.compute as pc
+        return pa.table({
+            key_col: pa.array([str(key)], pa.string()),
+            "hull_wkt": pa.array([g.to_wkt(g.GEOM_POLYGON, hp)], pa.string()),
+            "hull_area": pa.array([g.geom_area(g.GEOM_POLYGON, hp)],
+                                  pa.float64()),
+            "n_features": pa.array([pc.sum(grp.column("n")).as_py()],
+                                   pa.int64()),
+        })
+
+    return (parsed.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col).map_groups(per_group, batch_format="pyarrow"))
+
+
 # --- dissolve by attribute (per-key unary union) -----------------------------
 
 def dissolve_by(ds: ray.data.Dataset, key_col: str,

@@ -777,6 +777,44 @@ def inradius_approx(parts, resolution: float, bbox=None) -> float:
 
 
 # ---------------------------------------------------------------------------
+# convex hull (Andrew monotone chain)
+# ---------------------------------------------------------------------------
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Convex hull of a point set (Andrew's monotone chain) with STRICT
+    turns: the output is exactly the set of extreme points, as an OPEN CCW
+    ring starting at the lexicographically smallest vertex — a canonical,
+    input-order-independent representation (np.unique lexsorts first), which
+    is what makes the distributed combiner exact: a point lying ON a hull
+    edge is inside the convex span of its endpoints, so dropping it in a
+    partial hull can never lose a global extreme point.
+
+    Degenerate inputs pass through: <3 distinct points (or all collinear)
+    return the 1- or 2-point chain. The per-point loop is Python, but every
+    caller bounds the input (polygon vertex lists, or combiner-pre-hulled
+    partials whose size is the partial hull count)."""
+    pts = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+
+    def half(points):
+        h: list = []
+        for p in points:
+            while len(h) >= 2 and (
+                    (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    # all-collinear inputs collapse naturally: strict pops leave the two
+    # chain ends in each half, so the result is the 2-point chain
+    return np.array(lower[:-1] + upper[:-1])
+
+
+# ---------------------------------------------------------------------------
 # Douglas-Peucker simplification
 # ---------------------------------------------------------------------------
 

@@ -127,6 +127,111 @@ def test_point_in_polygon_join_forced_fine_level(ray_session):
     assert set(zip(got["point_id"], got["theme_id"])) == expect
 
 
+def test_convex_hull_kernel_pinned_and_properties():
+    # pinned: square corners + interior/edge points -> exactly the 4 corners,
+    # CCW, starting at the lexicographically smallest vertex
+    pts = np.array([[0, 0], [10, 0], [10, 10], [0, 10],
+                    [5, 5], [3, 7], [5, 0], [0, 5]], dtype=float)
+    hull = g.convex_hull(pts)
+    np.testing.assert_array_equal(
+        hull, np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float))
+    # collinear -> the 2-point chain; singleton passes through
+    np.testing.assert_array_equal(
+        g.convex_hull(np.array([[0, 0], [1, 1], [2, 2], [3, 3]], float)),
+        np.array([[0, 0], [3, 3]], float))
+    assert len(g.convex_hull(np.array([[2, 2], [2, 2]], float))) == 1
+
+    rng = np.random.default_rng(99)
+    for trial in range(30):
+        n = int(rng.integers(3, 60))
+        p = rng.normal(size=(n, 2)) * 50
+        h = g.convex_hull(p)
+        assert len(h) >= 3 or n < 3
+        # CCW + strictly convex
+        closed = np.vstack([h, h[:1]])
+        assert g.ring_signed_area(h) > 0
+        e = np.diff(closed, axis=0)
+        cross = e[:-1, 0] * e[1:, 1] - e[:-1, 1] * e[1:, 0]
+        assert (cross > 0).all()
+        # every input point on or inside every edge half-plane
+        a, b = h, np.roll(h, -1, axis=0)
+        cr = ((b[:, 0] - a[:, 0])[:, None] * (p[:, 1] - a[:, 1][:, None])
+              - (b[:, 1] - a[:, 1])[:, None] * (p[:, 0] - a[:, 0][:, None]))
+        assert (cr >= -1e-9).all()
+        # hull vertices are input points
+        assert all(any(np.array_equal(v, q) for q in p) for v in h)
+        # combiner exactness: hull(hull(A) U hull(B)) == hull(A U B)
+        k = int(rng.integers(1, n))
+        ha, hb = g.convex_hull(p[:k]), g.convex_hull(p[k:])
+        np.testing.assert_array_equal(
+            g.convex_hull(np.vstack([ha, hb])), h)
+
+
+def test_convex_hull_geometries_operator(ray_session, spatial_tables):
+    import ray.data
+    from brdrq_ray.functions.geometry_ops import convex_hull_geometries
+    from brdrq_ray.stages.ingest import parse_geometries
+
+    theme, _ = spatial_tables
+    parsed = ray.data.from_arrow(theme).map_batches(parse_geometries,
+                                                    batch_format="pyarrow")
+    before = {r["theme_id"]: r for r in parsed.take_all()}
+    out = convex_hull_geometries(parsed)
+    for row in out.take_all():
+        src = before[row["theme_id"]]
+        _, sparts = g.unpack_geom(src["geom"])
+        hull = g.convex_hull(np.vstack([r for rr in sparts for r in rr]))
+        _, oparts = g.unpack_geom(row["geom"])
+        np.testing.assert_array_equal(oparts[0][0], hull)
+        # hull area >= source area, bbox untouched
+        assert row["brdr_area"] >= src["brdr_area"] - 1e-9
+        assert row["xmin"] == src["xmin"] and row["ymax"] == src["ymax"]
+
+
+def test_convex_hull_by_distributed(ray_session, spatial_tables):
+    import ray.data
+    from brdrq_ray.functions.geometry_ops import convex_hull_by
+
+    theme, _ = spatial_tables
+    ids = theme.column("theme_id").to_pylist()
+    zone = pa.array([f"z{i % 3}" for i in range(len(ids))], pa.string())
+    t = theme.append_column("zone", zone)
+
+    a = convex_hull_by(ray.data.from_arrow(t), "zone").to_pandas()
+    b = convex_hull_by(ray.data.from_arrow(t).repartition(6),
+                       "zone").to_pandas()
+    a = a.sort_values("zone").reset_index(drop=True)
+    b = b.sort_values("zone").reset_index(drop=True)
+    assert (a["hull_wkt"] == b["hull_wkt"]).all()
+    assert (a["hull_area"] == b["hull_area"]).all()
+    assert (a["n_features"] == b["n_features"]).all()
+
+    # driver oracle: hull over ALL member vertices
+    for _, row in a.iterrows():
+        members = [i for i, z in zip(ids, zone.to_pylist())
+                   if z == row["zone"]]
+        assert row["n_features"] == len(members)
+        vts = []
+        for tid in members:
+            w = theme.column("geometry_wkt")[ids.index(tid)].as_py()
+            _, parts = g.make_valid(*g.parse_wkt(w))
+            vts.extend(r for rr in parts for r in rr)
+        hull = g.convex_hull(np.vstack(vts))
+        assert row["hull_wkt"] == g.to_wkt(g.GEOM_POLYGON, [[hull]])
+        assert row["hull_area"] == g.geom_area(g.GEOM_POLYGON, [[hull]])
+
+    # degenerate key: collinear segments -> EMPTY polygon, area 0
+    deg = pa.table({
+        "theme_id": pa.array(["l1", "l2"], pa.string()),
+        "zone": pa.array(["deg", "deg"], pa.string()),
+        "geometry_wkt": pa.array(["LINESTRING (0 0, 5 5)",
+                                  "LINESTRING (5 5, 9 9)"], pa.string()),
+    })
+    out = convex_hull_by(ray.data.from_arrow(deg), "zone").to_pandas()
+    assert out.loc[0, "hull_wkt"] == "MULTIPOLYGON EMPTY"
+    assert out.loc[0, "hull_area"] == 0.0
+
+
 def test_dissolve_by_known_unions(ray_session):
     import ray.data
     from brdrq_ray.functions.geometry_ops import dissolve_by
