@@ -160,7 +160,9 @@ def intersects_semi_join(thematic: ray.data.Dataset, reference: ray.data.Dataset
 def intersection_overlay_join(thematic: ray.data.Dataset,
                               reference: ray.data.Dataset,
                               cell_level: int | None = None,
-                              hot_threshold: int = 512) -> ray.data.Dataset:
+                              hot_threshold: int = 512,
+                              emit_wkt: bool = True,
+                              emit_source_area: bool = False) -> ray.data.Dataset:
     """Pairwise intersection overlay (the ST_Intersection join): for every
     (theme, ref) pair whose geometries overlap with positive area, emit the
     intersection geometry and its area. This is the semi-join (J1) upgraded
@@ -179,16 +181,24 @@ def intersection_overlay_join(thematic: ray.data.Dataset,
     before any float accumulation.
 
     Columns out: theme_id, ref_id, inter_wkt (canonical MULTIPOLYGON,
-    6-decimal grid), inter_area (m², on the same grid as geom_area
-    everywhere else)."""
+    6-decimal grid; omitted when ``emit_wkt`` is False — consumers that
+    only need areas skip the formatting cost), inter_area (m², on the same
+    grid as geom_area everywhere else), and src_area (the reference
+    feature's FULL area) when ``emit_source_area`` — the denominator
+    areal_interpolate needs, computed here where the parts are already
+    unpacked."""
     lt = thematic.map_batches(parse_geometries, batch_format="pyarrow")
     rt = reference.map_batches(parse_geometries, batch_format="pyarrow")
     unified = _tag_and_union(lt, rt, 0.0, cell_level, hot_threshold)
 
-    EMPTY = pa.table({"theme_id": pa.array([], pa.string()),
-                      "ref_id": pa.array([], pa.string()),
-                      "inter_wkt": pa.array([], pa.string()),
-                      "inter_area": pa.array([], pa.float64())})
+    empty_cols = {"theme_id": pa.array([], pa.string()),
+                  "ref_id": pa.array([], pa.string())}
+    if emit_wkt:
+        empty_cols["inter_wkt"] = pa.array([], pa.string())
+    empty_cols["inter_area"] = pa.array([], pa.float64())
+    if emit_source_area:
+        empty_cols["src_area"] = pa.array([], pa.float64())
+    EMPTY = pa.table(empty_cols)
 
     def per_group(grp: pa.Table) -> pa.Table:
         from ..geom.boolean import overlay
@@ -197,7 +207,8 @@ def intersection_overlay_join(thematic: ray.data.Dataset,
             return EMPTY
         t, r = sides
         r_cache: dict[int, list] = {}
-        t_out, r_out, w_out, a_out = [], [], [], []
+        r_area: dict[int, float] = {}
+        t_out, r_out, w_out, a_out, s_out = [], [], [], [], []
         for i in range(len(t["ids"])):
             hits = ((r["xmin"] <= t["xmax"][i]) & (r["xmax"] >= t["xmin"][i])
                     & (r["ymin"] <= t["ymax"][i]) & (r["ymax"] >= t["ymin"][i]))
@@ -209,20 +220,97 @@ def intersection_overlay_join(thematic: ray.data.Dataset,
                 j = int(j)
                 if j not in r_cache:
                     r_cache[j] = g.unpack_geom(r["geoms"][j])[1]
+                    r_area[j] = g.geom_area(g.GEOM_POLYGON, r_cache[j])
                 inter = overlay(tparts, r_cache[j], "intersection")
                 area = g.geom_area(g.GEOM_POLYGON, inter)
                 if area > 0:
                     t_out.append(tid)
                     r_out.append(r["ids"][j])
-                    w_out.append(g.to_wkt(g.GEOM_POLYGON, inter))
+                    if emit_wkt:
+                        w_out.append(g.to_wkt(g.GEOM_POLYGON, inter))
                     a_out.append(area)
-        return pa.table({"theme_id": pa.array(t_out, pa.string()),
-                         "ref_id": pa.array(r_out, pa.string()),
-                         "inter_wkt": pa.array(w_out, pa.string()),
-                         "inter_area": pa.array(a_out, pa.float64())})
+                    if emit_source_area:
+                        s_out.append(r_area[j])
+        cols = {"theme_id": pa.array(t_out, pa.string()),
+                "ref_id": pa.array(r_out, pa.string())}
+        if emit_wkt:
+            cols["inter_wkt"] = pa.array(w_out, pa.string())
+        cols["inter_area"] = pa.array(a_out, pa.float64())
+        if emit_source_area:
+            cols["src_area"] = pa.array(s_out, pa.float64())
+        return pa.table(cols)
 
     return unified.groupby("part_key").map_groups(per_group,
                                                   batch_format="pyarrow")
+
+
+def areal_interpolate(source: ray.data.Dataset, target: ray.data.Dataset,
+                      value_cols: list[str],
+                      cell_level: int | None = None,
+                      hot_threshold: int = 512) -> ray.data.Dataset:
+    """Area-weighted attribute transfer (areal interpolation — the
+    population-reweighting verb): every source polygon's values are split
+    across the target polygons it intersects, proportional to intersection
+    area share of the SOURCE (w = |src ∩ tgt| / |src|), and each target
+    sums its contributions. Mass is conserved over fully-covered sources:
+    a source wholly inside the target layer contributes exactly its value.
+
+    ``source`` carries (ref_id, geometry_wkt, <value_cols>...); ``target``
+    is the thematic contract (theme_id, geometry_wkt).
+
+    Scale shape: ONE planned co-partition shuffle produces the weight pair
+    table (no WKT formatting — emit_wkt=False), one bounded tagged-union
+    lookup-join shuffle per value column attaches source values to the
+    PAIR table (pairs, never polygons, move), and the final
+    groupby(theme_id) folds contributions in canonical ref_id order —
+    deterministic float sums under any partitioning.
+
+    Columns out: theme_id, one column per value_col (the interpolated
+    sum), covered_area (the sum of pairwise intersection areas — equal to
+    the covered target area when the source layer is a tessellation, the
+    usual case; mutually-overlapping sources count each overlap once per
+    source, like their values do)."""
+    import pyarrow.compute as pc
+
+    from .relational import lookup_join
+
+    pairs = intersection_overlay_join(target, source, cell_level=cell_level,
+                                      hot_threshold=hot_threshold,
+                                      emit_wkt=False, emit_source_area=True)
+
+    def weight(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "w", pc.divide(b.column("inter_area"), b.column("src_area")))
+
+    pairs = pairs.map_batches(weight, batch_format="pyarrow")
+    src_vals = source.select_columns(["ref_id"] + list(value_cols))
+    for v in value_cols:
+        pairs = lookup_join(pairs, src_vals.select_columns(["ref_id", v]),
+                            on="ref_id", value_col=v)
+
+    out_schema = pa.schema(
+        [("theme_id", pa.string())]
+        + [(v, pa.float64()) for v in value_cols]
+        + [("covered_area", pa.float64())])
+
+    def per_target(grp: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(grp.column("ref_id").to_pylist(),
+                                      dtype="U"), kind="stable")
+        take = pa.array(order)
+        w = grp.column("w").take(take).to_numpy(zero_copy_only=False)
+        cols = {"theme_id": pa.array([grp.column("theme_id")[0].as_py()],
+                                     pa.string())}
+        for v in value_cols:
+            vals = grp.column(v).take(take).to_numpy(zero_copy_only=False)
+            vals = np.nan_to_num(vals.astype(np.float64), nan=0.0)
+            cols[v] = pa.array([float((vals * w).sum())], pa.float64())
+        ia = grp.column("inter_area").take(take).to_numpy(
+            zero_copy_only=False)
+        cols["covered_area"] = pa.array([float(ia.sum())], pa.float64())
+        return pa.table(cols, schema=out_schema)
+
+    return pairs.groupby("theme_id").map_groups(per_target,
+                                                batch_format="pyarrow")
 
 
 def point_in_polygon_join(points: ray.data.Dataset,

@@ -127,6 +127,68 @@ def test_point_in_polygon_join_forced_fine_level(ray_session):
     assert set(zip(got["point_id"], got["theme_id"])) == expect
 
 
+def test_areal_interpolate_known_shares(ray_session):
+    import ray.data
+    from brdrq_ray.functions.spatial_join import areal_interpolate
+
+    # source: two 10x10 parcels with population; targets cut them up:
+    #  - t_half covers the left half of s1        -> 0.5 * 100
+    #  - t_all  covers all of s2 and right half of s1 -> 200 + 0.5 * 100
+    #  - t_none covers nothing
+    source = pa.table({
+        "ref_id": pa.array(["s1", "s2"], pa.string()),
+        "geometry_wkt": pa.array([
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+            "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"], pa.string()),
+        "pop": pa.array([100.0, 200.0], pa.float64()),
+        "jobs": pa.array([40.0, 80.0], pa.float64()),
+    })
+    target = pa.table({
+        "theme_id": pa.array(["t_half", "t_all", "t_none"], pa.string()),
+        "geometry_wkt": pa.array([
+            "POLYGON ((0 0, 5 0, 5 10, 0 10, 0 0))",
+            "POLYGON ((5 0, 20 0, 20 10, 5 10, 5 0))",
+            "POLYGON ((100 100, 110 100, 110 110, 100 110, 100 100))"],
+            pa.string()),
+    })
+    out = areal_interpolate(ray.data.from_arrow(source),
+                            ray.data.from_arrow(target),
+                            ["pop", "jobs"]).to_pandas().set_index("theme_id")
+    assert out.loc["t_half", "pop"] == pytest.approx(50.0, abs=1e-9)
+    assert out.loc["t_half", "jobs"] == pytest.approx(20.0, abs=1e-9)
+    assert out.loc["t_all", "pop"] == pytest.approx(250.0, abs=1e-9)
+    assert out.loc["t_all", "jobs"] == pytest.approx(100.0, abs=1e-9)
+    assert "t_none" not in out.index
+    assert out.loc["t_half", "covered_area"] == pytest.approx(50.0, abs=1e-9)
+    # mass conservation: targets tile the sources exactly
+    assert out["pop"].sum() == pytest.approx(300.0, abs=1e-9)
+    assert out["jobs"].sum() == pytest.approx(120.0, abs=1e-9)
+
+
+def test_areal_interpolate_partition_invariance(ray_session, spatial_tables):
+    import ray.data
+    from brdrq_ray.functions.spatial_join import areal_interpolate
+
+    theme, ref = spatial_tables
+    rng = np.random.default_rng(5)
+    vals = pa.array(rng.uniform(10, 1000, ref.num_rows), pa.float64())
+    src = ref.append_column("pop", vals)
+
+    a = areal_interpolate(ray.data.from_arrow(src),
+                          ray.data.from_arrow(theme),
+                          ["pop"]).to_pandas()
+    b = areal_interpolate(ray.data.from_arrow(src).repartition(4),
+                          ray.data.from_arrow(theme).repartition(6),
+                          ["pop"]).to_pandas()
+    a = a.sort_values("theme_id").reset_index(drop=True)
+    b = b.sort_values("theme_id").reset_index(drop=True)
+    # canonical-order folds: bit-identical, not just approximately equal
+    assert (a["pop"].to_numpy() == b["pop"].to_numpy()).all()
+    assert (a["covered_area"].to_numpy() == b["covered_area"].to_numpy()).all()
+    # every interpolated value within the global bounds
+    assert (a["pop"] >= 0).all()
+
+
 def test_convex_hull_kernel_pinned_and_properties():
     # pinned: square corners + interior/edge points -> exactly the 4 corners,
     # CCW, starting at the lexicographically smallest vertex
