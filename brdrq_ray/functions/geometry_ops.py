@@ -204,6 +204,42 @@ def simplify_geometries(ds: ray.data.Dataset, tolerance: float,
                           concurrency=actor_pool())
 
 
+def hausdorff_pairs(ds: ray.data.Dataset, col_a: str, col_b: str,
+                    out_col: str = "hausdorff", densify: float = 0.0,
+                    directed: bool = False) -> ray.data.Dataset:
+    """Per-row Hausdorff distance between two geometry columns — the
+    worst-point audit of an alignment run (e.g. result_geom vs the original
+    geometry re-attached via lookup_join), complementing the reference's
+    area-based diff metrics (geom/metrics.py module docstring for the exact
+    semantics). Columns may hold packed geometry blobs (binary) or WKT
+    (string) — sniffed per column from the Arrow type. Pure per-feature
+    map_batches, NO shuffle; ``directed=True`` computes h(a -> b) only.
+    Empty geometries yield NaN."""
+    from ..geom import metrics as gm
+
+    def _decode(col):
+        vals = col.to_pylist()
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            return [g.unpack_geom(v) if v is not None else (g.GEOM_POLYGON, [])
+                    for v in vals]
+        return [g.parse_wkt(v) if v else (g.GEOM_POLYGON, []) for v in vals]
+
+    class Hausdorff:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ga = _decode(batch.column(col_a).combine_chunks())
+            gb = _decode(batch.column(col_b).combine_chunks())
+            fn = (gm.directed_hausdorff if directed
+                  else gm.hausdorff_distance)
+            vals = [fn(ka, pa_, kb, pb_, densify)
+                    for (ka, pa_), (kb, pb_) in zip(ga, gb)]
+            return batch.append_column(out_col,
+                                       pa.array(vals, pa.float64()))
+
+    from .pool import actor_pool
+    return ds.map_batches(Hausdorff, batch_format="pyarrow",
+                          concurrency=actor_pool())
+
+
 # --- CRS reprojection (ingress/egress; geom/crs.py chain) --------------------
 
 def reproject_geometries(ds: ray.data.Dataset, src: str, dst: str,
