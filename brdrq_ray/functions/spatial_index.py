@@ -1,0 +1,240 @@
+"""Persistent cell-partitioned spatial index: build once, probe many.
+
+The join family (functions/spatial_join.py) re-tiles the reference on every
+run — right for one-shot batch jobs, wrong for the interactive shape the
+reference plugin actually serves (a user aligns a handful of features at a
+time against the SAME national parcel table, reference fetching per request:
+GRBActualLoader bbox download, plugin/brdrq/brdrq_utils.py:640-702). This is
+the spatial analog of the IVF inverted file (similarity.py::ivf_build):
+
+- **build** — ONE streaming pass: parse, derive the tile level from the
+  bbox histogram (plan_tiles with rd=0) unless given, explode every feature
+  to its bbox-cover SHARDS and MATERIALIZE as parquet partitioned by
+  ``shard``. A shard is the parent cell ``shard_depth`` levels above the
+  index level (default 3 -> 64 index cells per shard): hive dirs stay
+  bounded per write task (pyarrow caps 1024 partitions/fragment) and a
+  feature spanning k shards is stored k times — NOT k-cells times — so
+  cover replication is cheaper than per-cell dirs too. The (level,
+  shard_depth) pair is persisted in ``_meta.json``.
+- **probe** — queries are a driver-sized WKT dict (the interactive
+  contract, like ivf_probe's query matrix). Only the shards covering the
+  queries' bboxes are read — I/O proportional to the touched area (at
+  shard granularity), never a corpus scan — then one actor-pool pass
+  bbox-prefilters and runs the EXACT intersection test per
+  (query, candidate), and the driver dedupes shard-replicated pairs.
+  Output matches intersects_semi_join on the same inputs.
+
+Incremental growth: appends are new files under existing/new shard
+directories (``spatial_index_append``) — no rebuild, same contract as the
+persisted MinHash band index.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .. import tiles
+from ..geom import core as g
+from ..stages.ingest import parse_geometries
+from .pool import actor_pool
+
+_META = "_meta.json"
+
+
+def _shards_of_cells(cells: np.ndarray, shard_depth: int) -> np.ndarray:
+    if shard_depth <= 0:
+        return np.asarray(cells, np.int64)
+    return tiles.parent_cells(cells, shard_depth)
+
+
+def _explode_to_shards(level: int, shard_depth: int, id_col: str):
+    shard_level = level - shard_depth
+
+    def fn(b: pa.Table) -> pa.Table:
+        xmin = b.column("xmin").to_numpy(zero_copy_only=False)
+        ymin = b.column("ymin").to_numpy(zero_copy_only=False)
+        xmax = b.column("xmax").to_numpy(zero_copy_only=False)
+        ymax = b.column("ymax").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(xmin)  # empty geometries index nowhere
+        # cover directly at the SHARD level: one row per (feature, shard)
+        rows, shards = tiles.cover_bboxes(np.where(ok, xmin, 0.0),
+                                          np.where(ok, ymin, 0.0),
+                                          np.where(ok, xmax, 0.0),
+                                          np.where(ok, ymax, 0.0),
+                                          shard_level)
+        keep = ok[rows]
+        rows, shards = rows[keep], shards[keep]
+        idx = pa.array(rows, pa.int64())
+        return pa.table({
+            "ref_id": b.column(id_col).cast(pa.string()).take(idx),
+            "geom": b.column("geom").take(idx),
+            "xmin": b.column("xmin").take(idx),
+            "ymin": b.column("ymin").take(idx),
+            "xmax": b.column("xmax").take(idx),
+            "ymax": b.column("ymax").take(idx),
+            "shard": pa.array(shards, pa.int64()),
+        })
+    return fn
+
+
+def spatial_index_build(reference: ray.data.Dataset,
+                        index_dir: str | None = None,
+                        level: int | None = None,
+                        shard_depth: int = 3,
+                        id_col: str = "ref_id",
+                        wkt_col: str = "geometry_wkt") -> dict:
+    """Materialize the index; returns the probe handle
+    {'index_dir', 'level', 'shard_depth'}. ``level=None`` derives it from
+    the feature-size histogram (coarse enough that no feature spans many
+    cells); ``shard_depth`` trades probe granularity (deeper = coarser
+    reads) against directory count and replication."""
+    import shutil
+
+    if index_dir is None:
+        import tempfile
+        index_dir = tempfile.mkdtemp(prefix="brdrq_sidx_", dir="/tmp")
+    elif os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+
+    parsed = reference.map_batches(parse_geometries, batch_format="pyarrow",
+                                   fn_kwargs={"wkt_col": wkt_col})
+    if level is None:
+        from ..pipelines.autocorrect import plan_tiles
+        level = plan_tiles(parsed, max_rd=0.0).level
+    level = int(level)
+    shard_depth = int(min(shard_depth, level))
+
+    (parsed.map_batches(_explode_to_shards(level, shard_depth, id_col),
+                        batch_format="pyarrow")
+           .write_parquet(index_dir, partition_cols=["shard"]))
+    os.makedirs(index_dir, exist_ok=True)  # empty input writes nothing
+    with open(os.path.join(index_dir, _META), "w") as f:
+        json.dump({"level": level, "shard_depth": shard_depth}, f)
+    return {"index_dir": index_dir, "level": level,
+            "shard_depth": shard_depth}
+
+
+def spatial_index_load(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, _META)) as f:
+        meta = json.load(f)
+    return {"index_dir": index_dir, "level": int(meta["level"]),
+            "shard_depth": int(meta["shard_depth"])}
+
+
+def spatial_index_append(index: dict, reference: ray.data.Dataset,
+                         id_col: str = "ref_id",
+                         wkt_col: str = "geometry_wkt") -> dict:
+    """Add features to an existing index at ITS layout — appends are new
+    parquet files under the shard directories, no rebuild, no rewrite."""
+    parsed = reference.map_batches(parse_geometries, batch_format="pyarrow",
+                                   fn_kwargs={"wkt_col": wkt_col})
+    (parsed.map_batches(_explode_to_shards(index["level"],
+                                           index["shard_depth"], id_col),
+                        batch_format="pyarrow")
+           .write_parquet(index["index_dir"], partition_cols=["shard"]))
+    return index
+
+
+def _shard_files(index_dir: str, shards) -> list[str]:
+    files: list[str] = []
+    for c in sorted(set(int(x) for x in shards)):
+        files.extend(sorted(glob.glob(f"{index_dir}/shard={c}/*.parquet")))
+    return files
+
+
+def spatial_index_probe(index: dict, queries: dict[str, str],
+                        buffer_m: float = 0.0) -> pd.DataFrame:
+    """(query_id, ref_id) pairs whose exact intersection is non-empty, for a
+    driver-sized {query_id: wkt} dict. ``buffer_m`` expands the query bbox
+    prefilter and shard cover (the reference buffers by 1.01*rd before
+    extractbylocation; the final test stays the exact unbuffered
+    intersection). Reads ONLY the queries' cover-shard partitions."""
+    shard_level = index["level"] - index["shard_depth"]
+    qids = sorted(queries)
+    q_packed: dict[str, bytes] = {}
+    q_bbox: dict[str, tuple] = {}
+    q_shards: dict[str, np.ndarray] = {}
+    for qid in qids:
+        kind, parts = g.parse_wkt(queries[qid])
+        kind, parts = g.make_valid(kind, parts)
+        q_packed[qid] = g.pack_geom(kind, parts)
+        bb = g.geom_bbox(parts)
+        q_bbox[qid] = bb
+        if np.isnan(bb[0]):
+            q_shards[qid] = np.array([], np.int64)
+        else:
+            q_shards[qid] = tiles.cover_bbox(bb[0], bb[1], bb[2], bb[3],
+                                             shard_level, expand=buffer_m)
+    needed = sorted({int(c) for cells in q_shards.values() for c in cells})
+    files = _shard_files(index["index_dir"], needed)
+    if not files:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=str),
+                             "ref_id": pd.Series([], dtype=str)})
+
+    # shard -> query ids probing it (shipped once in the actor closure)
+    shard_queries: dict[int, list[str]] = {}
+    for qid in qids:
+        for c in q_shards[qid].tolist():
+            shard_queries.setdefault(int(c), []).append(qid)
+    q_blob = ray.put((q_packed, q_bbox))
+
+    class ProbeStage:
+        def __init__(self):
+            packed, bbox = ray.get(q_blob)
+            self.geoms = {qid: g.unpack_geom(buf)[1]
+                          for qid, buf in packed.items()}
+            self.bbox = bbox
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..geom.boolean import overlay
+            shards = batch.column("shard").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            ids = np.asarray(batch.column("ref_id").to_pylist(), dtype=object)
+            geoms = batch.column("geom").to_pylist()
+            xmin = batch.column("xmin").to_numpy(zero_copy_only=False)
+            ymin = batch.column("ymin").to_numpy(zero_copy_only=False)
+            xmax = batch.column("xmax").to_numpy(zero_copy_only=False)
+            ymax = batch.column("ymax").to_numpy(zero_copy_only=False)
+            out_q, out_r = [], []
+            seen_local: set[tuple] = set()  # a ref can sit in 2+ shards
+            for c in np.unique(shards):
+                for qid in shard_queries.get(int(c), ()):
+                    bb = self.bbox[qid]
+                    rows = np.nonzero(
+                        (shards == c)
+                        & (xmin <= bb[2] + buffer_m)
+                        & (xmax >= bb[0] - buffer_m)
+                        & (ymin <= bb[3] + buffer_m)
+                        & (ymax >= bb[1] - buffer_m))[0]
+                    qparts = self.geoms[qid]
+                    for i in rows:
+                        key = (qid, ids[i])
+                        if key in seen_local:
+                            continue
+                        seen_local.add(key)
+                        inter = overlay(qparts, g.unpack_geom(geoms[i])[1],
+                                        "intersection")
+                        if g.geom_area(g.GEOM_POLYGON, inter) > 0:
+                            out_q.append(qid)
+                            out_r.append(ids[i])
+            return pa.table({"query_id": pa.array(out_q, pa.string()),
+                             "ref_id": pa.array(out_r, pa.string())})
+
+    df = (ray.data.read_parquet(files)
+          .map_batches(ProbeStage, batch_format="pyarrow",
+                       concurrency=actor_pool())
+          .to_pandas())
+    # cross-batch/shard dedupe of replicated pairs; deterministic order
+    df = (df.drop_duplicates(["query_id", "ref_id"])
+            .sort_values(["query_id", "ref_id"])
+            .reset_index(drop=True))
+    return df
