@@ -300,6 +300,55 @@ def run_queries() -> dict:
         return out_docs
 
     qs["media_dedup_perceptual"] = _media_dedup_perceptual
+
+    def _bm25(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.search import bm25_search
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return bm25_search(docs, {"q1": "hash join merge sort",
+                                  "q2": "customer query window stream",
+                                  "q3": "vector scan filter"}, k=10)
+
+    def _dbscan(sf_dir: str):
+        # deterministic synthetic point cloud: 5k ten-member clusters +
+        # uniform noise (~60k points) over a 4 km window
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from brdrq_ray.functions.spatial_cluster import dbscan_points
+        rng = np.random.default_rng(42)
+        centers = rng.random((5000, 2)) * 4000 + 100000
+        pts = (centers[:, None, :]
+               + rng.normal(0, 1.0, (5000, 10, 2))).reshape(-1, 2)
+        noise = rng.random((10000, 2)) * 4000 + 100000
+        xy = np.vstack([pts, noise])
+        t = pa.table({"point_id": pa.array([f"p{i:06d}"
+                                            for i in range(len(xy))]),
+                      "x": pa.array(xy[:, 0]), "y": pa.array(xy[:, 1])})
+        return dbscan_points(ray.data.from_arrow(t), eps=1.5, min_pts=4,
+                             include_noise=False)
+
+    def _spatial_index(sf_dir: str):
+        # build over the bench reference tessellation, probe 8 features
+        import ray.data
+        from brdrq_ray.functions.spatial_index import (spatial_index_build,
+                                                       spatial_index_probe)
+        from brdrq_ray.sources import fixtures as fx
+        fdir = _bench_fixture_dir()
+        idx = spatial_index_build(
+            ray.data.read_parquet(f"{fdir}/reference.parquet"),
+            index_dir="/tmp/brdrq_bench/sidx")
+        theme = fx.make_thematic_table(nx=BENCH_GRID, ny=BENCH_GRID, seed=7,
+                                       n_features=8)
+        queries = {theme.column("theme_id")[i].as_py():
+                   theme.column("geometry_wkt")[i].as_py()
+                   for i in range(theme.num_rows)}
+        return spatial_index_probe(idx, queries)
+
+    qs["bm25_search"] = _bm25
+    qs["dbscan"] = _dbscan
+    qs["spatial_index"] = _spatial_index
     names = ["metrics_agg", "grouped_topk", "hash_join", "hash_join_broadcast",
              "asof_join",
              "exact_dedup_documents", "token_count", "knn_top5", "minhash_pairs",
@@ -307,7 +356,8 @@ def run_queries() -> dict:
              "curation_e2e", "semantic_dedup", "bpe_train_encode",
              "dsir_resample", "media_dedup", "media_dedup_perceptual", "pq_knn",
              "align_predict", "align_evaluate", "autoupdate", "spatial_semi_join",
-             "semi_anti_join", "correction", "media_decode"]
+             "semi_anti_join", "correction", "media_decode",
+             "bm25_search", "dbscan", "spatial_index"]
     reps = max(1, int(os.environ.get("BRDRQ_QUERY_REPS", "2")))
     out = {}
     for name in names:

@@ -76,9 +76,16 @@ _PAIR_SCHEMA = pa.schema([("id_a", pa.string()), ("id_b", pa.string())])
 
 
 def _pair_rows(points: ray.data.Dataset, eps: float, level: int,
-               point_id_col: str, x_col: str, y_col: str) -> ray.data.Dataset:
+               point_id_col: str, x_col: str, y_col: str,
+               n_buckets: int = 256) -> ray.data.Dataset:
     """(id_a, id_b) rows for every unordered point pair within eps,
-    id_a < id_b, each pair emitted exactly once."""
+    id_a < id_b, each pair emitted exactly once.
+
+    The shuffle key is a HASH BUCKET of the cell, not the cell itself: point
+    clouds occupy ~one cell per few points, and per-cell map_groups would
+    pay one Python task per occupied cell (tens of thousands of tiny
+    groups). One group per bucket, cells iterated inside via a sorted-span
+    sweep — the repo's standard many-small-keys shape."""
     n_side = 1 << level
     eps2 = float(eps) * float(eps)
 
@@ -106,7 +113,11 @@ def _pair_rows(points: ray.data.Dataset, eps: float, level: int,
         cell = np.concatenate(out_cell)
         idx = np.concatenate(out_idx)
         role = np.concatenate(out_role)
+        from .vhash import splitmix64
+        bucket = (splitmix64(cell.astype(np.uint64))
+                  % np.uint64(n_buckets)).astype(np.int32)
         return pa.table({
+            "bucket": pa.array(bucket, pa.int32()),
             "cell": pa.array(cell, pa.int64()),
             "role": pa.array(role, pa.int8()),
             "pid": ids.take(pa.array(idx)),
@@ -114,22 +125,16 @@ def _pair_rows(points: ray.data.Dataset, eps: float, level: int,
             "y": pa.array(y[idx], pa.float64()),
         })
 
-    def per_cell(grp: pa.Table) -> pa.Table:
-        role = grp.column("role").to_numpy(zero_copy_only=False)
+    def _cell_pairs(pid, xs, ys, role, a_out, b_out):
         hi = np.nonzero(role == 0)[0]
         if len(hi) == 0:
-            return _PAIR_SCHEMA.empty_table()
-        pid = np.asarray(grp.column("pid").to_pylist(), dtype="U")
-        xs = grp.column("x").to_numpy(zero_copy_only=False)
-        ys = grp.column("y").to_numpy(zero_copy_only=False)
+            return
         # canonical id order on both sides: home x home upper triangle then
         # emits id_a < id_b directly, and output row order is deterministic
         h = hi[np.argsort(pid[hi], kind="stable")]
         gi = np.nonzero(role == 1)[0]
         g = gi[np.argsort(pid[gi], kind="stable")]
         hx, hy, hid = xs[h], ys[h], pid[h]
-        a_out: list[np.ndarray] = []
-        b_out: list[np.ndarray] = []
         for s, e in chunk_spans(len(h), len(h)):
             d2 = ((hx[s:e, None] - hx[None, :]) ** 2
                   + (hy[s:e, None] - hy[None, :]) ** 2)
@@ -147,10 +152,26 @@ def _pair_rows(points: ray.data.Dataset, eps: float, level: int,
                 if len(ii):
                     ha, gb = hid[ii + s], gid_[jj]
                     a_first = ha < gb  # np.minimum has no unicode loop
-                    lo = np.where(a_first, ha, gb)
-                    hi_ = np.where(a_first, gb, ha)
-                    a_out.append(lo)
-                    b_out.append(hi_)
+                    a_out.append(np.where(a_first, ha, gb))
+                    b_out.append(np.where(a_first, gb, ha))
+
+    def per_bucket(grp: pa.Table) -> pa.Table:
+        cells = grp.column("cell").to_numpy(zero_copy_only=False)
+        role = grp.column("role").to_numpy(zero_copy_only=False)
+        pid = np.asarray(grp.column("pid").to_pylist(), dtype="U")
+        xs = grp.column("x").to_numpy(zero_copy_only=False)
+        ys = grp.column("y").to_numpy(zero_copy_only=False)
+        order = np.argsort(cells, kind="stable")
+        cells = cells[order]
+        starts = np.nonzero(np.diff(cells, prepend=cells[0] - 1))[0] \
+            if len(cells) else np.array([], np.int64)
+        bounds = np.append(starts, len(cells))
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        for k in range(len(starts)):
+            span = order[bounds[k]:bounds[k + 1]]
+            _cell_pairs(pid[span], xs[span], ys[span], role[span],
+                        a_out, b_out)
         if not a_out:
             return _PAIR_SCHEMA.empty_table()
         return pa.table({"id_a": pa.array(np.concatenate(a_out)),
@@ -158,7 +179,8 @@ def _pair_rows(points: ray.data.Dataset, eps: float, level: int,
                         schema=_PAIR_SCHEMA)
 
     fanned = points.map_batches(fan_out, batch_format="pyarrow")
-    return fanned.groupby("cell").map_groups(per_cell, batch_format="pyarrow")
+    return fanned.groupby("bucket").map_groups(per_bucket,
+                                               batch_format="pyarrow")
 
 
 def _degrees(pairs: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Dataset:
@@ -208,21 +230,28 @@ def dbscan_points(points: ray.data.Dataset, eps: float, min_pts: int,
     pairs = _pair_rows(points, eps, lvl, point_id_col, x_col, y_col)
     pairs = pairs.materialize()  # consumed by degrees + 2 flag joins + border
 
-    degrees = _degrees(pairs)
+    if min_pts == 1:
+        # every point is core (it counts itself) — no degree pass needed to
+        # decide coreness; isolated points become singleton clusters
+        cores = ids_only.map_batches(
+            lambda b: b.append_column(
+                "core", pa.array(np.ones(b.num_rows, np.int8))),
+            batch_format="pyarrow").materialize()
+    else:
+        # min_pts >= 2: a core point has >= 1 neighbor, so the degree table
+        # (points appearing in pairs) already contains every candidate —
+        # no join back against the full point set
+        degrees = _degrees(pairs)
 
-    # core flag per point (isolated points get nbrs=0 via the null fill, so
-    # min_pts=1 correctly makes EVERY point a singleton-or-better core)
-    with_deg = lookup_join(ids_only, degrees, on="point_id",
-                           value_col="nbrs")
+        def core_filter(b: pa.Table) -> pa.Table:
+            kept = b.filter(pc.greater_equal(
+                pc.add(b.column("nbrs"), 1), min_pts))
+            return pa.table({"point_id": kept.column("point_id"),
+                             "core": pa.array(
+                                 np.ones(kept.num_rows, np.int8))})
 
-    def core_filter(b: pa.Table) -> pa.Table:
-        nbrs = pc.fill_null(b.column("nbrs"), 0)
-        kept = b.filter(pc.greater_equal(pc.add(nbrs, 1), min_pts))
-        return pa.table({"point_id": kept.column("point_id"),
-                         "core": pa.array(np.ones(kept.num_rows, np.int8))})
-
-    cores = with_deg.map_batches(core_filter,
-                                 batch_format="pyarrow").materialize()
+        cores = degrees.map_batches(core_filter,
+                                    batch_format="pyarrow").materialize()
 
     def _as(name):
         return lambda b: b.rename_columns([name, "core"])
