@@ -642,12 +642,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return range_join_events(sf_dir, 30)
 
     def spatial_semi_join(sf_dir: str):
+        # COMPOSITE cross-check (the hash_join pattern): the tiled one-shot
+        # semi-join and the persistent sharded spatial index must produce
+        # the identical pair set; the driver-facing rows are unchanged
+        import pyarrow.parquet as pq
         import ray.data
+        from brdrq_ray.functions.spatial_index import (spatial_index_build,
+                                                       spatial_index_probe)
         from brdrq_ray.functions.spatial_join import intersects_semi_join
         fdir = _fixture_dir(sf_dir)
-        return intersects_semi_join(
+        join = intersects_semi_join(
             ray.data.read_parquet(f"{fdir}/thematic.parquet"),
+            ray.data.read_parquet(f"{fdir}/reference.parquet")).materialize()
+        theme = pq.read_table(f"{fdir}/thematic.parquet",
+                              columns=["theme_id", "geometry_wkt"])
+        queries = dict(zip(theme.column("theme_id").to_pylist(),
+                           theme.column("geometry_wkt").to_pylist()))
+        idx = spatial_index_build(
             ray.data.read_parquet(f"{fdir}/reference.parquet"))
+        probe = spatial_index_probe(idx, queries)
+        a = set(zip(*[join.to_pandas()[c] for c in ("theme_id", "ref_id")]))
+        b = set(zip(probe["query_id"], probe["ref_id"]))
+        if a != b:
+            raise AssertionError(
+                f"spatial index probe disagrees with the tiled semi-join: "
+                f"only-join={sorted(a - b)[:5]} only-index={sorted(b - a)[:5]}")
+        return join
 
     def knn_reference(sf_dir: str):
         import ray.data
