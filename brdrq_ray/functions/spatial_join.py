@@ -430,6 +430,60 @@ def point_in_polygon_join(points: ray.data.Dataset,
                                                   batch_format="pyarrow")
 
 
+def dwithin_join(thematic: ray.data.Dataset, reference: ray.data.Dataset,
+                 distance: float, cell_level: int | None = None,
+                 hot_threshold: int = 512) -> ray.data.Dataset:
+    """ST_DWithin join: (theme_id, ref_id, distance) for every pair whose
+    exact set distance is <= ``distance`` (polygons are AREAS: containment
+    and overlap are distance 0; geom/metrics.py::geom_distance). Same
+    planned one-shuffle co-partition as intersects_semi_join, with the
+    reference replicated to cover+ring at a level sized for ``distance``
+    (reach drives pick_level, so every candidate within reach shares the
+    theme's group); hot cells salted. Per group: bbox prefilter expanded by
+    ``distance``, then the exact kernel per surviving pair in canonical
+    (theme_id, ref_id) order — deterministic under any partitioning."""
+    from ..geom import metrics as gm
+
+    lt = thematic.map_batches(parse_geometries, batch_format="pyarrow")
+    rt = reference.map_batches(parse_geometries, batch_format="pyarrow")
+    unified = _tag_and_union(lt, rt, distance, cell_level, hot_threshold)
+
+    EMPTY = pa.table({"theme_id": pa.array([], pa.string()),
+                      "ref_id": pa.array([], pa.string()),
+                      "distance": pa.array([], pa.float64())})
+
+    def per_group(grp: pa.Table) -> pa.Table:
+        sides = _split_sides(grp)
+        if sides is None:
+            return EMPTY
+        t, r = sides
+        r_cache: dict[int, tuple] = {}
+        t_out, r_out, d_out = [], [], []
+        for i in range(len(t["ids"])):
+            x0, x1 = t["xmin"][i] - distance, t["xmax"][i] + distance
+            y0, y1 = t["ymin"][i] - distance, t["ymax"][i] + distance
+            hits = ((r["xmin"] <= x1) & (r["xmax"] >= x0)
+                    & (r["ymin"] <= y1) & (r["ymax"] >= y0))
+            if not hits.any():
+                continue
+            tk, tparts = g.unpack_geom(t["geoms"][i])
+            for j in np.nonzero(hits)[0]:
+                if j not in r_cache:
+                    r_cache[j] = g.unpack_geom(r["geoms"][j])
+                rk, rparts = r_cache[j]
+                d = gm.geom_distance(tk, tparts, rk, rparts)
+                if d <= distance:
+                    t_out.append(t["ids"][i])
+                    r_out.append(r["ids"][j])
+                    d_out.append(d)
+        return pa.table({"theme_id": pa.array(t_out, pa.string()),
+                         "ref_id": pa.array(r_out, pa.string()),
+                         "distance": pa.array(d_out, pa.float64())})
+
+    return unified.groupby("part_key").map_groups(per_group,
+                                                  batch_format="pyarrow")
+
+
 def knn_reference_lookup(thematic: ray.data.Dataset, reference: ray.data.Dataset,
                          k: int = 3, max_distance: float = 100.0,
                          cell_level: int | None = None,

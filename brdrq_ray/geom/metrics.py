@@ -96,3 +96,84 @@ def hausdorff_distance(kind_a: int, parts_a, kind_b: int, parts_b,
     """Symmetric Hausdorff: max of the two directed distances."""
     return max(directed_hausdorff(kind_a, parts_a, kind_b, parts_b, densify),
                directed_hausdorff(kind_b, parts_b, kind_a, parts_a, densify))
+
+
+def _any_proper_crossing(a1: np.ndarray, a2: np.ndarray,
+                         b1: np.ndarray, b2: np.ndarray) -> bool:
+    """True when any segment of A properly crosses any segment of B
+    (interior x interior). Touch/collinear-overlap cases are NOT detected
+    here — they have a zero vertex-to-segment distance and are caught by
+    the distance minimum instead. Chunked pairwise orientation tests."""
+    if len(a1) == 0 or len(b1) == 0:
+        return False
+
+    def _ccw(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    for s, e in g.chunk_spans(len(a1), len(b1), budget=1_000_000):
+        p1, p2 = a1[s:e], a2[s:e]
+        d1 = _ccw(p1[:, None, 0], p1[:, None, 1], p2[:, None, 0],
+                  p2[:, None, 1], b1[None, :, 0], b1[None, :, 1])
+        d2 = _ccw(p1[:, None, 0], p1[:, None, 1], p2[:, None, 0],
+                  p2[:, None, 1], b2[None, :, 0], b2[None, :, 1])
+        d3 = _ccw(b1[None, :, 0], b1[None, :, 1], b2[None, :, 0],
+                  b2[None, :, 1], p1[:, None, 0], p1[:, None, 1])
+        d4 = _ccw(b1[None, :, 0], b1[None, :, 1], b2[None, :, 0],
+                  b2[None, :, 1], p2[:, None, 0], p2[:, None, 1])
+        if np.any((d1 * d2 < 0) & (d3 * d4 < 0)):
+            return True
+    return False
+
+
+def boundary_distance(kind_a: int, parts_a, kind_b: int, parts_b) -> float:
+    """Exact min distance between the two BOUNDARIES (point sets for point
+    geometries): min vertex-to-opposite-segment over both directions — the
+    attained form for non-crossing segment sets — forced to 0 when any
+    segment pair properly crosses. NaN when either side is empty."""
+    va = _sample_points(kind_a, parts_a, 0.0)
+    vb = _sample_points(kind_b, parts_b, 0.0)
+    if len(va) == 0 or len(vb) == 0:
+        return float("nan")
+    sa1, sa2 = _boundary_edges(kind_a, parts_a)
+    sb1, sb2 = _boundary_edges(kind_b, parts_b)
+    best = np.inf
+    if len(sb1):
+        best = min(best, float(
+            g.points_to_segments_distance(va, sb1, sb2).min()))
+    if len(sa1):
+        best = min(best, float(
+            g.points_to_segments_distance(vb, sa1, sa2).min()))
+    if not len(sa1) and not len(sb1):  # point vs point
+        for s, e in g.chunk_spans(len(va), len(vb)):
+            dv = np.hypot(va[s:e, None, 0] - vb[None, :, 0],
+                          va[s:e, None, 1] - vb[None, :, 1])
+            best = min(best, float(dv.min()))
+    if best > 0 and _any_proper_crossing(sa1, sa2, sb1, sb2):
+        return 0.0
+    return best
+
+
+def geom_distance(kind_a: int, parts_a, kind_b: int, parts_b) -> float:
+    """Set distance between two geometries (the ST_Distance contract):
+    boundary distance, except polygons are AREAS — a geometry inside a
+    polygon (or a polygon inside it) is at distance 0 even though the
+    boundaries are apart."""
+    d = boundary_distance(kind_a, parts_a, kind_b, parts_b)
+    if not (d > 0):  # 0 or NaN
+        return d
+
+    def _part_probes(parts):
+        # boundaries are strictly apart (d > 0), so each PART is entirely
+        # inside or outside the other polygon: one probe vertex per part
+        pts = [rings[0][:1] for rings in parts if rings and len(rings[0])]
+        return np.vstack(pts) if pts else np.zeros((0, 2))
+
+    if kind_b == g.GEOM_POLYGON:
+        probe = _part_probes(parts_a)
+        if len(probe) and bool(np.any(g.points_in_polygon(probe, parts_b))):
+            return 0.0
+    if kind_a == g.GEOM_POLYGON:
+        probe = _part_probes(parts_b)
+        if len(probe) and bool(np.any(g.points_in_polygon(probe, parts_a))):
+            return 0.0
+    return d
