@@ -654,12 +654,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         join = intersects_semi_join(
             ray.data.read_parquet(f"{fdir}/thematic.parquet"),
             ray.data.read_parquet(f"{fdir}/reference.parquet")).materialize()
-        theme = pq.read_table(f"{fdir}/thematic.parquet",
-                              columns=["theme_id", "geometry_wkt"])
-        queries = dict(zip(theme.column("theme_id").to_pylist(),
-                           theme.column("geometry_wkt").to_pylist()))
+        theme = pq.read_table(f"{fdir}/thematic.parquet")
+        wkts = theme.column("geometry_wkt").to_pylist()
+        if "brdrq_original_wkt" in theme.column_names:
+            # mirror parse_geometries' prefer_original rule so both legs of
+            # the gate see the identical geometry
+            orig = theme.column("brdrq_original_wkt").to_pylist()
+            wkts = [o if o else w for o, w in zip(orig, wkts)]
+        queries = dict(zip(theme.column("theme_id").to_pylist(), wkts))
+        # deterministic path inside the content-hashed fixture cache:
+        # rebuilt (rmtree'd) per run, never accumulates
         idx = spatial_index_build(
-            ray.data.read_parquet(f"{fdir}/reference.parquet"))
+            ray.data.read_parquet(f"{fdir}/reference.parquet"),
+            index_dir=f"{fdir}/_sidx")
         probe = spatial_index_probe(idx, queries)
         a = set(zip(*[join.to_pandas()[c] for c in ("theme_id", "ref_id")]))
         b = set(zip(probe["query_id"], probe["ref_id"]))

@@ -221,6 +221,12 @@ def dbscan_points(points: ray.data.Dataset, eps: float, min_pts: int,
     if min_pts < 1:
         raise ValueError("min_pts must be >= 1")
     lvl = level_for_eps(eps) if level is None else int(level)
+    if tiles.cell_size(lvl) < eps:
+        # a finer grid than eps breaks the 8-adjacency invariant: pairs
+        # spanning 2+ cells would silently never form
+        raise ValueError(
+            f"level {lvl} has cell edge {tiles.cell_size(lvl)} < eps {eps}; "
+            f"use level <= {level_for_eps(eps)}")
 
     ids_only = points.map_batches(
         lambda b: pa.table(

@@ -153,18 +153,21 @@ def _shard_files(index_dir: str, shards) -> list[str]:
 
 def spatial_index_probe(index: dict, queries: dict[str, str],
                         buffer_m: float = 0.0) -> pd.DataFrame:
-    """(query_id, ref_id) pairs whose exact intersection is non-empty, for a
-    driver-sized {query_id: wkt} dict. ``buffer_m`` expands the query bbox
-    prefilter and shard cover (the reference buffers by 1.01*rd before
-    extractbylocation; the final test stays the exact unbuffered
-    intersection). Reads ONLY the queries' cover-shard partitions."""
+    """(query_id, ref_id) pairs for a driver-sized {query_id: wkt} dict:
+    exact non-empty intersection at ``buffer_m=0`` (the default), exact set
+    distance <= buffer_m otherwise (the reference's 1.01*rd buffered
+    extractbylocation fetch — geom/metrics.py::geom_distance, so the buffer
+    genuinely widens the result, not just the prefilter). Null/empty query
+    WKT is the empty geometry (no pairs), matching parse_geometries. Reads
+    ONLY the queries' cover-shard partitions."""
     shard_level = index["level"] - index["shard_depth"]
     qids = sorted(queries)
     q_packed: dict[str, bytes] = {}
     q_bbox: dict[str, tuple] = {}
     q_shards: dict[str, np.ndarray] = {}
     for qid in qids:
-        kind, parts = g.parse_wkt(queries[qid])
+        wkt = queries[qid]
+        kind, parts = g.parse_wkt(wkt) if wkt else (g.GEOM_POLYGON, [])
         kind, parts = g.make_valid(kind, parts)
         q_packed[qid] = g.pack_geom(kind, parts)
         bb = g.geom_bbox(parts)
@@ -190,11 +193,12 @@ def spatial_index_probe(index: dict, queries: dict[str, str],
     class ProbeStage:
         def __init__(self):
             packed, bbox = ray.get(q_blob)
-            self.geoms = {qid: g.unpack_geom(buf)[1]
+            self.geoms = {qid: g.unpack_geom(buf)
                           for qid, buf in packed.items()}
             self.bbox = bbox
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..geom import metrics as gm
             from ..geom.boolean import overlay
             shards = batch.column("shard").cast(pa.int64()).to_numpy(
                 zero_copy_only=False)
@@ -215,15 +219,20 @@ def spatial_index_probe(index: dict, queries: dict[str, str],
                         & (xmax >= bb[0] - buffer_m)
                         & (ymin <= bb[3] + buffer_m)
                         & (ymax >= bb[1] - buffer_m))[0]
-                    qparts = self.geoms[qid]
+                    qkind, qparts = self.geoms[qid]
                     for i in rows:
                         key = (qid, ids[i])
                         if key in seen_local:
                             continue
                         seen_local.add(key)
-                        inter = overlay(qparts, g.unpack_geom(geoms[i])[1],
-                                        "intersection")
-                        if g.geom_area(g.GEOM_POLYGON, inter) > 0:
+                        rk, rparts = g.unpack_geom(geoms[i])
+                        if buffer_m > 0:
+                            hit = (gm.geom_distance(qkind, qparts,
+                                                    rk, rparts) <= buffer_m)
+                        else:
+                            inter = overlay(qparts, rparts, "intersection")
+                            hit = g.geom_area(g.GEOM_POLYGON, inter) > 0
+                        if hit:
                             out_q.append(qid)
                             out_r.append(ids[i])
             return pa.table({"query_id": pa.array(out_q, pa.string()),
@@ -233,6 +242,10 @@ def spatial_index_probe(index: dict, queries: dict[str, str],
           .map_batches(ProbeStage, batch_format="pyarrow",
                        concurrency=actor_pool())
           .to_pandas())
+    if len(df) == 0:
+        # an all-miss probe can come back schema-less (zero-row blocks)
+        return pd.DataFrame({"query_id": pd.Series([], dtype=str),
+                             "ref_id": pd.Series([], dtype=str)})
     # cross-batch/shard dedupe of replicated pairs; deterministic order
     df = (df.drop_duplicates(["query_id", "ref_id"])
             .sort_values(["query_id", "ref_id"])

@@ -168,6 +168,18 @@ def test_partition_invariance(ray_session):
     assert outs[0].equals(outs[1])
 
 
+def test_too_fine_level_override_rejected(ray_session):
+    import ray.data
+    xy = np.array([[100.0, 100.0], [102.0, 100.0]])
+    ds = ray.data.from_arrow(_points_table(["a", "b"], xy))
+    with pytest.raises(ValueError, match="cell edge"):
+        dbscan_points(ds, eps=4.0, min_pts=2, level=22)
+    # a COARSER level stays correct (8-adjacency still holds)
+    got = _run(ray_session, ["a", "b"], xy, 4.0, 2,
+               level=level_for_eps(4.0) - 2)
+    assert got == {"a": ("a", True), "b": ("a", True)}
+
+
 def test_level_for_eps_contract():
     for eps in (0.5, 1.0, 3.7, 100.0, 1e6):
         lvl = level_for_eps(eps)

@@ -100,6 +100,42 @@ def test_append_equals_full_build(ray_session, ref_table, tmp_path):
     assert a.equals(b)
 
 
+def test_probe_buffer_is_dwithin(ray_session, ref_table, tmp_path):
+    """buffer_m > 0 switches the exact test to set-distance <= buffer_m —
+    the buffered probe must be a strict superset on a near-miss query."""
+    import ray.data
+    from brdrq_ray.geom import metrics as gm
+
+    idx = spatial_index_build(ray.data.from_arrow(ref_table),
+                              index_dir=str(tmp_path / "buf"))
+    parcels, _ = fx.make_reference_parts(nx=10, ny=10, seed=42)
+    # a thin query just OUTSIDE the fixture extent (gap ~2 m to x=100000)
+    q = {"near": ("POLYGON ((99990 150005, 99998 150005, 99998 150030, "
+                  "99990 150030, 99990 150005))")}
+    plain = spatial_index_probe(idx, q)
+    assert len(plain) == 0
+    buffered = spatial_index_probe(idx, q, buffer_m=5.0)
+    assert len(buffered) > 0
+    kind, qparts = g.parse_wkt(q["near"])
+    for rid in buffered["ref_id"]:
+        d = gm.geom_distance(kind, qparts, g.GEOM_POLYGON, parcels[rid])
+        assert d <= 5.0
+    # and completeness: every parcel within 5 m is returned
+    want = {rid for rid, rparts in parcels.items()
+            if gm.geom_distance(kind, qparts, g.GEOM_POLYGON, rparts) <= 5.0}
+    assert set(buffered["ref_id"]) == want
+
+
+def test_probe_null_and_empty_wkt(ray_session, ref_table, tmp_path):
+    import ray.data
+
+    idx = spatial_index_build(ray.data.from_arrow(ref_table),
+                              index_dir=str(tmp_path / "nulls"))
+    got = spatial_index_probe(idx, {"q0": None, "q1": "",
+                                    "q2": "POLYGON EMPTY"})
+    assert len(got) == 0
+
+
 def test_load_roundtrip_and_misses(ray_session, ref_table, tmp_path):
     import ray.data
 
