@@ -700,11 +700,21 @@ def _domain_membership_stage(cuts: dict, bid_ref, domain_col: str,
             self.bids = ray.get(bid_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             ids = _ids(batch, id_col)
             h = hash60(ids, seed)
-            cut = np.fromiter(
-                (cuts.get(d, 0) for d in batch.column(domain_col).to_pylist()),
-                dtype=np.int64, count=batch.num_rows)
+            # vectorized cuts lookup: dictionary-encode the domain column
+            # (one C++ pass), map the FEW distinct values through the dict,
+            # fancy-index the codes — no per-row Python .get
+            denc = pc.dictionary_encode(
+                batch.column(domain_col).combine_chunks())
+            per_val = np.fromiter(
+                (cuts.get(v, 0) for v in denc.dictionary.to_pylist()),
+                dtype=np.int64, count=len(denc.dictionary))
+            codes = denc.indices.fill_null(-1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cut = np.where(codes >= 0, per_val[np.maximum(codes, 0)], 0)
             keep = h < cut
             if len(self.bids):
                 keep = keep | pd.Series(ids).isin(self.bids).to_numpy()

@@ -103,10 +103,7 @@ def _pair_rows(points: ray.data.Dataset, eps: float, level: int,
             ok = (gx >= 0) & (gx < n_side) & (gy >= 0) & (gy < n_side)
             if not ok.any():
                 continue
-            gcell = ((np.uint64(level) << np.uint64(58))
-                     | tiles._interleave_bits(gx[ok].astype(np.uint64))
-                     | (tiles._interleave_bits(gy[ok].astype(np.uint64))
-                        << np.uint64(1))).astype(np.int64)
+            gcell = tiles.encode_cell_xy(gx[ok], gy[ok], level)
             out_cell.append(gcell)
             out_idx.append(np.nonzero(ok)[0].astype(np.int64))
             out_role.append(np.ones(int(ok.sum()), np.int8))
@@ -151,6 +148,11 @@ def _pair_rows(points: ray.data.Dataset, eps: float, level: int,
                 ii, jj = np.nonzero(d2 <= eps2)
                 if len(ii):
                     ha, gb = hid[ii + s], gid_[jj]
+                    # ha == gb only under duplicate point ids (contract
+                    # violation) — drop rather than emit an (id, id)
+                    # self-pair that would inflate degree counts
+                    ne = ha != gb
+                    ha, gb = ha[ne], gb[ne]
                     a_first = ha < gb  # np.minimum has no unicode loop
                     a_out.append(np.where(a_first, ha, gb))
                     b_out.append(np.where(a_first, gb, ha))
@@ -217,6 +219,12 @@ def dbscan_points(points: ray.data.Dataset, eps: float, min_pts: int,
     cluster = min core-member id of the component for cores, min neighbor
     cluster id for borders, null for noise (noise rows omitted entirely
     when ``include_noise=False``).
+
+    Precondition: ``point_id`` values must be UNIQUE. Duplicate ids are
+    undefined behavior — they inflate eps-neighbor degree counts (coreness)
+    and collapse distinct points in the output. (Self-pairs arising from a
+    duplicated id are dropped in pair generation, but degrees of the shared
+    id still merge.)
     """
     if min_pts < 1:
         raise ValueError("min_pts must be >= 1")
@@ -260,20 +268,25 @@ def dbscan_points(points: ray.data.Dataset, eps: float, min_pts: int,
                                     batch_format="pyarrow").materialize()
 
     def _as(name):
-        return lambda b: b.rename_columns([name, "core"])
+        # cores is exactly (point_id, core) by construction above; rename
+        # its key column BY NAME so a column reorder can't swap id and flag
+        return lambda b: pa.table({name: b.column("point_id"),
+                                   "core": b.column("core")})
+
+    def _rename(mapping):
+        return lambda b: b.rename_columns(
+            [mapping.get(n, n) for n in b.column_names])
 
     flagged = lookup_join(
         pairs, cores.map_batches(_as("id_a"), batch_format="pyarrow"),
         on="id_a", value_col="core")
-    flagged = flagged.map_batches(
-        lambda b: b.rename_columns(["id_a", "id_b", "core_a"]),
-        batch_format="pyarrow")
+    flagged = flagged.map_batches(_rename({"core": "core_a"}),
+                                  batch_format="pyarrow")
     flagged = lookup_join(
         flagged, cores.map_batches(_as("id_b"), batch_format="pyarrow"),
         on="id_b", value_col="core")
-    flagged = flagged.map_batches(
-        lambda b: b.rename_columns(["id_a", "id_b", "core_a", "core_b"]),
-        batch_format="pyarrow").materialize()
+    flagged = flagged.map_batches(_rename({"core": "core_b"}),
+                                  batch_format="pyarrow").materialize()
 
     def core_edges(b: pa.Table) -> pa.Table:
         both = pc.and_kleene(pc.is_valid(b.column("core_a")),

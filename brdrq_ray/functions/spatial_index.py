@@ -4,7 +4,9 @@ The join family (functions/spatial_join.py) re-tiles the reference on every
 run — right for one-shot batch jobs, wrong for the interactive shape the
 reference plugin actually serves (a user aligns a handful of features at a
 time against the SAME national parcel table, reference fetching per request:
-GRBActualLoader bbox download, plugin/brdrq/brdrq_utils.py:640-702). This is
+GRBActualLoader bbox download at its call sites
+plugin/brdrq/brdrq_dockwidget_featurealigner.py:1546 and
+plugin/brdrq/brdrq_algorithm_autocorrectborders.py:599). This is
 the spatial analog of the IVF inverted file (similarity.py::ivf_build):
 
 - **build** — ONE streaming pass: parse, derive the tile level from the

@@ -703,7 +703,9 @@ def gopher_rules_batch(batch: pa.Table, col: str = "text", *,
     safe_nw = np.maximum(nw, 1).astype(np.float64)
 
     exploded = words.explode()
-    wlen = exploded.str.len()
+    # astype first: an all-null batch leaves str.len() object-dtype, and
+    # fillna on an object block trips the pandas downcasting FutureWarning
+    wlen = exploded.str.len().astype("float64")
     mean_wlen = (wlen.groupby(level=0).mean()
                  .reindex(idx, fill_value=0.0).fillna(0.0).to_numpy())
 
@@ -718,12 +720,15 @@ def gopher_rules_batch(batch: pa.Table, col: str = "text", *,
                .reindex(idx, fill_value=0).to_numpy().astype(np.float64))
     # bare bullet glyphs count on their own; '-'/'*' need a following space
     # so hyphenated words ("-item") are not miscounted as bullets
+    # .eq(True) instead of .fillna(False): object-dtype bool + NaN would hit
+    # the pandas fillna-downcasting FutureWarning; eq maps NaN -> False in
+    # bool dtype directly
     bullet = lines.str.match(r"^(?:[•‣▪●]|[\-\*]\s)")
-    bullet_frac = (bullet.fillna(False).groupby(level=0).sum()
+    bullet_frac = (bullet.eq(True).groupby(level=0).sum()
                    .reindex(idx, fill_value=0).to_numpy()
                    / np.maximum(n_lines, 1.0))
     ellipsis = lines.str.contains(r"(?:\.\.\.|…)$", regex=True)
-    ellipsis_frac = (ellipsis.fillna(False).groupby(level=0).sum()
+    ellipsis_frac = (ellipsis.eq(True).groupby(level=0).sum()
                      .reindex(idx, fill_value=0).to_numpy()
                      / np.maximum(n_lines, 1.0))
 
@@ -731,7 +736,7 @@ def gopher_rules_batch(batch: pa.Table, col: str = "text", *,
     # Unicode alphabetic (the published rule says "alphabetic character",
     # not ASCII): [^\W\d_] = any word character that is not a digit or _
     alpha = stripped.str.contains(r"[^\W\d_]", regex=True)
-    alpha_frac = (alpha.fillna(False).groupby(level=0).sum()
+    alpha_frac = (alpha.eq(True).groupby(level=0).sum()
                   .reindex(idx, fill_value=0).to_numpy() / safe_nw)
     stop_hits = (stripped.where(stripped.isin(_GOPHER_STOPS))
                  .groupby(level=0).nunique()
@@ -789,7 +794,7 @@ def c4_clean_batch(batch: pa.Table, col: str = "text", *,
     low = st.str.lower()
     # terminal = period / ! / ? / an END QUOTATION MARK itself (the paper
     # lists the end quote as terminal punctuation in its own right)
-    ok = st.str.contains(r'[.!?"\'’”»]$', regex=True).fillna(False)
+    ok = st.str.contains(r'[.!?"\'’”»]$', regex=True).eq(True)
     ok &= st.str.split().str.len().fillna(0) >= min_line_words
     for phrase in banned_line_phrases:
         ok &= ~low.str.contains(phrase.lower(), regex=False)

@@ -93,6 +93,235 @@ def unpack_geom(buf: bytes):
 EMPTY_POLYGON = pack_geom(GEOM_POLYGON, [])
 
 
+class FlatGeoms:
+    """Batch-unpacked geometry blobs: ONE concatenated coordinate array plus
+    ring/part structure arrays (the egress-sink shape — vectorized metrics
+    over ``coords``, per-ring formatting via views).
+
+    Attributes:
+        kinds:       int8[n_rows], -1 for null blobs
+        coords:      (P, 2) float64 — every ring's points, row-major order
+        ring_pts:    int64[R] points per ring
+        ring_row:    int64[R] owning row per ring (nondecreasing)
+        part_row:    int64[K] owning row per part (nondecreasing)
+        part_nrings: int64[K] rings per part
+    """
+
+    __slots__ = ("kinds", "coords", "ring_pts", "ring_row",
+                 "part_row", "part_nrings")
+
+    def __init__(self, kinds, coords, ring_pts, ring_row,
+                 part_row, part_nrings):
+        self.kinds = kinds
+        self.coords = coords
+        self.ring_pts = ring_pts
+        self.ring_row = ring_row
+        self.part_row = part_row
+        self.part_nrings = part_nrings
+
+    def __len__(self):
+        return len(self.kinds)
+
+
+def _blob_views(col):
+    """(views, n): per-row memoryview|None over a pyarrow binary column's
+    single data buffer — zero-copy, no per-row Python bytes objects."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    import pyarrow as pa
+    if isinstance(arr, pa.ChunkedArray):  # combine_chunks may stay chunked
+        if arr.num_chunks == 1:
+            arr = arr.chunk(0)
+        elif arr.num_chunks == 0:
+            arr = pa.array([], pa.binary())
+        else:
+            arr = pa.concat_arrays(arr.chunks)
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    validity, off_buf, data_buf = arr.buffers()
+    offs = np.frombuffer(off_buf, dtype=off_dtype)[
+        arr.offset:arr.offset + len(arr) + 1]
+    data = memoryview(data_buf)
+    if validity is None:
+        return [data[offs[i]:offs[i + 1]] for i in range(len(arr))], len(arr)
+    vbits = np.frombuffer(validity, np.uint8)
+    vi = np.arange(arr.offset, arr.offset + len(arr))
+    valid = (vbits[vi >> 3] >> (vi & 7).astype(np.uint8)) & 1
+    return [data[offs[i]:offs[i + 1]] if valid[i] else None
+            for i in range(len(arr))], len(arr)
+
+
+def unpack_geoms_flat(bufs) -> FlatGeoms:
+    """Unpack a BATCH of packed blobs in one pass (list of bytes|None, or a
+    pyarrow binary Array/ChunkedArray — zero-copy views in the latter case).
+
+    The header walk is per-ring Python (data-dependent offsets), but the
+    coordinate payloads are gathered as buffer slices and decoded with ONE
+    np.frombuffer — no per-ring numpy calls, no per-row parts lists.
+    """
+    if not isinstance(bufs, (list, tuple)):
+        bufs, n = _blob_views(bufs)
+    else:
+        n = len(bufs)
+    kinds = np.full(n, -1, np.int8)
+    ring_pts: list[int] = []
+    ring_row: list[int] = []
+    part_row: list[int] = []
+    part_nrings: list[int] = []
+    chunks: list = []
+    unpack_from = struct.unpack_from
+    for i, buf in enumerate(bufs):
+        if buf is None:
+            continue
+        kinds[i] = buf[0]
+        n_parts = unpack_from("<I", buf, 1)[0]
+        off = 5
+        for _ in range(n_parts):
+            n_rings = unpack_from("<I", buf, off)[0]
+            off += 4
+            part_row.append(i)
+            part_nrings.append(n_rings)
+            for _ in range(n_rings):
+                npts = unpack_from("<I", buf, off)[0]
+                off += 4
+                nb = npts * 16
+                chunks.append(buf[off:off + nb])
+                off += nb
+                ring_pts.append(npts)
+                ring_row.append(i)
+    coords = np.frombuffer(b"".join(chunks), np.float64).reshape(-1, 2) \
+        if chunks else np.empty((0, 2), np.float64)
+    return FlatGeoms(kinds, coords,
+                     np.asarray(ring_pts, np.int64),
+                     np.asarray(ring_row, np.int64),
+                     np.asarray(part_row, np.int64),
+                     np.asarray(part_nrings, np.int64))
+
+
+def flat_perimeters(fg: FlatGeoms) -> np.ndarray:
+    """Per-row perimeter (polygons closed, lines open, points 0) in ONE
+    vectorized reduction over the concatenated coordinate array.
+
+    Summation order differs from :func:`geom_perimeter` (bincount folds vs
+    numpy pairwise sums), so values may differ in the last ulp — callers
+    needing bit-parity with the per-row kernel (none today: the egress sinks
+    only test ``!= 0``, which is order-independent for non-negative terms)
+    should stay on geom_perimeter."""
+    n = len(fg)
+    R = len(fg.ring_pts)
+    if R == 0 or len(fg.coords) == 0:
+        return np.zeros(n, np.float64)
+    bounds = np.concatenate([[0], np.cumsum(fg.ring_pts)])
+    pt_ring = np.repeat(np.arange(R), fg.ring_pts)
+    d = fg.coords[1:] - fg.coords[:-1]
+    seglen = np.hypot(d[:, 0], d[:, 1])
+    same = pt_ring[:-1] == pt_ring[1:]
+    ring_len = np.bincount(pt_ring[:-1][same], weights=seglen[same],
+                           minlength=R)
+    ring_kind = fg.kinds[fg.ring_row]
+    starts, ends = bounds[:-1], bounds[1:] - 1
+    closev = fg.coords[starts % len(fg.coords)] - fg.coords[ends]
+    close_len = np.hypot(closev[:, 0], closev[:, 1])
+    closed = (ring_kind == GEOM_POLYGON) & (fg.ring_pts >= 2)
+    ring_len = np.where(ring_kind == GEOM_POINT, 0.0,
+                        ring_len + np.where(closed, close_len, 0.0))
+    return np.bincount(fg.ring_row, weights=ring_len, minlength=n)
+
+
+_WKT_CHUNK = 1 << 16
+_WKT_CHUNK_FMT = "%.6f %.6f, " * _WKT_CHUNK
+
+
+def flat_wkts(fg: FlatGeoms) -> list:
+    """Batch WKT emission: format ALL coordinate pairs of the batch with
+    chunked printf calls, strip trailing zeros ONCE per chunk (not per
+    geometry), then assemble per-geometry strings from the token list.
+    Bit-identical to ``to_wkt`` per row (fuzz-pinned in test_geom_core):
+    every token is '%.6f %.6f'-formatted and zero-stripped exactly as the
+    per-row path would format it, and assembly mirrors to_wkt's part/ring
+    punctuation (incl. closing polygon rings by repeating the first token).
+    None for null blobs."""
+    flat = fg.coords.ravel()
+    P = len(fg.coords)
+    toks: list = []
+    for s0 in range(0, P, _WKT_CHUNK):
+        n = min(_WKT_CHUNK, P - s0)
+        fmt = _WKT_CHUNK_FMT if n == _WKT_CHUNK else "%.6f %.6f, " * n
+        # trailing ", " kept so every number is followed by a delimiter for
+        # the strip regexes; dropped by the final [:-1] after split
+        s = fmt % tuple(flat[2 * s0:2 * (s0 + n)].tolist())
+        s = _STRIP_ZEROS.sub("", s)
+        if "-0 " in s or "-0," in s:
+            s = _NEG_ZERO.sub("0", s)
+        toks.extend(s.split(", ")[:-1])
+    bounds = np.concatenate([[0], np.cumsum(fg.ring_pts)]).tolist()
+    part_row = fg.part_row.tolist()
+    part_nrings = fg.part_nrings.tolist()
+    kinds = fg.kinds.tolist()
+    K = len(part_row)
+    out: list = []
+    pi = 0
+    ri = 0
+    for i in range(len(fg)):
+        k = kinds[i]
+        if k < 0:
+            out.append(None)
+            continue
+        parts_txt = []
+        while pi < K and part_row[pi] == i:
+            nr = part_nrings[pi]
+            if k == GEOM_POLYGON:
+                rings_txt = []
+                for r in range(ri, ri + nr):
+                    b0, b1 = bounds[r], bounds[r + 1]
+                    if b1 == b0:
+                        rings_txt.append("()")
+                    else:
+                        seq = toks[b0:b1]
+                        seq.append(toks[b0])  # close the ring
+                        rings_txt.append("(" + ", ".join(seq) + ")")
+                parts_txt.append("(" + ", ".join(rings_txt) + ")")
+            elif k == GEOM_LINESTRING:
+                # to_wkt emits only ring 0 of a line part
+                b0, b1 = bounds[ri], bounds[ri + 1]
+                parts_txt.append("(" + ", ".join(toks[b0:b1]) + ")")
+            else:
+                # to_wkt emits only the first point of a point part
+                parts_txt.append("(" + toks[bounds[ri]] + ")")
+            ri += nr
+            pi += 1
+        if not parts_txt:
+            out.append(f"{KIND_NAMES[k].upper()} EMPTY")
+        else:
+            out.append(
+                f"{KIND_NAMES[k].upper()} ({', '.join(parts_txt)})")
+    return out
+
+
+def iter_flat_geoms(fg: FlatGeoms):
+    """Yield (kind, parts) per row — ring arrays are VIEWS into fg.coords
+    (zero-copy); None for null blobs. Feeds per-row kernels (to_wkt,
+    simplify) after a batch unpack."""
+    bounds = np.concatenate([[0], np.cumsum(fg.ring_pts)])
+    part_row = fg.part_row
+    part_nrings = fg.part_nrings
+    coords = fg.coords
+    K = len(part_row)
+    pi = 0
+    ri = 0
+    for i in range(len(fg)):
+        k = fg.kinds[i]
+        if k < 0:
+            yield None
+            continue
+        parts = []
+        while pi < K and part_row[pi] == i:
+            nr = int(part_nrings[pi])
+            parts.append([coords[bounds[r]:bounds[r + 1]]
+                          for r in range(ri, ri + nr)])
+            ri += nr
+            pi += 1
+        yield int(k), parts
+
+
 # ---------------------------------------------------------------------------
 # WKT codec
 # ---------------------------------------------------------------------------
@@ -198,13 +427,16 @@ def _fmt(v: float) -> str:
     return s if s not in ("-0", "") else "0"
 
 
-# trailing-zero stripping over a whole WKT string in three C-regex passes
-# (every number in the string is followed by ' ', ',' or ')'):
-#   1. '.000000' -> ''            (integer-valued coordinate)
-#   2. '.4560 00' -> '.456'       (strip remaining trailing zeros)
-#   3. bare '-0' -> '0'           (negative zero after stripping)
-_STRIP_DOT0 = re.compile(r"\.0{6}(?=[ ,)])")
-_STRIP_TRAIL0 = re.compile(r"(\.\d*?)0+(?=[ ,)])")
+# trailing-zero stripping over a whole %.6f-formatted string in ONE
+# backtrack-free C-regex pass: every number has EXACTLY 6 decimals and is
+# followed by ' ', ',' or ')', so a trailing-zero run (optionally with its
+# dot) is 1-6 zeros directly before a delimiter — zeros inside the integer
+# part are always followed by a digit or '.', never a delimiter, so they
+# can't match. Bit-equivalent to the former two-pass
+# ('.000000' -> '' then '(\.\d*?)0+' -> '\1') strip, fuzz-pinned in
+# tests/test_geom_core.py. Bare '-0' (negative zero) still needs its own
+# guarded pass.
+_STRIP_ZEROS = re.compile(r"\.?0{1,6}(?=[ ,)])")
 _NEG_ZERO = re.compile(r"(?<![\d.])-0(?=[ ,)])")
 
 
@@ -237,8 +469,7 @@ def to_wkt(kind: int, parts) -> str:
             ring_txt = ["(" + _seq_wkt(np.vstack([r, r[:1]])) + ")" for r in rings]
             polys.append("(" + ", ".join(ring_txt) + ")")
         s = f"MULTIPOLYGON ({', '.join(polys)})"
-    s = _STRIP_DOT0.sub("", s)
-    s = _STRIP_TRAIL0.sub(r"\1", s)
+    s = _STRIP_ZEROS.sub("", s)
     # bare '-0' only arises from values in (-5e-7, 0) — guard the (relatively
     # costly) lookbehind regex with cheap substring scans
     if "-0 " in s or "-0," in s or "-0)" in s:

@@ -431,20 +431,31 @@ def select_result_type(results: ray.data.Dataset, result_type: str,
         from ..geom import core as g
         keep_cols = [c for c in batch.column_names if c not in _GEOM_SLOT_COLS]
         out = batch.select(keep_cols)
-        wkts, perims = [], []
-        for buf in batch.column(geom_col).to_pylist():
-            kind, parts = g.unpack_geom(buf)
-            if simplify_tolerance:
+        fg = g.unpack_geoms_flat(batch.column(geom_col))
+        if simplify_tolerance:
+            # simplify rewrites the coordinates per feature, so the
+            # concatenated-array fast paths below don't apply: per-row
+            # simplify/repair, then per-row WKT + perimeter on the new shape
+            wkts, perims = [], []
+            for row in g.iter_flat_geoms(fg):
+                kind, parts = row
                 kind, parts = g.simplify_parts(kind, parts,
                                                simplify_tolerance)
                 if kind == g.GEOM_POLYGON:
                     kind, parts = g.make_valid(kind, parts)
-            wkts.append(g.to_wkt(kind, parts))
-            perims.append(g.geom_perimeter(kind, parts))
+                wkts.append(g.to_wkt(kind, parts))
+                perims.append(g.geom_perimeter(kind, parts))
+            perims = np.asarray(perims, np.float64)
+        else:
+            # batch unpack: ONE coordinate array, batch WKT emission,
+            # vectorized perimeter reduction (only != 0 is consumed —
+            # order-independent)
+            wkts = g.flat_wkts(fg)
+            perims = g.flat_perimeters(fg) if is_diff and drop_empty_diffs \
+                else None
         out = out.append_column("geometry_wkt", pa.array(wkts, pa.string()))
         if is_diff and drop_empty_diffs:
-            mask = pa.array(np.array(perims) != 0.0)
-            out = out.filter(mask)
+            out = out.filter(pa.array(perims != 0.0))
         return out
 
     return results.map_batches(project, batch_format="pyarrow")

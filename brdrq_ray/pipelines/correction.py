@@ -127,7 +127,9 @@ def _correct_bucket(group: pd.DataFrame, review_percentage: float) -> pa.Table:
     def _flag(col: str) -> np.ndarray:
         if len(flags) == 0:
             return np.zeros(len(m), dtype=bool)
-        return m["theme_id"].map(flags[col]).fillna(False).to_numpy(dtype=bool)
+        # .eq(True): map over a bool dict yields object dtype with NaN; a
+        # plain fillna(False) trips the pandas downcasting FutureWarning
+        return m["theme_id"].map(flags[col]).eq(True).to_numpy(dtype=bool)
 
     al, rv, nc = _flag("al"), _flag("rv"), _flag("nc")
 
@@ -226,7 +228,9 @@ def build_correction_layer(source: ray.data.Dataset, results: ray.data.Dataset,
         from ..geom import core as g
         n = batch.num_rows
         tid = batch.column("theme_id").cast(pa.string())
-        wkts = [g.to_wkt(*g.unpack_geom(buf)) for buf in batch.column("result_geom").to_pylist()]
+        # batch unpack + batch WKT emission (one coord array, chunked
+        # printf, one zero-strip pass per chunk)
+        wkts = g.flat_wkts(g.unpack_geoms_flat(batch.column("result_geom")))
         return pa.table({
             "side": pa.array(["result"] * n),
             "bucket": bucket_col(tid),

@@ -72,9 +72,11 @@ def parse_geometries(batch: pa.Table, wkt_col: str = "geometry_wkt",
 
 def emit_wkt(batch: pa.Table, geom_col: str = "geom", out_col: str = "geometry_wkt",
              drop_geom: bool = False) -> pa.Table:
-    """Inverse of parse_geometries for sinks: packed geometry -> canonical WKT."""
-    wkts = [g.to_wkt(*g.unpack_geom(buf)) if buf is not None else None
-            for buf in batch.column(geom_col).to_pylist()]
+    """Inverse of parse_geometries for sinks: packed geometry -> canonical WKT.
+
+    Batch unpack (one pass, one concatenated coordinate array, zero-copy
+    views of the Arrow binary buffer) + per-ring formatting."""
+    wkts = g.flat_wkts(g.unpack_geoms_flat(batch.column(geom_col)))
     out = batch.append_column(out_col, pa.array(wkts, pa.string()))
     if drop_geom:
         out = out.drop_columns([geom_col])

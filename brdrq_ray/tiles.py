@@ -46,14 +46,25 @@ def _interleave_bits(v: np.ndarray) -> np.ndarray:
     return v
 
 
+def encode_cell_xy(cx: np.ndarray, cy: np.ndarray, level: int) -> np.ndarray:
+    """Cell id from integer grid coordinates at `level` (vectorized, int64).
+
+    The single authority for the ``level << 58 | morton`` bit layout —
+    encode_cells and any neighbor/ghost-cell construction route through it.
+    """
+    morton = (_interleave_bits(np.asarray(cx).astype(np.uint64))
+              | (_interleave_bits(np.asarray(cy).astype(np.uint64))
+                 << np.uint64(1)))
+    return ((np.uint64(level) << np.uint64(58)) | morton).astype(np.int64)
+
+
 def encode_cells(x: np.ndarray, y: np.ndarray, level: int) -> np.ndarray:
     """Cell id for each (x, y) point at `level` (vectorized, int64)."""
     cs = cell_size(level)
     n = 1 << level
     cx = np.clip(((np.asarray(x) - WORLD_ORIGIN[0]) / cs).astype(np.int64), 0, n - 1)
     cy = np.clip(((np.asarray(y) - WORLD_ORIGIN[1]) / cs).astype(np.int64), 0, n - 1)
-    morton = _interleave_bits(cx.astype(np.uint64)) | (_interleave_bits(cy.astype(np.uint64)) << np.uint64(1))
-    return ((np.uint64(level) << np.uint64(58)) | morton).astype(np.int64)
+    return encode_cell_xy(cx, cy, level)
 
 
 def cell_xy(cell_ids: np.ndarray):

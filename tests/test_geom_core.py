@@ -306,3 +306,123 @@ def test_to_wkt_matches_per_value_fmt_contract():
     pts = [[np.array([[1.5, -2.25]])], [np.array([[0.0, 3.0]])]]
     assert g.to_wkt(g.GEOM_POINT, pts) == reference_wkt(g.GEOM_POINT, pts)
     assert g.to_wkt(g.GEOM_POLYGON, []) == "MULTIPOLYGON EMPTY"
+
+
+# --- batch (flat) unpack kernels: must match the per-row path exactly -------
+
+def _random_geom(rng):
+    kind = int(rng.integers(1, 4))
+    n_parts = int(rng.integers(0, 4))
+    parts = []
+    for _ in range(n_parts):
+        if kind == g.GEOM_POLYGON:
+            n_rings = int(rng.integers(1, 3))
+            rings = [np.round(rng.normal(0, 50, (int(rng.integers(3, 9)), 2)),
+                              6) for _ in range(n_rings)]
+        elif kind == g.GEOM_LINESTRING:
+            rings = [np.round(rng.normal(0, 50, (int(rng.integers(2, 9)), 2)),
+                              6)]
+        else:
+            rings = [np.round(rng.normal(0, 50, (1, 2)), 6)]
+        parts.append(rings)
+    return kind, parts
+
+
+def test_flat_unpack_matches_per_row():
+    """unpack_geoms_flat + iter_flat_geoms reproduce unpack_geom exactly
+    (kinds, part/ring structure, coordinates), incl. null blobs, empties,
+    and both the list-of-bytes and the zero-copy pyarrow-column paths."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(29)
+    geoms = [_random_geom(rng) for _ in range(60)]
+    bufs = [g.pack_geom(k, p) for k, p in geoms]
+    bufs[7] = None
+    bufs[31] = None
+    bufs[12] = g.EMPTY_POLYGON
+
+    for col in (bufs, pa.array(bufs, pa.binary()),
+                pa.chunked_array([bufs[:20], bufs[20:]], pa.binary()),
+                pa.array(bufs, pa.large_binary())):
+        fg = g.unpack_geoms_flat(col)
+        rows = list(g.iter_flat_geoms(fg))
+        assert len(rows) == len(bufs)
+        for buf, row in zip(bufs, rows):
+            if buf is None:
+                assert row is None
+                continue
+            k0, p0 = g.unpack_geom(buf)
+            k1, p1 = row
+            assert k1 == k0
+            assert len(p1) == len(p0)
+            for part0, part1 in zip(p0, p1):
+                assert len(part1) == len(part0)
+                for r0, r1 in zip(part0, part1):
+                    assert np.array_equal(r0, r1)
+
+
+def test_flat_perimeters_match_per_row():
+    """flat_perimeters == geom_perimeter per row (tolerance: summation-order
+    ulp; zero/nonzero EXACTLY equal — the empty-diff-filter contract)."""
+    rng = np.random.default_rng(31)
+    geoms = [_random_geom(rng) for _ in range(80)]
+    bufs = [g.pack_geom(k, p) for k, p in geoms]
+    bufs[5] = None
+    bufs[11] = g.EMPTY_POLYGON
+    fg = g.unpack_geoms_flat(bufs)
+    per = g.flat_perimeters(fg)
+    for i, buf in enumerate(bufs):
+        want = 0.0 if buf is None else g.geom_perimeter(*g.unpack_geom(buf))
+        assert per[i] == pytest.approx(want, rel=1e-12, abs=1e-12)
+        assert (per[i] == 0.0) == (want == 0.0)
+
+
+def test_flat_wkt_matches_to_wkt():
+    """to_wkt over iter_flat_geoms views AND flat_wkts are byte-identical to
+    the per-row unpack path (the egress-sink contract), incl. nulls, empty
+    geometries, all three kinds, trailing-zero and negative-zero grids."""
+    rng = np.random.default_rng(37)
+    geoms = [_random_geom(rng) for _ in range(120)]
+    # adversarial coordinate grids: integers, coarse grids (trailing zeros),
+    # tiny negatives that format to '-0.000000'
+    geoms += [
+        (g.GEOM_POLYGON, [[np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0]])]]),
+        (g.GEOM_POLYGON, [[np.array([[0.25, -0.0000004], [1.5, 0.0],
+                                     [1.5, 2.200000], [-0.0000002, 2.0]])]]),
+        (g.GEOM_LINESTRING, [[np.array([[100.0, 200.50], [300.120, 0.0]])]]),
+        (g.GEOM_POINT, [[np.array([[-0.0000001, 7.0]])]]),
+    ]
+    bufs = [g.pack_geom(k, p) for k, p in geoms]
+    bufs[3] = None
+    bufs[9] = g.EMPTY_POLYGON
+    fg = g.unpack_geoms_flat(bufs)
+    flat = g.flat_wkts(fg)
+    rows = list(g.iter_flat_geoms(fg))
+    for buf, row, fw in zip(bufs, rows, flat):
+        if buf is None:
+            assert row is None and fw is None
+            continue
+        want = g.to_wkt(*g.unpack_geom(buf))
+        assert g.to_wkt(*row) == want
+        assert fw == want
+
+
+def test_strip_zeros_single_pass_contract():
+    """The single-pass _STRIP_ZEROS regex reproduces the historical two-pass
+    strip ('\\.0{6}' removal then non-greedy trailing-zero strip) on any
+    %.6f-formatted coordinate stream."""
+    import re
+    old_dot0 = re.compile(r"\.0{6}(?=[ ,)])")
+    old_trail = re.compile(r"(\.\d*?)0+(?=[ ,)])")
+    rng = np.random.default_rng(41)
+    vals = np.concatenate([
+        np.round(rng.normal(0, 100, 5000), 6),
+        np.round(rng.normal(0, 100, 2000), 2),
+        rng.integers(-500, 500, 2000).astype(float),
+        np.array([0.0, -0.0000004, 0.0000004, 1000000.123456, 100.0, 0.1]),
+    ])
+    s = ("%.6f %.6f, " * (len(vals) // 2)) % tuple(vals.tolist())
+    for text in (s, "MULTIPOLYGON (((1.500000 2.000000, 3.000000 -0.000000, "
+                    "4.250000 5.100000, 1.500000 2.000000)))"):
+        assert (g._STRIP_ZEROS.sub("", text)
+                == old_trail.sub(r"\1", old_dot0.sub("", text)))
