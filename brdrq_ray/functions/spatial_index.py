@@ -253,3 +253,99 @@ def spatial_index_probe(index: dict, queries: dict[str, str],
             .sort_values(["query_id", "ref_id"])
             .reset_index(drop=True))
     return df
+
+
+_PAIR_SCHEMA = pa.schema([("query_id", pa.string()),
+                          ("ref_id", pa.string())])
+
+
+def spatial_index_probe_dataset(index: dict, queries: ray.data.Dataset,
+                                buffer_m: float = 0.0,
+                                id_col: str = "query_id",
+                                wkt_col: str = "geometry_wkt",
+                                cell_level: int | None = None,
+                                hot_threshold: int = 512,
+                                n_buckets: int = 64) -> ray.data.Dataset:
+    """Dataset-scale probe: same pair semantics as :func:`spatial_index_probe`
+    (exact non-empty intersection at ``buffer_m=0``, exact set distance <=
+    buffer_m otherwise) but the query side is a Dataset — nothing
+    query-sized or pair-sized ever lands on the driver.
+
+    Shape: parse the query side once; ONE bounded metadata pass derives the
+    set of index shards the queries' (expanded) bboxes cover (driver list
+    bounded by the index's directory count, not by query rows); read ONLY
+    those shard partitions; first-per-ref_id bucketed dedupe of the
+    shard-replicated rows; then the standard planned co-partition join
+    (:func:`~brdrq_ray.functions.spatial_join.intersects_semi_join` /
+    ``dwithin_join``) — hot-cell salting, per-group bbox prefilter, exact
+    kernels, each pair tested exactly once (the query side lives in exactly
+    one salted owner group). Returns a streaming Dataset
+    (query_id, ref_id)."""
+    from .spatial_join import dwithin_join, intersects_semi_join
+
+    shard_level = index["level"] - index["shard_depth"]
+    parsed_q = queries.map_batches(
+        parse_geometries, batch_format="pyarrow",
+        fn_kwargs={"wkt_col": wkt_col}).materialize()
+
+    def shards_of(b: pa.Table) -> pa.Table:
+        xmin = b.column("xmin").to_numpy(zero_copy_only=False)
+        ymin = b.column("ymin").to_numpy(zero_copy_only=False)
+        xmax = b.column("xmax").to_numpy(zero_copy_only=False)
+        ymax = b.column("ymax").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(xmin)
+        _, cells = tiles.cover_bboxes(xmin[ok], ymin[ok], xmax[ok], ymax[ok],
+                                      shard_level, expand=buffer_m)
+        return pa.table({"shard": pa.array(np.unique(cells), pa.int64())})
+
+    empty = ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+    if parsed_q.count() == 0:
+        return empty
+    needed = parsed_q.map_batches(shards_of,
+                                  batch_format="pyarrow").unique("shard")
+    files = _shard_files(index["index_dir"], needed)
+    if not files:
+        return empty
+
+    ref = ray.data.read_parquet(files)
+
+    # a ref spanning k shards is stored k times; keep one row per ref_id
+    # (bucketed shuffle of the candidate rows only — never driver pandas)
+    def bucketed(b: pa.Table) -> pa.Table:
+        from .vhash import bucket_i32
+        b = b.drop_columns(["shard"])
+        return b.append_column("__b",
+                               bucket_i32(b.column("ref_id"), n_buckets))
+
+    def first_per_ref(grp: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = grp.to_pandas()
+        # shard copies are byte-identical after dropping `shard`, so
+        # any-first is deterministic; sort for stable output order
+        df = (df.drop_duplicates("ref_id")
+                .sort_values("ref_id", kind="mergesort"))
+        return pa.Table.from_pandas(df.drop(columns="__b"),
+                                    preserve_index=False)
+
+    ref = (ref.map_batches(bucketed, batch_format="pyarrow")
+              .groupby("__b").map_groups(first_per_ref,
+                                         batch_format="pyarrow"))
+
+    def as_theme(b: pa.Table) -> pa.Table:
+        names = [("theme_id" if c == id_col else c) for c in b.column_names]
+        return b.rename_columns(names)
+
+    qt = parsed_q.map_batches(as_theme, batch_format="pyarrow")
+    if buffer_m > 0:
+        pairs = dwithin_join(qt, ref, distance=buffer_m,
+                             cell_level=cell_level,
+                             hot_threshold=hot_threshold)
+        pairs = pairs.select_columns(["theme_id", "ref_id"])
+    else:
+        pairs = intersects_semi_join(qt, ref, cell_level=cell_level,
+                                     hot_threshold=hot_threshold)
+
+    return pairs.map_batches(
+        lambda b: b.rename_columns(["query_id", "ref_id"]),
+        batch_format="pyarrow")

@@ -30,6 +30,11 @@ def parse_geometries(batch: pa.Table, wkt_col: str = "geometry_wkt",
     present, it wins over the current geometry (idempotent re-runs; reference:
     get_original_geometry, plugin/brdrq/brdrq_utils.py:1165-1175).
     """
+    if wkt_col not in batch.column_names and "geom" in batch.column_names:
+        # already-parsed input (e.g. rows read back from a persisted spatial
+        # index): geometry + bbox columns are present, nothing to do — lets
+        # the join family accept parsed datasets without a WKT round-trip
+        return batch
     n = batch.num_rows
     wkts = batch.column(wkt_col).to_pylist()
     if prefer_original and "brdrq_original_wkt" in batch.column_names:

@@ -148,3 +148,75 @@ def test_load_roundtrip_and_misses(ray_session, ref_table, tmp_path):
         idx, {"qq": "POLYGON ((90000 90000, 90001 90000, 90001 90001, "
                     "90000 90001, 90000 90000))"})
     assert len(got) == 0 and list(got.columns) == ["query_id", "ref_id"]
+
+
+def _queries_table(queries: dict):
+    import pyarrow as pa
+    qids = sorted(queries)
+    return pa.table({"query_id": pa.array(qids, pa.string()),
+                     "geometry_wkt": pa.array([queries[q] for q in qids],
+                                              pa.string())})
+
+
+def test_probe_dataset_matches_dict_probe(ray_session, ref_table, tmp_path):
+    """The Dataset-queries overload returns exactly the dict probe's pairs
+    (== brute force) — intersect mode and buffered (dwithin) mode — with no
+    replicated duplicates, via the planned co-partition join."""
+    import ray.data
+    from brdrq_ray.functions.spatial_index import spatial_index_probe_dataset
+
+    idx = spatial_index_build(ray.data.from_arrow(ref_table),
+                              index_dir=str(tmp_path / "dsq"))
+    queries = _queries_from_theme(n=8)
+    queries["near"] = ("POLYGON ((99990 150005, 99998 150005, 99998 150030, "
+                       "99990 150030, 99990 150005))")
+    queries["qnull"] = None
+    queries["qempty"] = "POLYGON EMPTY"
+    qds = ray.data.from_arrow(_queries_table(queries))
+
+    for buf in (0.0, 5.0):
+        want_df = spatial_index_probe(idx, queries, buffer_m=buf)
+        want = set(zip(want_df["query_id"], want_df["ref_id"]))
+        got_df = spatial_index_probe_dataset(idx, qds,
+                                             buffer_m=buf).to_pandas()
+        got = set(zip(got_df["query_id"], got_df["ref_id"]))
+        assert got == want, f"buffer_m={buf}"
+        assert len(got_df) == len(got)  # no replicated duplicates
+
+
+def test_probe_dataset_partition_invariance(ray_session, ref_table, tmp_path):
+    """Same pairs under different query-side partitionings (repartition
+    must not change the result set)."""
+    import ray.data
+    from brdrq_ray.functions.spatial_index import spatial_index_probe_dataset
+
+    idx = spatial_index_build(ray.data.from_arrow(ref_table),
+                              index_dir=str(tmp_path / "dsp"))
+    queries = _queries_from_theme(n=10)
+    qtab = _queries_table(queries)
+    a = (spatial_index_probe_dataset(idx, ray.data.from_arrow(qtab))
+         .to_pandas())
+    b = (spatial_index_probe_dataset(
+            idx, ray.data.from_arrow(qtab).repartition(7))
+         .to_pandas())
+    key = lambda df: sorted(zip(df["query_id"], df["ref_id"]))
+    assert key(a) == key(b)
+    assert len(a) > 0
+
+
+def test_probe_dataset_empty_and_miss(ray_session, ref_table, tmp_path):
+    import pyarrow as pa
+    import ray.data
+    from brdrq_ray.functions.spatial_index import spatial_index_probe_dataset
+
+    idx = spatial_index_build(ray.data.from_arrow(ref_table),
+                              index_dir=str(tmp_path / "dse"))
+    empty = ray.data.from_arrow(pa.table(
+        {"query_id": pa.array([], pa.string()),
+         "geometry_wkt": pa.array([], pa.string())}))
+    assert spatial_index_probe_dataset(idx, empty).count() == 0
+    far = ray.data.from_arrow(_queries_table(
+        {"qq": "POLYGON ((90000 90000, 90001 90000, 90001 90001, "
+               "90000 90001, 90000 90000))"}))
+    got = spatial_index_probe_dataset(idx, far)
+    assert got.count() == 0
