@@ -38,6 +38,24 @@ _TOKEN_BUDGET = 16_000
 # at the integer water level — the allocation recurrence is load-bearing
 _UNIMAX_BUDGET = 26_000
 
+# range_join_band composite (r5): the spatial legs run over an events-derived
+# point cloud (x = value, y = epoch_us(ts) % 997 — SQL-reproducible numbers)
+# so DuckDB can reproduce dwithin pairs, DBSCAN labels and point-in-polygon
+# hits exactly. eps=6/min_pts=3 gives a non-trivial mix at sf0.01 (~1067
+# cores, ~215 borders, ~724 noise, 160 clusters).
+_DBSCAN_EPS = 6.0
+_DBSCAN_MIN_PTS = 3
+# axis-aligned PIP rectangles (xmin, ymin, xmax, ymax); bounds at .25/.75
+# offsets so no point of the 0.01-grid x / integer y cloud sits exactly on
+# an edge (engine boundary containment is implementation-defined)
+_PIP_RECTS = [
+    ("R0", 10.25, 50.25, 130.75, 350.75),
+    ("R1", 120.25, 10.25, 260.75, 500.75),
+    ("R2", 250.25, 400.25, 490.75, 990.75),
+    ("R3", 0.25, 600.25, 200.75, 996.75),
+    ("R4", 300.25, 100.25, 420.75, 380.75),
+]
+
 
 # --------------------------------------------------------------------------
 # geometry fixture management (deterministic, cached per scale under /tmp)
@@ -491,8 +509,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.concat([pairs, kept], ignore_index=True)
 
     def knn_top5(sf_dir: str):
+        """COMPOSITE since r5: leg 'brute' is the broadcast-query brute-force
+        top-5; leg 'knn_join' is the dataset-to-dataset ANN join
+        (functions/similarity.knn_join — both sides Datasets, ONE cell
+        shuffle) run with n_probe == n_clusters, where IVF semantics are
+        exact — both legs must match the DuckDB cross-join oracle."""
+        import pandas as pd
+        import pyarrow.compute as pc
         import ray.data
-        from brdrq_ray.functions.similarity import knn_brute_force
+        from brdrq_ray.functions.similarity import knn_brute_force, knn_join
         tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
         qmask = [v < 3 for v in tbl.column("vec_id").to_pylist()]
         q = tbl.filter(pa.array(qmask))
@@ -501,9 +526,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qids = np.asarray(q.column("vec_id").to_pylist())[order]
         df = knn_brute_force(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
                              Q, k=5)
-        df["query_id"] = qids[df["query_id"].to_numpy()]
+        df["query_id"] = qids[df["query_id"].to_numpy()].astype(str)
+        df["vec_id"] = df["vec_id"].astype(str)
         df["cosine"] = df["cosine"].round(5)
-        return df[["query_id", "vec_id", "cosine", "rank"]]
+        df = df[["query_id", "vec_id", "cosine", "rank"]].copy()
+        df.insert(0, "leg", "brute")
+
+        corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        queries_ds = corpus.map_batches(
+            lambda b: b.filter(pc.less(b.column("vec_id"), 3)),
+            batch_format="pyarrow")
+        kj = knn_join(queries_ds, corpus, k=5, n_clusters=4,
+                      n_probe=4).to_pandas()
+        kj["cosine"] = kj["cosine"].round(5)
+        kj = kj[["query_id", "vec_id", "cosine", "rank"]].copy()
+        kj.insert(0, "leg", "knn_join")
+        return pd.concat([df, kj], ignore_index=True)
 
     def ivf_knn_q(sf_dir: str):
         import hashlib
@@ -638,8 +676,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hopping_window_agg(sf_dir, 60, 15)
 
     def range_join_band(sf_dir: str):
+        """COMPOSITE distance-band gate (r5): the events time-band join (leg
+        'time') plus three spatial verbs over an events-derived point cloud
+        whose coordinates DuckDB can recompute — ST_DWithin join over POINT
+        geometries (leg 'dwithin', functions/spatial_join.dwithin_join),
+        distributed DBSCAN (leg 'dbscan', spatial_cluster.dbscan_points; the
+        SQL oracle reproduces min-core-label clusters with a recursive
+        transitive closure), and point-in-polygon join against fixed
+        rectangles (leg 'pip', spatial_join.point_in_polygon_join). One
+        row set, one driver hash, four independently-SQL-checked verbs."""
+        import pandas as pd
+        import pyarrow.compute as pc
+        import ray.data
+        from brdrq_ray.functions.spatial_cluster import dbscan_points
+        from brdrq_ray.functions.spatial_join import (dwithin_join,
+                                                      point_in_polygon_join)
         from brdrq_ray.functions.windows import range_join_events
-        return range_join_events(sf_dir, 30)
+
+        tr = range_join_events(sf_dir, 30).to_pandas()
+        legs = [pd.DataFrame({
+            "leg": "time",
+            "id_a": tr["click_id"].astype(str),
+            "id_b": tr["view_id"].astype(str),
+            "metric": tr["gap_sec"].astype(np.float64),
+            "flag": pd.Series([None] * len(tr), dtype=object)})]
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "ts", "event_type",
+                                            "value"])
+
+        def mk_points(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("event_type"), "click"))
+            us = t.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "point_id": t.column("event_id").cast(pa.string()),
+                "x": t.column("value").cast(pa.float64()),
+                "y": pa.array((us % 997).astype(np.float64)),
+            })
+
+        points = ev.map_batches(mk_points,
+                                batch_format="pyarrow").materialize()
+
+        db = dbscan_points(points, eps=_DBSCAN_EPS,
+                           min_pts=_DBSCAN_MIN_PTS).to_pandas()
+        legs.append(pd.DataFrame({
+            "leg": "dbscan", "id_a": db["point_id"], "id_b": db["cluster"],
+            "metric": np.nan,
+            # flag as VARCHAR on both sides: nullable-boolean dtypes diverge
+            # between pandas and the DuckDB result frame
+            "flag": pd.Series(["true" if v else "false"
+                               for v in db["is_core"]], dtype=object)}))
+
+        def mk_wkt(side_id):
+            def fn(b: pa.Table) -> pa.Table:
+                xs = b.column("x").to_numpy(zero_copy_only=False).tolist()
+                ys = b.column("y").to_numpy(zero_copy_only=False).tolist()
+                wkts = [f"POINT ({x!r} {y!r})" for x, y in zip(xs, ys)]
+                return pa.table({side_id: b.column("point_id"),
+                                 "geometry_wkt": pa.array(wkts, pa.string())})
+            return fn
+
+        theme = points.map_batches(mk_wkt("theme_id"), batch_format="pyarrow")
+        ref = points.map_batches(mk_wkt("ref_id"), batch_format="pyarrow")
+        dw = dwithin_join(theme, ref, distance=_DBSCAN_EPS).to_pandas()
+        dw = dw[dw["theme_id"] < dw["ref_id"]].reset_index(drop=True)
+        legs.append(pd.DataFrame({
+            "leg": "dwithin", "id_a": dw["theme_id"], "id_b": dw["ref_id"],
+            "metric": dw["distance"].round(6).astype(np.float64),
+            "flag": pd.Series([None] * len(dw), dtype=object)}))
+
+        rect_tab = pa.table({
+            "theme_id": pa.array([r[0] for r in _PIP_RECTS], pa.string()),
+            "geometry_wkt": pa.array(
+                [f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, "
+                 f"{x0} {y0}))" for _, x0, y0, x1, y1 in _PIP_RECTS],
+                pa.string()),
+        })
+        pip = point_in_polygon_join(
+            points, ray.data.from_arrow(rect_tab)).to_pandas()
+        legs.append(pd.DataFrame({
+            "leg": "pip", "id_a": pip["point_id"], "id_b": pip["theme_id"],
+            "metric": np.nan,
+            "flag": pd.Series([None] * len(pip), dtype=object)}))
+
+        return pd.concat(legs, ignore_index=True)
 
     def spatial_semi_join(sf_dir: str):
         # COMPOSITE cross-check (the hash_join pattern): the tiled one-shot
@@ -882,7 +1003,7 @@ _BASE_ORACLE_SQL = {
         """,
         "filter_substring": """
             SELECT 'doc_text' AS leg, CAST(doc_id AS VARCHAR) AS id,
-                   lang AS extra
+                   lang AS extra, CAST(NULL AS DOUBLE) AS score
             FROM documents WHERE contains(lower(text), 'window')
             UNION ALL
             -- M11 full form: keyword-prioritized field selection with
@@ -890,11 +1011,59 @@ _BASE_ORACLE_SQL = {
             -- [p_name, p_type, p_partkey]; the id (p_partkey) is always
             -- searched; every value is stringified + lowercased
             SELECT 'part_multi' AS leg, CAST(p_partkey AS VARCHAR) AS id,
-                   p_brand AS extra
+                   p_brand AS extra, CAST(NULL AS DOUBLE) AS score
             FROM part
             WHERE contains(lower(CAST(p_partkey AS VARCHAR)), '13')
                OR contains(lower(p_name), '13')
                OR contains(lower(p_type), '13')
+            UNION ALL
+            -- BM25 leg: Okapi with the Lucene idf ln(1+(N-df+.5)/(df+.5)),
+            -- k1=1.2 b=0.75, engine tokenizer = lower + split on
+            -- [^a-z0-9]+ with empties dropped; float expression order
+            -- mirrors the engine kernel (idf * 2.2 * tf / den)
+            SELECT 'bm25', CAST(s.doc_id AS VARCHAR), 'q0',
+                   -- the engine emits scores on bm25_search's 1e-9 grid;
+                   -- match that grid directly (a second coarser round would
+                   -- sit on half-boundaries ~1/1000 of the time)
+                   round(sum(s.contrib), 9) AS score
+            FROM (
+                WITH toks AS (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(text),
+                                                     '[^a-z0-9]+')) AS t
+                    FROM documents),
+                tok AS (SELECT doc_id, t FROM toks WHERE t != ''),
+                dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+                       FROM tok GROUP BY doc_id),
+                corpus AS (
+                    SELECT CAST(count(*) AS DOUBLE) AS n,
+                           (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+                           / count(*) AS avgdl
+                    FROM documents),
+                q(t) AS (VALUES ('window'), ('merge'), ('sort')),
+                dfreq AS (
+                    SELECT q.t, CAST(count(DISTINCT tok.doc_id) AS DOUBLE)
+                           AS df
+                    FROM q LEFT JOIN tok ON tok.t = q.t GROUP BY q.t),
+                idf AS (
+                    SELECT t, ln(1.0 + ((SELECT n FROM corpus) - df + 0.5)
+                                 / (df + 0.5)) AS idf
+                    FROM dfreq),
+                tf AS (
+                    SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+                    FROM tok WHERE t IN (SELECT t FROM q)
+                    GROUP BY doc_id, t)
+                SELECT tf.doc_id,
+                       idf.idf * 2.2 * tf.tf
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                                         + 0.75 * dl.dl
+                                           / (SELECT avgdl FROM corpus)))
+                       AS contrib
+                FROM tf
+                JOIN idf USING (t)
+                JOIN dl ON dl.doc_id = tf.doc_id) s
+            GROUP BY s.doc_id
+            HAVING sum(s.contrib) > 0
         """,
         "filter_state": """
             SELECT event_id, user_id, event_type FROM events
@@ -963,7 +1132,15 @@ _BASE_ORACLE_SQL = {
                    (SELECT min(bin) * 0.5 FROM cum, n
                     WHERE cc >= greatest(CAST(ceil(0.90 * total) AS BIGINT), 1)) AS p90_value_bin,
                    (SELECT min(bin) * 0.5 FROM cum, n
-                    WHERE cc >= greatest(CAST(ceil(0.99 * total) AS BIGINT), 1)) AS p99_value_bin
+                    WHERE cc >= greatest(CAST(ceil(0.99 * total) AS BIGINT), 1)) AS p99_value_bin,
+                   -- r5: dataset-profiler leg (distributed describe fold)
+                   (SELECT count(*) FROM events) AS prof_value_rows,
+                   (SELECT count(*) - count(value) FROM events) AS prof_value_nulls,
+                   (SELECT min(value) FROM events) AS prof_value_min,
+                   (SELECT max(value) FROM events) AS prof_value_max,
+                   (SELECT round(avg(value), 6) FROM events) AS prof_value_mean,
+                   (SELECT round(avg(CAST(length(event_type) AS DOUBLE)), 6)
+                    FROM events WHERE event_type IS NOT NULL) AS prof_type_len_mean
         """,
         "listing_top1000": """
             SELECT o_orderkey, o_totalprice FROM orders
@@ -984,15 +1161,85 @@ _BASE_ORACLE_SQL = {
             FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS i(i)
             GROUP BY user_id, window_start
         """,
-        "range_join_band": """
-            SELECT e.event_id AS click_id, e.user_id, v.event_id AS view_id,
+        "range_join_band": f"""
+            -- composite distance-band gate: time-band join + dwithin +
+            -- DBSCAN (recursive min-core-label closure) + point-in-polygon
+            -- over the events-derived click point cloud
+            WITH RECURSIVE pts AS (
+                SELECT CAST(event_id AS VARCHAR) AS id, value AS x,
+                       CAST(epoch_us(ts) % 997 AS DOUBLE) AS y
+                FROM events WHERE event_type = 'click'),
+            -- engine dbscan pair predicate: squared compare (no sqrt)
+            pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM pts a JOIN pts b ON a.id < b.id
+                WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                      <= {_DBSCAN_EPS}*{_DBSCAN_EPS}),
+            deg AS (
+                SELECT id, count(*) AS nbrs FROM (
+                    SELECT id_a AS id FROM pairs
+                    UNION ALL SELECT id_b FROM pairs)
+                GROUP BY id),
+            core AS (SELECT id FROM deg WHERE nbrs + 1 >= {_DBSCAN_MIN_PTS}),
+            cedges AS (
+                SELECT p.id_a AS u, p.id_b AS v FROM pairs p
+                WHERE p.id_a IN (SELECT id FROM core)
+                  AND p.id_b IN (SELECT id FROM core)
+                UNION ALL
+                SELECT p.id_b, p.id_a FROM pairs p
+                WHERE p.id_a IN (SELECT id FROM core)
+                  AND p.id_b IN (SELECT id FROM core)),
+            reach(id, lab) AS (
+                SELECT id, id FROM core
+                UNION
+                SELECT e.u, r.lab FROM reach r JOIN cedges e ON e.v = r.id),
+            clab AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+            border AS (
+                SELECT nc.id, min(cl.cluster) AS cluster FROM (
+                    SELECT p.id_b AS id, p.id_a AS cid FROM pairs p
+                    WHERE p.id_a IN (SELECT id FROM core)
+                      AND p.id_b NOT IN (SELECT id FROM core)
+                    UNION ALL
+                    SELECT p.id_a, p.id_b FROM pairs p
+                    WHERE p.id_b IN (SELECT id FROM core)
+                      AND p.id_a NOT IN (SELECT id FROM core)
+                ) nc JOIN clab cl ON cl.id = nc.cid
+                GROUP BY nc.id),
+            rects(rid, x0, y0, x1, y1) AS (VALUES
+                {", ".join(f"('{r}', {x0}, {y0}, {x1}, {y1})"
+                           for r, x0, y0, x1, y1 in _PIP_RECTS)})
+            SELECT 'time' AS leg, CAST(e.event_id AS VARCHAR) AS id_a,
+                   CAST(v.event_id AS VARCHAR) AS id_b,
                    round(CAST(epoch_us(e.ts) - epoch_us(v.ts) AS DOUBLE)
-                         / 1000000.0, 6) AS gap_sec
+                         / 1000000.0, 6) AS metric,
+                   CAST(NULL AS VARCHAR) AS flag
             FROM (SELECT * FROM events WHERE event_type = 'click') e
             JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON e.user_id = v.user_id
              AND v.ts < e.ts
              AND v.ts >= e.ts - INTERVAL '30 minutes'
+            UNION ALL
+            -- engine dwithin predicate: sqrt form (geom_distance <= D)
+            SELECT 'dwithin', a.id, b.id,
+                   round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6),
+                   NULL
+            FROM pts a JOIN pts b ON a.id < b.id
+            WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y))
+                  <= {_DBSCAN_EPS}
+            UNION ALL
+            SELECT 'dbscan', p.id,
+                   coalesce(cl.cluster, b.cluster),
+                   CAST(NULL AS DOUBLE),
+                   CASE WHEN cl.id IS NOT NULL THEN 'true'
+                        ELSE 'false' END
+            FROM pts p
+            LEFT JOIN clab cl ON cl.id = p.id
+            LEFT JOIN border b ON b.id = p.id
+            UNION ALL
+            SELECT 'pip', p.id, r.rid, CAST(NULL AS DOUBLE), NULL
+            FROM pts p JOIN rects r
+              ON p.x >= r.x0 AND p.x <= r.x1
+             AND p.y >= r.y0 AND p.y <= r.y1
         """,
         "global_revenue": """
             SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)) / 1000.0)
@@ -1091,9 +1338,21 @@ _BASE_ORACLE_SQL = {
                          round(list_cosine_similarity(q.embedding::DOUBLE[],
                                                       v.embedding::DOUBLE[]), 9) AS c9
                   FROM q CROSS JOIN embeddings v)
-            SELECT query_id, vec_id, round(c9, 5) AS cosine,
+            SELECT 'brute' AS leg, CAST(query_id AS VARCHAR) AS query_id,
+                   CAST(vec_id AS VARCHAR) AS vec_id,
+                   round(c9, 5) AS cosine,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY c9 DESC, vec_id) AS rank
+            FROM s QUALIFY rank <= 5
+            UNION ALL
+            -- knn_join leg: same exact top-5 (n_probe == n_clusters), but
+            -- the engine breaks cosine ties by STRING id order — mirror it
+            SELECT 'knn_join', CAST(query_id AS VARCHAR),
+                   CAST(vec_id AS VARCHAR),
+                   round(c9, 5),
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c9 DESC,
+                                               CAST(vec_id AS VARCHAR)) AS rank
             FROM s QUALIFY rank <= 5
         """,
         # text_quality / minhash_pairs / simhash_values / embedding_neardup /

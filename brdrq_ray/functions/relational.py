@@ -86,6 +86,11 @@ def filter_rounded_equality(sf_dir: str):
         batch_format="pyarrow")
 
 
+#: fixed query of the filter_substring composite's bm25 leg — three
+#: mid-frequency fixture terms so tf, dl-normalization and idf all vary
+BM25_QUERY = "window merge sort"
+
+
 def filter_substring(sf_dir: str):
     """M11 composite (one driver row gates both forms): leg 'doc_text' is the
     single-column substring filter; leg 'part_multi' is the FULL reference
@@ -95,13 +100,21 @@ def filter_substring(sf_dir: str):
     plugin/brdrq/brdrq_dockwidget_featurealigner.py:479-529). The cap is
     load-bearing in the fixture: keywords ('name','type') + max_fields=3
     select [p_name, p_type, p_partkey], so 'Brand#13' rows match only if the
-    needle hits a SELECTED field — an uncapped search would return more."""
+    needle hits a SELECTED field — an uncapped search would return more.
+
+    Leg 'bm25' (r5) is distributed BM25 full-text search
+    (functions/search.py::bm25_search) over the same documents table for the
+    fixed query BM25_QUERY, all positive-score docs (no top-k cutoff — rank
+    boundaries under float ties are pytest-gated; the driver gate checks the
+    full scoring path value-for-value against a DuckDB reproduction of the
+    Lucene-idf Okapi formula)."""
     docs = read(sf_dir, "documents", ["doc_id", "lang", "text"])
     doc_leg = docs.map_batches(
         lambda t: (lambda f: pa.table({
             "leg": pa.array(["doc_text"] * f.num_rows),
             "id": pc.cast(f.column("doc_id"), pa.string()),
             "extra": f.column("lang"),
+            "score": pa.nulls(f.num_rows, pa.float64()),
         }))(t.filter(pc.match_substring(pc.utf8_lower(t.column("text")), "window"))),
         batch_format="pyarrow")
 
@@ -114,8 +127,23 @@ def filter_substring(sf_dir: str):
             "leg": pa.array(["part_multi"] * f.num_rows),
             "id": pc.cast(f.column("p_partkey"), pa.string()),
             "extra": f.column("p_brand"),
+            "score": pa.nulls(f.num_rows, pa.float64()),
         }), batch_format="pyarrow")
-    return doc_leg.union(part_leg)
+
+    from .search import bm25_search
+    bm = bm25_search(read(sf_dir, "documents", ["doc_id", "text"]),
+                     {"q0": BM25_QUERY}, k=1_000_000)
+    bm_leg = pa.table({
+        "leg": pa.array(["bm25"] * len(bm), pa.string()),
+        "id": pa.array(bm["doc_id"].astype(str), pa.string()),
+        "extra": pa.array(bm["query_id"], pa.string()),
+        # keep bm25_search's round-9 grid as-is: re-rounding a 1e-9-gridded
+        # value to 6 decimals lands on half-boundaries ~1/1000 of the time,
+        # where engine/oracle rounding modes can legitimately split
+        "score": pa.array(bm["score"], pa.float64()),
+    })
+    import ray.data
+    return doc_leg.union(part_leg).union(ray.data.from_arrow(bm_leg))
 
 
 def search_field_selection(names, keywords=(), max_fields: int = 15) -> list:
@@ -608,6 +636,16 @@ def global_minmax(sf_dir: str):
     merged = pd.Series(allcnts).groupby(allbins).sum().sort_index()
     qr = quantiles_from_hist(merged.index.to_numpy(), merged.to_numpy(),
                              w, (0.5, 0.9, 0.99))
+    # composite leg (r5): the distributed dataset profiler's fused-scan fold
+    # (functions/profile.py::profile_dataset — the distributed `describe`)
+    # cross-checked in the same driver row. DuckDB reproduces rows / nulls /
+    # mean / string-length stats exactly (HLL distinct is gated separately
+    # by hll_distinct).
+    from .profile import profile_dataset
+    prof = profile_dataset(read(sf_dir, "events",
+                                ["value", "event_type"])).to_pandas()
+    prof = prof.set_index("column")
+    pv, pt = prof.loc["value"], prof.loc["event_type"]
     return pa.table({
         "min_value": pa.array([float(parts["vmin"].min())], pa.float64()),
         "max_value": pa.array([float(parts["vmax"].max())], pa.float64()),
@@ -616,6 +654,14 @@ def global_minmax(sf_dir: str):
         "p50_value_bin": pa.array([qr["quantiles"][0.5]], pa.float64()),
         "p90_value_bin": pa.array([qr["quantiles"][0.9]], pa.float64()),
         "p99_value_bin": pa.array([qr["quantiles"][0.99]], pa.float64()),
+        "prof_value_rows": pa.array([int(pv["rows"])], pa.int64()),
+        "prof_value_nulls": pa.array([int(pv["nulls"])], pa.int64()),
+        "prof_value_min": pa.array([float(pv["min"])], pa.float64()),
+        "prof_value_max": pa.array([float(pv["max"])], pa.float64()),
+        "prof_value_mean": pa.array([round(float(pv["mean"]), 6)],
+                                    pa.float64()),
+        "prof_type_len_mean": pa.array([round(float(pt["len_mean"]), 6)],
+                                       pa.float64()),
     })
 
 
