@@ -226,10 +226,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return corr.select_columns(["theme_id", "brdrq_state", "brdr_evaluation"])
 
     def buffer_op(sf_dir: str):
+        """COMPOSITE since r5: leg 'buffer' is M3 (1.01·rd dilation); leg
+        'crs' reprojects every thematic feature Lambert-72 -> WGS84 through
+        the dataset operator (functions/geometry_ops.reproject_geometries)
+        and emits its centroid in degrees; leg 'iogp' sends three fixed
+        Lambert-72 probe points through the same operator (the worked-
+        example-style pinned rows — the EPSG 9802/9606 kernel itself is
+        pinned against the published IOGP examples in tests/test_crs.py)."""
+        import pandas as pd
         import ray.data
-        from brdrq_ray.stages.ingest import parse_geometries, emit_wkt
+        from brdrq_ray.functions.geometry_ops import reproject_geometries
         from brdrq_ray.geom import core as g
         from brdrq_ray.geom.buffer import dilate
+        from brdrq_ray.stages.ingest import parse_geometries
 
         fdir = _fixture_dir(sf_dir)
         ds = ray.data.read_parquet(f"{fdir}/thematic.parquet")
@@ -240,10 +249,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             for b in t.column("geom").to_pylist():
                 kind, parts = g.unpack_geom(b)
                 areas.append(round(g.geom_area(kind, dilate(parts, 1.0)), 2))
-            return pa.table({"theme_id": t.column("theme_id"),
-                             "buffered_area": pa.array(areas, pa.float64())})
+            n = t.num_rows
+            return pa.table({"leg": pa.array(["buffer"] * n, pa.string()),
+                             "theme_id": t.column("theme_id"),
+                             "buffered_area": pa.array(areas, pa.float64()),
+                             "lon": pa.nulls(n, pa.float64()),
+                             "lat": pa.nulls(n, pa.float64())})
 
-        return ds.map_batches(buf, batch_format="pyarrow")
+        buffer_leg = ds.map_batches(buf, batch_format="pyarrow")
+
+        def cent(t: pa.Table, leg: str) -> pa.Table:
+            lons, lats = [], []
+            for b in t.column("geom").to_pylist():
+                kind, parts = g.unpack_geom(b)
+                cx, cy = g.geom_centroid(kind, parts)
+                lons.append(round(cx, 9))
+                lats.append(round(cy, 9))
+            n = t.num_rows
+            return pa.table({"leg": pa.array([leg] * n, pa.string()),
+                             "theme_id": t.column("theme_id"),
+                             "buffered_area": pa.nulls(n, pa.float64()),
+                             "lon": pa.array(lons, pa.float64()),
+                             "lat": pa.array(lats, pa.float64())})
+
+        parsed = ds.map_batches(parse_geometries, batch_format="pyarrow")
+        crs_leg = reproject_geometries(
+            parsed, "EPSG:31370", "EPSG:4326").map_batches(
+            lambda t: cent(t, "crs"), batch_format="pyarrow")
+
+        probes = pa.table({
+            "theme_id": pa.array(["IOGP:a", "IOGP:b", "IOGP:c"], pa.string()),
+            "geometry_wkt": pa.array(["POINT (150000 170000)",
+                                      "POINT (100000 150000)",
+                                      "POINT (200000 200000)"], pa.string()),
+        })
+        iogp_leg = reproject_geometries(
+            ray.data.from_arrow(probes).map_batches(parse_geometries,
+                                                    batch_format="pyarrow"),
+            "EPSG:31370", "EPSG:4326").map_batches(
+            lambda t: cent(t, "iogp"), batch_format="pyarrow")
+
+        return buffer_leg.union(crs_leg).union(iogp_leg)
 
     # ---- text / dedup / similarity ----------------------------------------
     def exact_dedup_documents(sf_dir: str):
@@ -408,8 +454,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vb = build_vocab(docs, size=10).to_pandas()
         vb = vb.rename(columns={"word": "value", "cnt": "est_count"})
         vb.insert(0, "leg", "vocab_topk")
+        vb["rank"] = range(1, len(vb) + 1)
         import pandas as pd
-        return pd.concat([hh, vb], ignore_index=True)
+        # composite legs since r5: tokenizer-training verdicts through the
+        # driver gate — the first 12 BPE merges (functions/bpe.train_bpe,
+        # distributed word histogram + driver merge loop) and the top-10
+        # unigram-LM pieces with their log-probs scaled to int64
+        # (functions/unigram.train_unigram, distributed EM)
+        from brdrq_ray.functions.bpe import train_bpe
+        from brdrq_ray.functions.unigram import train_unigram
+        bp = train_bpe(docs, n_merges=12)
+        bl = pd.DataFrame({
+            "leg": "bpe_merges",
+            "value": [f"{a}+{b}" for a, b in bp["merges"]],
+            "est_count": 0,
+            "rank": range(1, len(bp["merges"]) + 1)})
+        ug = train_unigram(docs, vocab_size=40)
+        ul = pd.DataFrame({
+            "leg": "unigram_pieces",
+            "value": ug["pieces"][:10],
+            "est_count": [int(round(-lp * 1e6)) for lp in ug["logps"][:10]],
+            "rank": range(1, 11)})
+        return pd.concat([hh, vb, bl, ul], ignore_index=True)
 
     def pack_sequences_q(sf_dir: str):
         import ray.data
@@ -652,16 +718,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(res, ["brdr_perimeter"], 4)
 
     def clip_selection(sf_dir: str):
+        """COMPOSITE spatial-verbs gate (r5): leg 'clip' is M16 (partial-
+        selection clip); leg 'overlay' is the pairwise intersection overlay
+        join (theme x reference inter_area); legs 'dissolve_area' /
+        'dissolve_n' are the per-key unary union (key = last theme_id
+        char); leg 'hull' is the distributed per-key convex hull (exact
+        hull-as-combiner); leg 'hausdorff' is the per-feature Hausdorff
+        distance between each geometry and its tolerance-1.0 Douglas-Peucker
+        simplification (gating simplify + the metric together)."""
+        import pandas as pd
         import ray.data
-        from brdrq_ray.functions.geometry_ops import clip_to_polygon
+        from brdrq_ray.functions.geometry_ops import (
+            clip_to_polygon, convex_hull_by, dissolve_by, hausdorff_pairs,
+            simplify_geometries)
+        from brdrq_ray.functions.spatial_join import intersection_overlay_join
         from brdrq_ray.stages.ingest import parse_geometries
 
         fdir = _fixture_dir(sf_dir)
-        ds = ray.data.read_parquet(f"{fdir}/thematic.parquet").map_batches(
-            parse_geometries, batch_format="pyarrow")
+        theme = ray.data.read_parquet(f"{fdir}/thematic.parquet")
+        ds = theme.map_batches(parse_geometries, batch_format="pyarrow")
         clip = "POLYGON ((100000 150000, 100500 150000, 100500 150500, 100000 150500, 100000 150000))"
-        out = clip_to_polygon(ds, clip).select_columns(["theme_id", "clipped_area"])
-        return _round_floats(out, ["clipped_area"], 4)
+        cl = clip_to_polygon(ds, clip).select_columns(
+            ["theme_id", "clipped_area"]).to_pandas()
+        legs = [pd.DataFrame({
+            "leg": "clip", "theme_id": cl["theme_id"],
+            "ref_id": pd.Series([None] * len(cl), dtype=object),
+            "metric": cl["clipped_area"].round(4)})]
+
+        ov = intersection_overlay_join(
+            theme, ray.data.read_parquet(f"{fdir}/reference.parquet"),
+            emit_wkt=False).to_pandas()
+        legs.append(pd.DataFrame({
+            "leg": "overlay", "theme_id": ov["theme_id"],
+            "ref_id": ov["ref_id"], "metric": ov["inter_area"].round(4)}))
+
+        def with_key(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.append_column(
+                "grp", pc.utf8_slice_codeunits(
+                    t.column("theme_id").cast(pa.string()), 4, 5))
+
+        keyed = theme.map_batches(with_key, batch_format="pyarrow")
+        dv = dissolve_by(keyed, "grp").to_pandas()
+        legs.append(pd.DataFrame({
+            "leg": "dissolve_area", "theme_id": dv["grp"],
+            "ref_id": pd.Series([None] * len(dv), dtype=object),
+            "metric": dv["area"].round(4)}))
+        legs.append(pd.DataFrame({
+            "leg": "dissolve_n", "theme_id": dv["grp"],
+            "ref_id": pd.Series([None] * len(dv), dtype=object),
+            "metric": dv["n_features"].astype(np.float64)}))
+
+        hb = convex_hull_by(keyed, "grp").to_pandas()
+        legs.append(pd.DataFrame({
+            "leg": "hull", "theme_id": hb["grp"],
+            "ref_id": pd.Series([None] * len(hb), dtype=object),
+            "metric": hb["hull_area"].round(4)}))
+
+        parsed_keep = theme.map_batches(
+            parse_geometries, batch_format="pyarrow",
+            fn_kwargs={"drop_wkt": False})
+        simp = simplify_geometries(parsed_keep, tolerance=1.0)
+        hd = hausdorff_pairs(simp, "geometry_wkt", "geom").to_pandas()
+        legs.append(pd.DataFrame({
+            "leg": "hausdorff", "theme_id": hd["theme_id"],
+            "ref_id": pd.Series([None] * len(hd), dtype=object),
+            "metric": hd["hausdorff"].round(4)}))
+
+        return pd.concat(legs, ignore_index=True)
 
     def window_tumbling(sf_dir: str):
         from brdrq_ray.functions.windows import tumbling_window_agg
@@ -829,10 +953,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return series.map_batches(jsonify, batch_format="pyarrow")
 
     def rasterize_features(sf_dir: str):
+        """COMPOSITE raster gate (r5): leg 'occupancy' is the original
+        vector->raster occupancy (functions/raster.rasterize); leg 'zonal'
+        is zonal_stats of a deterministic value raster over the thematic
+        zones (long format, one row per (zone, stat)); leg 'pyramid' is
+        downsample(d=2, agg=sum) of the value raster. Two EXACT in-query
+        assertions gate the rest of the pyramid family: upsample is the
+        inverse of downsample-mean (all-identical children), and
+        map_algebra(r, r, add) == 2r cell-for-cell."""
+        import pandas as pd
         import ray.data
-        from brdrq_ray.functions.raster import rasterize
+        from brdrq_ray.functions.raster import (downsample, map_algebra,
+                                                rasterize, upsample,
+                                                zonal_stats)
+        from brdrq_ray.functions.vhash import bucket_i32
         fdir = _fixture_dir(sf_dir)
-        return rasterize(ray.data.read_parquet(f"{fdir}/thematic.parquet"), level=20)
+        zones = ray.data.read_parquet(f"{fdir}/thematic.parquet")
+        occ = rasterize(zones, level=20).materialize()
+
+        op = occ.to_pandas()
+        legs = [pd.DataFrame({
+            "leg": "occupancy", "theme_id": op["theme_id"],
+            "cell": op["cell"].astype(str),
+            "stat": pd.Series([None] * len(op), dtype=object),
+            "value": np.nan})]
+
+        # deterministic value raster over the DISTINCT occupied cells
+        # (bucketed dedupe — zones overlap, a raster has one row per cell)
+        def keyed(b: pa.Table) -> pa.Table:
+            cells = b.column("cell").cast(pa.int64())
+            return pa.table({"cell": cells,
+                             "__b": bucket_i32(cells, 64)})
+
+        def uniq(gr: pa.Table) -> pa.Table:
+            cells = np.unique(gr.column("cell").to_numpy(
+                zero_copy_only=False))
+            return pa.table({
+                "cell": pa.array(cells, pa.int64()),
+                "value": pa.array((cells % 9973) / 100.0, pa.float64()),
+            })
+
+        raster = (occ.map_batches(keyed, batch_format="pyarrow")
+                  .groupby("__b").map_groups(uniq, batch_format="pyarrow")
+                  .materialize())
+
+        zs = zonal_stats(raster, zones, level=20).to_pandas()
+        zl = zs.melt(id_vars=["zone"], var_name="stat", value_name="value")
+        legs.append(pd.DataFrame({
+            "leg": "zonal", "theme_id": zl["zone"],
+            "cell": pd.Series([None] * len(zl), dtype=object),
+            "stat": zl["stat"],
+            "value": zl["value"].astype(np.float64).round(6)}))
+
+        pyr = downsample(raster, d=2, agg="sum").to_pandas()
+        legs.append(pd.DataFrame({
+            "leg": "pyramid",
+            "theme_id": pd.Series([None] * len(pyr), dtype=object),
+            "cell": pyr["cell"].astype(str),
+            "stat": pd.Series([None] * len(pyr), dtype=object),
+            "value": pyr["value"].round(6)}))
+
+        # exact gates (identical floats by construction — no tolerance)
+        base = raster.to_pandas().sort_values("cell").reset_index(drop=True)
+        rt = (downsample(upsample(raster, 1), 1, "mean").to_pandas()
+              .sort_values("cell").reset_index(drop=True))
+        if not (base["cell"].equals(rt["cell"])
+                and base["value"].equals(rt["value"])):
+            raise AssertionError(
+                "upsample/downsample-mean round-trip is not the identity")
+        alg = (map_algebra(raster, raster, "add").to_pandas()
+               .sort_values("cell").reset_index(drop=True))
+        if not (base["cell"].equals(alg["cell"])
+                and (base["value"] * 2.0).equals(alg["value"])):
+            raise AssertionError("map_algebra(r, r, add) != 2r")
+
+        return pd.concat(legs, ignore_index=True)
 
     def vectorize_features(sf_dir: str):
         import ray.data
