@@ -215,6 +215,35 @@ def run_queries() -> dict:
     qs["minhash_pairs"] = _minhash_prod
     qs["jaccard_join_exact"] = _jaccard_exact
 
+    # production token counter under its own name — the driver-facing
+    # `token_count` is a composite gate since r4 (count + budget flag +
+    # UniMax flag + a pinned materialization), whose time is gate cost
+    def _token_count_prod(sf_dir: str):
+        import ray.data
+        from brdrq_ray.functions.text import token_count_batch
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        return ds.map_batches(
+            lambda b: token_count_batch(b).select(["doc_id", "ws_tokens",
+                                                   "bpe_tokens"]),
+            batch_format="pyarrow")
+
+    qs["token_count"] = _token_count_prod
+
+    # production brute-force kNN under its own name — the driver-facing
+    # `knn_top5` is a composite gate since r5 (brute + knn_join legs)
+    def _knn_prod(sf_dir: str):
+        import numpy as np
+        import pyarrow.parquet as pqt
+        import ray.data
+        from brdrq_ray.functions.similarity import knn_brute_force
+        path = f"{sf_dir}/embeddings.parquet"
+        Q = np.asarray(pqt.read_table(path).column("embedding")
+                       .to_pylist()[:3])
+        return knn_brute_force(ray.data.read_parquet(path), Q, k=5)
+
+    qs["knn_top5"] = _knn_prod
+
     def _curation(sf_dir: str):
         import ray.data
         from brdrq_ray.pipelines.curation import CurationConfig, curate_and_pack
@@ -346,9 +375,22 @@ def run_queries() -> dict:
                    for i in range(theme.num_rows)}
         return spatial_index_probe(idx, queries)
 
+    def _reproject(sf_dir: str):
+        # Lambert-72 -> WGS84 -> Lambert-72 round trip over the bench
+        # reference tessellation (production egress/ingress chain)
+        import ray.data
+        from brdrq_ray.functions.geometry_ops import reproject_geometries
+        from brdrq_ray.stages.ingest import parse_geometries
+        fdir = _bench_fixture_dir()
+        parsed = ray.data.read_parquet(f"{fdir}/reference.parquet") \
+            .map_batches(parse_geometries, batch_format="pyarrow")
+        deg = reproject_geometries(parsed, "EPSG:31370", "EPSG:4326")
+        return reproject_geometries(deg, "EPSG:4326", "EPSG:31370")
+
     qs["bm25_search"] = _bm25
     qs["dbscan"] = _dbscan
     qs["spatial_index"] = _spatial_index
+    qs["reproject"] = _reproject
 
     def _spatial_semi_prod(sf_dir: str):
         # the driver-facing query is now a composite gate (tiled join +
@@ -370,7 +412,7 @@ def run_queries() -> dict:
              "dsir_resample", "media_dedup", "media_dedup_perceptual", "pq_knn",
              "align_predict", "align_evaluate", "autoupdate", "spatial_semi_join",
              "semi_anti_join", "correction", "media_decode",
-             "bm25_search", "dbscan", "spatial_index"]
+             "bm25_search", "dbscan", "spatial_index", "reproject"]
     reps = max(1, int(os.environ.get("BRDRQ_QUERY_REPS", "2")))
     out = {}
     for name in names:
