@@ -97,12 +97,23 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10,
     return C
 
 
-def resolve_n_clusters(n_clusters, n_vectors: int) -> int:
+def resolve_n_clusters(n_clusters, n_vectors: int,
+                       target_cluster_size: int | None = None) -> int:
     """IVF sizing rule: ~sqrt(n) cells when unset (the standard IVF heuristic
     — cell size ~ sqrt(n) balances probe cost against centroid-scan cost),
-    clamped to [4, 65536]."""
+    clamped to [4, 65536].
+
+    ``target_cluster_size`` switches to the ~constant-cluster-size policy
+    (k = ceil(n / target)): per-cluster pruning work is O(m^2) in cluster
+    size m, so sqrt-sizing makes TOTAL SemDeDup cost grow ~n^1.5 (m ~
+    sqrt(n)); pinning m ~ target makes it ~linear in n at the price of more
+    centroids to train/scan. The 100 TB knob for the dedup family — see
+    BASELINE.md's SemDeDup cost-curve probes."""
     if n_clusters is not None:
         return int(n_clusters)
+    if target_cluster_size:
+        k = -(-max(n_vectors, 1) // int(target_cluster_size))  # ceil div
+        return int(min(65536, max(4, k)))
     return int(min(65536, max(4, round(np.sqrt(max(n_vectors, 1))))))
 
 
@@ -334,15 +345,20 @@ def ivf_knn(ds, queries: np.ndarray, k: int = 10, n_clusters: int | None = 16,
 # ---------------------------------------------------------------------------
 
 def _fit_codebook(ds, n_clusters, vec_col: str, train_sample: int,
-                  distributed_train: bool | None) -> np.ndarray:
+                  distributed_train: bool | None,
+                  target_cluster_size: int | None = None) -> np.ndarray:
     """Shared codebook bootstrap for the cluster-family operators
-    (semantic_dedup, cluster_sample): resolve ~sqrt(n) sizing and the
+    (semantic_dedup, cluster_sample): resolve sizing (~sqrt(n), or
+    ~constant cluster size when ``target_cluster_size`` is set) and the
     distributed-train decision (one count, only when something needs it),
     init on a driver-side sample, optionally refine with distributed Lloyd
-    passes. Mirrors ivf_build's training path."""
+    passes (the minibatch-style refinement: centroids only ever see
+    streaming per-batch (sum, count) stats). Mirrors ivf_build's training
+    path."""
     if n_clusters is None or distributed_train is None:
         n_vectors = ds.count()
-        n_clusters = resolve_n_clusters(n_clusters, n_vectors)
+        n_clusters = resolve_n_clusters(n_clusters, n_vectors,
+                                        target_cluster_size)
         if distributed_train is None:
             distributed_train = n_vectors > DISTRIBUTED_TRAIN_THRESHOLD
     sample_n = max(train_sample, 2 * int(n_clusters))
@@ -411,7 +427,8 @@ def semantic_dedup_keep_ids(ds, threshold: float = 0.95,
                             vec_col: str = "embedding", id_col: str = "vec_id",
                             train_sample: int = 2048,
                             distributed_train: bool | None = None,
-                            block: int = 1024):
+                            block: int = 1024,
+                            target_cluster_size: int | None = None):
     """Semantic dedup survivor ids (SemDeDup): k-means partitions the corpus
     into clusters (reusing the IVF codebook machinery — driver-sampled init,
     distributed Lloyd refinement above DISTRIBUTED_TRAIN_THRESHOLD vectors),
@@ -423,7 +440,10 @@ def semantic_dedup_keep_ids(ds, threshold: float = 0.95,
     Distributed shape: one broadcast-codebook assignment pass, then ONE
     shuffle on the cluster id (groupby.map_groups); per-group work is
     O(m^2/block) matmul flops with O(block x m) memory, m ~ n/k with
-    k ~ sqrt(n) by default. Deterministic: fixed k-means seed, round-9
+    k ~ sqrt(n) by default — total cost then grows ~n^1.5. Past ~100k
+    vectors set ``target_cluster_size`` (e.g. 1000): k = ceil(n/target)
+    pins m ~ target so total pruning cost is ~LINEAR in n (BASELINE.md
+    SemDeDup cost-curve probes). Deterministic: fixed k-means seed, round-9
     centroid similarities, id tie-breaks — independent of partitioning.
 
     Returns a Dataset of (id_col, sem_cell) for the SURVIVORS (small relative
@@ -431,7 +451,7 @@ def semantic_dedup_keep_ids(ds, threshold: float = 0.95,
     import pandas as pd
 
     C = _fit_codebook(ds, n_clusters, vec_col, train_sample,
-                      distributed_train)
+                      distributed_train, target_cluster_size)
     cref = ray.put(C)
 
     def prune(g: pd.DataFrame) -> pd.DataFrame:

@@ -134,3 +134,46 @@ def test_semantic_dedup_distributed_train_path(ray_session):
     a = semantic_dedup_keep_ids(ray.data.from_arrow(tbl), **kw)
     b = semantic_dedup_keep_ids(ray.data.from_arrow(tbl).repartition(7), **kw)
     assert set(a.to_pandas()["vec_id"]) == set(b.to_pandas()["vec_id"])
+
+
+def test_resolve_n_clusters_target_size_policy():
+    from brdrq_ray.functions.similarity import resolve_n_clusters
+
+    # explicit n_clusters always wins
+    assert resolve_n_clusters(8, 10 ** 6, target_cluster_size=100) == 8
+    # ceil(n / target), clamped
+    assert resolve_n_clusters(None, 10 ** 6, target_cluster_size=1000) == 1000
+    assert resolve_n_clusters(None, 1001, target_cluster_size=1000) == 4
+    assert resolve_n_clusters(None, 10 ** 9, target_cluster_size=1000) == 65536
+    # unset target falls back to the sqrt rule
+    assert resolve_n_clusters(None, 10 ** 6) == 1000
+
+
+def test_semantic_dedup_target_size_recall(ray_session):
+    """The constant-cluster-size policy removes every planted near-dup pair
+    member exactly like the sqrt policy does (recall unchanged) — the
+    members of a planted pair are near-identical vectors, so they land in
+    the same cluster under ANY codebook."""
+    import ray.data
+
+    ids, V = _fixture_vectors(n=400, dim=16, seed=11, dup_pairs=30)
+    dup_ids = [(ids[2 * p], ids[2 * p + 1]) for p in range(30)]
+    tab = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(V.tolist(),
+                                          pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(tab)
+
+    def survivors(**kw):
+        out = semantic_dedup_keep_ids(ds, threshold=0.95,
+                                      distributed_train=False, **kw).to_pandas()
+        return set(out["vec_id"])
+
+    sq = survivors()                       # sqrt policy (k=20)
+    tg = survivors(target_cluster_size=50)  # k=8 constant-size policy
+    for a, b in dup_ids:
+        assert len({a, b} & sq) <= 1
+        assert len({a, b} & tg) <= 1
+    # recall on planted pairs identical between the two policies
+    removed_sq = {x for a, b in dup_ids for x in (a, b)} - sq
+    removed_tg = {x for a, b in dup_ids for x in (a, b)} - tg
+    assert len(removed_sq) == len(removed_tg) == len(dup_ids)

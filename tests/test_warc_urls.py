@@ -229,3 +229,41 @@ def test_wet_curation_e2e(ray_session, tmp_path):
     docs = normalize_urls(docs, col="source", out_col="url_norm")
     kept = url_dedup(docs, col="source", id_col="doc_id")
     assert kept.count() == 6  # the two Dup.example fetches collapse
+
+
+def test_wet_to_curation_e2e_smoke(ray_session, tmp_path):
+    """Composed crawl path (the BASELINE.md probe shape at toy scale):
+    read_wet -> wet_to_documents -> url_dedup -> curate_documents runs
+    file-parallel end-to-end; exact URL duplicates collapse to one doc and
+    survivors carry the documents-table contract."""
+    import numpy as np
+    from brdrq_ray.functions.urls import url_dedup
+    from brdrq_ray.pipelines.curation import CurationConfig, curate_documents
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    paths = []
+    for fi in range(3):
+        recs = []
+        for d in range(40):
+            text = " ".join(rng.choice(vocab, size=60))
+            uri = ("https://shared.example.com/dup" if d < 5
+                   else f"https://s{fi}.example.com/p/{d}?utm_source=x")
+            recs.append({"target_uri": uri, "text": text})
+        p = str(tmp_path / f"c{fi}.wet")
+        write_wet_file(p, recs)
+        paths.append(p)
+
+    docs = wet_to_documents(read_wet(paths))
+    assert docs.count() == 120
+    deduped = url_dedup(docs, col="source")
+    ddf = deduped.to_pandas()
+    # 15 rows shared one URL -> exactly 1 survives; utm param stripped rows
+    # stay distinct per path
+    assert (ddf["source"] == "https://shared.example.com/dup").sum() == 1
+    assert len(ddf) == 120 - 14
+    kept = curate_documents(deduped, CurationConfig(quality_min=0.0,
+                                                    jaccard_threshold=0.5))
+    kdf = kept.to_pandas()
+    assert {"doc_id", "text", "source"} <= set(kdf.columns)
+    assert 0 < len(kdf) <= len(ddf)
