@@ -723,9 +723,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         join (theme x reference inter_area); legs 'dissolve_area' /
         'dissolve_n' are the per-key unary union (key = last theme_id
         char); leg 'hull' is the distributed per-key convex hull (exact
-        hull-as-combiner); leg 'hausdorff' is the per-feature Hausdorff
-        distance between each geometry and its tolerance-1.0 Douglas-Peucker
-        simplification (gating simplify + the metric together)."""
+        hull-as-combiner); leg 'areal' is area-weighted attribute transfer
+        of the reference parcels' area_m2 onto the thematic layer; leg
+        'hausdorff' is the per-feature Hausdorff distance between each
+        geometry and its tolerance-1.0 Douglas-Peucker simplification
+        (gating simplify + the metric together)."""
         import pandas as pd
         import ray.data
         from brdrq_ray.functions.geometry_ops import (
@@ -774,6 +776,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "leg": "hull", "theme_id": hb["grp"],
             "ref_id": pd.Series([None] * len(hb), dtype=object),
             "metric": hb["hull_area"].round(4)}))
+
+        # leg 'areal' (r5): area-weighted attribute transfer — reference
+        # parcel area_m2 redistributed onto the thematic layer
+        from brdrq_ray.functions.spatial_join import areal_interpolate
+        ai = areal_interpolate(
+            ray.data.read_parquet(f"{fdir}/reference.parquet"),
+            theme, value_cols=["area_m2"]).to_pandas()
+        legs.append(pd.DataFrame({
+            "leg": "areal", "theme_id": ai["theme_id"],
+            "ref_id": pd.Series([None] * len(ai), dtype=object),
+            "metric": ai["area_m2"].round(4)}))
 
         parsed_keep = theme.map_batches(
             parse_geometries, batch_format="pyarrow",
@@ -957,7 +970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vector->raster occupancy (functions/raster.rasterize); leg 'zonal'
         is zonal_stats of a deterministic value raster over the thematic
         zones (long format, one row per (zone, stat)); leg 'pyramid' is
-        downsample(d=2, agg=sum) of the value raster. Two EXACT in-query
+        downsample(d=2, agg=sum) of the value raster; leg 'focal' is the
+        radius-1 moving-window mean of it. Two EXACT in-query
         assertions gate the rest of the pyramid family: upsample is the
         inverse of downsample-mean (all-identical children), and
         map_algebra(r, r, add) == 2r cell-for-cell."""
@@ -1012,6 +1026,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cell": pyr["cell"].astype(str),
             "stat": pd.Series([None] * len(pyr), dtype=object),
             "value": pyr["value"].round(6)}))
+
+        from brdrq_ray.functions.raster import focal_mean
+        fm = focal_mean(raster, radius=1).to_pandas()
+        legs.append(pd.DataFrame({
+            "leg": "focal",
+            "theme_id": pd.Series([None] * len(fm), dtype=object),
+            "cell": fm["cell"].astype(str),
+            "stat": pd.Series([None] * len(fm), dtype=object),
+            "value": fm["value"].round(6)}))
 
         # exact gates (identical floats by construction — no tolerance)
         base = raster.to_pandas().sort_values("cell").reset_index(drop=True)
