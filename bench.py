@@ -161,6 +161,13 @@ def run_headline() -> dict:
     # best-of-N inside the session: the sandbox machine shows +-30% wall noise
     # between minutes; one unlucky rep must not define the round's number
     reps = int(os.environ.get("BRDRQ_HEADLINE_REPS", "2"))
+    # sort-partition count == input block count in Ray Data's groupby path;
+    # a fixed NUM-CPUS-INDEPENDENT block override (same job at every
+    # scaling level) shrinks the align-stage straggler tail by giving the
+    # executor smaller units to pack (r5 stage profile: 3.2-18.3 s task
+    # spread at 128 blocks). 0 = Ray's automatic sizing.
+    read_blocks = int(os.environ.get("BRDRQ_READ_BLOCKS", "0"))
+    rkw = {"override_num_blocks": read_blocks} if read_blocks else {}
     best = None
     n_docs = 0
     for _ in range(max(1, reps)):
@@ -169,8 +176,10 @@ def run_headline() -> dict:
         # the shuffle (broadcast fast path exists but would sidestep the
         # exchange the scaling criterion is about)
         from brdrq_ray.sources.documents import read_interleaved_documents
-        out = align_documents(read_interleaved_documents(f"{fdir}/documents.parquet"),
-                              ray.data.read_parquet(f"{fdir}/reference.parquet"),
+        out = align_documents(read_interleaved_documents(f"{fdir}/documents.parquet",
+                                                         **rkw),
+                              ray.data.read_parquet(f"{fdir}/reference.parquet",
+                                                    **rkw),
                               AlignConfig(relevant_distance=2.0, od_strategy=OD_EXCLUDE),
                               hot_threshold=hot, broadcast_reference=False)
         n_docs = out.count()
