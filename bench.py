@@ -161,11 +161,12 @@ def run_headline() -> dict:
     # best-of-N inside the session: the sandbox machine shows +-30% wall noise
     # between minutes; one unlucky rep must not define the round's number
     reps = int(os.environ.get("BRDRQ_HEADLINE_REPS", "2"))
-    # sort-partition count == input block count in Ray Data's groupby path;
-    # a fixed NUM-CPUS-INDEPENDENT block override (same job at every
-    # scaling level) shrinks the align-stage straggler tail by giving the
-    # executor smaller units to pack (r5 stage profile: 3.2-18.3 s task
-    # spread at 128 blocks). 0 = Ray's automatic sizing.
+    # sort-partition count == input block count in Ray Data's groupby path.
+    # Diagnostic knob for the align straggler tail (r5 stage profile:
+    # 3.2-18.3 s task spread at 128 blocks). MEASURED NEGATIVE at 60k docs:
+    # 256 blocks ran 156 s vs 89 s at auto (finer partitions pay more task
+    # overhead and lose per-task unpack-cache reuse than the shorter tail
+    # recovers — BASELINE.md r5). 0 = Ray's automatic sizing; leave it.
     read_blocks = int(os.environ.get("BRDRQ_READ_BLOCKS", "0"))
     rkw = {"override_num_blocks": read_blocks} if read_blocks else {}
     best = None
