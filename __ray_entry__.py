@@ -45,15 +45,18 @@ _UNIMAX_BUDGET = 26_000
 # cores, ~215 borders, ~724 noise, 160 clusters).
 _DBSCAN_EPS = 6.0
 _DBSCAN_MIN_PTS = 3
-# axis-aligned PIP rectangles (xmin, ymin, xmax, ymax); bounds at .25/.75
-# offsets so no point of the 0.01-grid x / integer y cloud sits exactly on
-# an edge (engine boundary containment is implementation-defined)
+# axis-aligned PIP rectangles (xmin, ymin, xmax, ymax); x-bounds at .005
+# offsets (0.255/0.755) so no point of the 0.01-grid x cloud can sit
+# exactly on a vertical edge, y-bounds at .25/.75 (y is integer-valued) —
+# engine boundary containment is implementation-defined (the winding rule
+# excludes right/top edges while the SQL oracle's <= includes them, so an
+# exact edge hit would split the gate)
 _PIP_RECTS = [
-    ("R0", 10.25, 50.25, 130.75, 350.75),
-    ("R1", 120.25, 10.25, 260.75, 500.75),
-    ("R2", 250.25, 400.25, 490.75, 990.75),
-    ("R3", 0.25, 600.25, 200.75, 996.75),
-    ("R4", 300.25, 100.25, 420.75, 380.75),
+    ("R0", 10.255, 50.25, 130.755, 350.75),
+    ("R1", 120.255, 10.25, 260.755, 500.75),
+    ("R2", 250.255, 400.25, 490.755, 990.75),
+    ("R3", 0.255, 600.25, 200.755, 996.75),
+    ("R4", 300.255, 100.25, 420.755, 380.75),
 ]
 
 
@@ -1011,7 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   .groupby("__b").map_groups(uniq, batch_format="pyarrow")
                   .materialize())
 
-        zs = zonal_stats(raster, zones, level=20).to_pandas()
+        zs = zonal_stats(raster, zones, level=20, occupancy=occ).to_pandas()
         zl = zs.melt(id_vars=["zone"], var_name="stat", value_name="value")
         legs.append(pd.DataFrame({
             "leg": "zonal", "theme_id": zl["zone"],

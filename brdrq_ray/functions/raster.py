@@ -83,7 +83,8 @@ _ZONAL_OUT = pa.schema([
 
 def zonal_stats(raster: ray.data.Dataset, zones: ray.data.Dataset, level: int,
                 value_col: str = "value", id_col: str = "theme_id",
-                n_buckets: int = 64) -> ray.data.Dataset:
+                n_buckets: int = 64,
+                occupancy: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """Zonal statistics: per-zone count/sum/mean/min/max of raster cell
     values, one output row per zone with at least one covered cell.
 
@@ -101,12 +102,16 @@ def zonal_stats(raster: ray.data.Dataset, zones: ray.data.Dataset, level: int,
     raster itself is never reshuffled or fanned out per zone. Output is
     deterministic under any partitioning: bucket-local rows are sorted
     before aggregation and the final fold sums partials in __b order.
+
+    ``occupancy`` lets a caller that already rasterized the zones at
+    ``level`` (a (id_col, cell) Dataset from :func:`rasterize`) pass it in
+    instead of paying the vector->raster scan a second time.
     """
     import pandas as pd
 
     from .vhash import bucket_i32
 
-    occ = rasterize(zones, level, id_col)
+    occ = rasterize(zones, level, id_col) if occupancy is None else occupancy
     if raster.schema() is None or zones.schema() is None:
         return ray.data.from_arrow(_ZONAL_OUT.empty_table())
 

@@ -712,9 +712,14 @@ def _domain_membership_stage(cuts: dict, bid_ref, domain_col: str,
             per_val = np.fromiter(
                 (cuts.get(v, 0) for v in denc.dictionary.to_pylist()),
                 dtype=np.int64, count=len(denc.dictionary))
-            codes = denc.indices.fill_null(-1).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            cut = np.where(codes >= 0, per_val[np.maximum(codes, 0)], 0)
+            if len(per_val) == 0:
+                # all-null domain column: empty dictionary — every row gets
+                # cut 0 (the old per-row .get(None, 0) behavior)
+                cut = np.zeros(batch.num_rows, np.int64)
+            else:
+                codes = denc.indices.fill_null(-1).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                cut = np.where(codes >= 0, per_val[np.maximum(codes, 0)], 0)
             keep = h < cut
             if len(self.bids):
                 keep = keep | pd.Series(ids).isin(self.bids).to_numpy()

@@ -30,10 +30,14 @@ def parse_geometries(batch: pa.Table, wkt_col: str = "geometry_wkt",
     present, it wins over the current geometry (idempotent re-runs; reference:
     get_original_geometry, plugin/brdrq/brdrq_utils.py:1165-1175).
     """
-    if wkt_col not in batch.column_names and "geom" in batch.column_names:
+    if wkt_col not in batch.column_names and \
+            {"geom", "xmin", "ymin", "xmax", "ymax"} <= set(batch.column_names):
         # already-parsed input (e.g. rows read back from a persisted spatial
-        # index): geometry + bbox columns are present, nothing to do — lets
-        # the join family accept parsed datasets without a WKT round-trip
+        # index): packed geometry AND the bbox columns the join planners
+        # need are all present, nothing to do — lets the join family accept
+        # parsed datasets without a WKT round-trip. A missing wkt_col
+        # WITHOUT the full parsed shape still fails loudly below (a stray
+        # 'geom' column must not silently skip parsing).
         return batch
     n = batch.num_rows
     wkts = batch.column(wkt_col).to_pylist()

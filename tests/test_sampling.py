@@ -409,3 +409,25 @@ def test_temperature_select_equals_brute_force(ray_session):
     flagged = temperature_select(ds, 0.3, 4000,
                                  flag_col="in_temp").to_pandas()
     assert set(flagged[flagged["in_temp"]]["doc_id"]) == want
+
+
+def test_unimax_membership_all_null_domain_batch(ray_session):
+    """An all-null domain batch must get cut 0 for every row (the old
+    per-row .get(None, 0) behavior), not an IndexError from the empty
+    dictionary of the vectorized lookup."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from brdrq_ray.functions.sampling import _domain_membership_stage
+
+    stage = _domain_membership_stage(
+        {"a": 1 << 60}, ray.put(np.asarray([], dtype=object)),
+        domain_col="source", id_col="doc_id", seed="s")()
+    batch = pa.table({"doc_id": pa.array(["x", "y"]),
+                      "source": pa.array([None, None], pa.string())})
+    out = stage(batch)
+    assert out.num_rows == 0  # cut 0 -> nothing kept
+    mixed = pa.table({"doc_id": pa.array(["x", "y"]),
+                      "source": pa.array(["a", None], pa.string())})
+    out2 = stage(mixed)
+    assert out2.column("doc_id").to_pylist() == ["x"]

@@ -118,3 +118,23 @@ def test_cost_aware_salting(ray_session):
     fat_salt = plan.salts.get(fat_cell, 1)
     assert fat_salt > thin_salt      # complexity skew detected
     assert thin_salt == 1            # 12 small rows under threshold 16
+
+
+def test_parse_geometries_passthrough_requires_full_parsed_shape():
+    """The already-parsed passthrough needs geom AND the bbox columns; a
+    stray 'geom' column without them must still fail loudly on the missing
+    WKT column (no silent skip)."""
+    import pyarrow as pa
+    import pytest
+    from brdrq_ray.stages.ingest import parse_geometries
+
+    parsed_shape = pa.table({
+        "ref_id": pa.array(["a"]), "geom": pa.array([b"\x01"], pa.binary()),
+        "xmin": pa.array([0.0]), "ymin": pa.array([0.0]),
+        "xmax": pa.array([1.0]), "ymax": pa.array([1.0])})
+    assert parse_geometries(parsed_shape) is parsed_shape
+
+    stray = pa.table({"ref_id": pa.array(["a"]),
+                      "geom": pa.array([b"\x01"], pa.binary())})
+    with pytest.raises(KeyError):
+        parse_geometries(stray)
