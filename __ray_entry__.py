@@ -336,13 +336,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(out, ["pseudo_score"], 6)
 
     def fingerprint_md5(sf_dir: str):
+        """COMPOSITE since r5: leg 'fp' is the rolling text fingerprint; leg
+        'url' runs RFC-3986 safe normalization (functions/urls.
+        normalize_url_batch) over three constructed URL shapes per corpus
+        row — uppercase scheme/host, default vs non-default ports, fragment
+        — and the DuckDB oracle states the expected normalized form per
+        shape (query order deliberately NOT sorted: the operator must not
+        reorder params)."""
         import ray.data
         from brdrq_ray.functions.text import fingerprint_batch
+        from brdrq_ray.functions.urls import normalize_url_batch
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                    columns=["doc_id", "text"])
-        return ds.map_batches(
-            lambda b: fingerprint_batch(b).select(["doc_id", "fingerprint_md5"]),
-            batch_format="pyarrow")
+
+        def fp(b: pa.Table) -> pa.Table:
+            t = fingerprint_batch(b).select(["doc_id", "fingerprint_md5"])
+            return pa.table({
+                "leg": pa.array(["fp"] * t.num_rows, pa.string()),
+                "doc_id": t.column("doc_id"),
+                "value": t.column("fingerprint_md5"),
+            })
+
+        def urls(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_pylist()
+            raw = []
+            for d0 in ids:
+                d = str(d0)
+                sel = int(d[-1]) % 3 if d and d[-1].isdigit() else 0
+                if sel == 0:
+                    raw.append(f"HTTP://WWW.Example.com:80/a/{d}?x=2#frag")
+                elif sel == 1:
+                    raw.append(f"https://Host.example.org:8080/p/{d}")
+                else:
+                    raw.append(f"HTTPS://example.net:443/{d}?b=2&a=1")
+            t = pa.table({"doc_id": b.column("doc_id"),
+                          "url": pa.array(raw, pa.string())})
+            t = normalize_url_batch(t, col="url", out_col="norm")
+            return pa.table({
+                "leg": pa.array(["url"] * t.num_rows, pa.string()),
+                "doc_id": t.column("doc_id"),
+                "value": t.column("norm"),
+            })
+
+        return (ds.map_batches(fp, batch_format="pyarrow")
+                .union(ds.map_batches(urls, batch_format="pyarrow")))
 
     def text_quality(sf_dir: str):
         import pyarrow.compute as pc
@@ -481,11 +518,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.concat([hh, vb, bl, ul], ignore_index=True)
 
     def pack_sequences_q(sf_dir: str):
+        """COMPOSITE since r5: leg 'pack' is greedy sequence packing; leg
+        'chunk' is GPT-style fixed-length chunking
+        (functions/packing.chunk_fixed_length) over a deterministic
+        hashed-word tokenization — each chunk row pins its piece count and
+        an order-sensitive content checksum of its input_ids, so the golden
+        detects any change in chunk boundaries or token order."""
+        import pandas as pd
         import ray.data
+        from brdrq_ray.functions.packing import chunk_fixed_length
+        from brdrq_ray.functions.sampling import hash60
         from brdrq_ray.functions.text import pack_sequences
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                    columns=["doc_id", "text"])
-        return pack_sequences(ds, token_budget=512)
+        pk = pack_sequences(ds, token_budget=512).to_pandas()
+        pk["doc_id"] = pk["doc_id"].astype(str)  # unify with chunk-leg ids
+        pk.insert(0, "leg", "pack")
+
+        def tok(b: pa.Table) -> pa.Table:
+            ids_out = []
+            for t in b.column("text").to_pylist():
+                words = (t or "").split()
+                ids_out.append(
+                    (hash60(words, "tok") % 30000).astype(np.int32).tolist()
+                    if words else [])
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "bpe_ids": pa.array(ids_out,
+                                                 pa.list_(pa.int32()))})
+
+        chunks = chunk_fixed_length(
+            ds.map_batches(tok, batch_format="pyarrow"),
+            seq_len=128, eos_id=0).to_pandas()
+        csum = [int(np.int64(np.sum((np.asarray(v, np.int64) + 1)
+                                    * np.arange(1, len(v) + 1))) % 10 ** 12)
+                for v in chunks["input_ids"]]
+        ch = pd.DataFrame({
+            "leg": "chunk",
+            "doc_id": "chunk-" + chunks["chunk_id"].astype(str),
+            "ws_tokens": chunks["n_pieces"].astype("int64"),
+            "seq_id": [str(c) for c in csum],
+            "seq_offset": np.int64(128),
+        })
+        return pd.concat([pk, ch], ignore_index=True)
 
     def minhash_pairs(sf_dir: str):
         # COMPOSITE gate (bench times the production minhash leg under its
@@ -1549,8 +1623,24 @@ _BASE_ORACLE_SQL = {
             FROM t JOIN s USING (doc_id) JOIN u USING (doc_id)
         """,
         "fingerprint_md5": """
-            SELECT doc_id,
-                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
+            SELECT 'fp' AS leg, doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                       AS value
+            FROM documents
+            UNION ALL
+            -- url leg: expected RFC-3986 safe-normalized form per
+            -- constructed shape (lowercase scheme/host, default port
+            -- dropped / non-default kept, fragment stripped, query order
+            -- preserved)
+            SELECT 'url', doc_id,
+                   CASE CAST(right(CAST(doc_id AS VARCHAR), 1) AS INTEGER) % 3
+                       WHEN 0 THEN 'http://www.example.com/a/'
+                                   || CAST(doc_id AS VARCHAR) || '?x=2'
+                       WHEN 1 THEN 'https://host.example.org:8080/p/'
+                                   || CAST(doc_id AS VARCHAR)
+                       ELSE 'https://example.net/'
+                            || CAST(doc_id AS VARCHAR) || '?b=2&a=1'
+                   END
             FROM documents
         """,
         "knn_top5": """
