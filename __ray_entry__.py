@@ -773,26 +773,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow", batch_size=16, concurrency=(1, 4))
 
     def snap_lines(sf_dir: str):
-        """Composite snap gate: line vertex-snapping (A11) UNION a polygon
-        alignment with partial_snapping=ON (the reference ProcessorConfig
-        fields at featurealigner.py:1513-1522) — the 'partial_snap:N' remark
-        rows gate the partial path through the golden oracle."""
+        """Composite snap/processor gate: leg 'snap' is line vertex-snapping
+        (A11); leg 'partial_snap' is a polygon alignment with
+        partial_snapping=ON (the reference ProcessorConfig fields at
+        featurealigner.py:1513-1522 — the 'partial_snap:N' remark rows gate
+        the partial path); legs 'topology' and 'dieussaert' (r5) run the
+        engine-defined A9 processor bodies (2024:topology2024a priority
+        tessellation with its topo_ceded_area audit folded into the remark;
+        2024:dieussaert2024a = overlap kernel with od forced EXCLUDE) so
+        the full processor registry is golden-gated per feature."""
+        import pyarrow.compute as pc
         import ray.data
         from brdrq_ray.alignment import AlignConfig, OD_EXCLUDE
         from brdrq_ray.pipelines.autocorrect import run_alignment
 
         fdir = _fixture_dir(sf_dir)
-        cfg = AlignConfig(relevant_distance=1.0, snap_strategy="PREFER_VERTICES")
-        res = run_alignment(ray.data.read_parquet(f"{fdir}/lines.parquet"),
-                            ray.data.read_parquet(f"{fdir}/reference.parquet"), cfg)
+        theme = f"{fdir}/thematic.parquet"
+        ref = f"{fdir}/reference.parquet"
+        cols = ["theme_id", "brdr_perimeter", "brdr_remark", "cell"]
+
+        def leg(tag, res):
+            return res.select_columns(cols).map_batches(
+                lambda b, _t=tag: b.add_column(
+                    0, "leg", pa.array([_t] * b.num_rows, pa.string())),
+                batch_format="pyarrow")
+
+        cfg = AlignConfig(relevant_distance=1.0,
+                          snap_strategy="PREFER_VERTICES")
+        out = leg("snap", run_alignment(
+            ray.data.read_parquet(f"{fdir}/lines.parquet"),
+            ray.data.read_parquet(ref), cfg))
         cfg_ps = AlignConfig(relevant_distance=1.0, od_strategy=OD_EXCLUDE,
                              partial_snapping=True)
-        ps = run_alignment(ray.data.read_parquet(f"{fdir}/thematic.parquet"),
-                           ray.data.read_parquet(f"{fdir}/reference.parquet"),
-                           cfg_ps)
-        cols = ["theme_id", "brdr_perimeter", "brdr_remark", "cell"]
-        res = res.select_columns(cols).union(ps.select_columns(cols))
-        return _round_floats(res, ["brdr_perimeter"], 4)
+        out = out.union(leg("partial_snap", run_alignment(
+            ray.data.read_parquet(theme), ray.data.read_parquet(ref),
+            cfg_ps)))
+        cfg_topo = AlignConfig(relevant_distance=1.0,
+                               processor_id="2024:topology2024a")
+        out = out.union(leg("topology", run_alignment(
+            ray.data.read_parquet(theme), ray.data.read_parquet(ref),
+            cfg_topo)))
+        cfg_dieu = AlignConfig(relevant_distance=1.0, od_strategy="AS_IS",
+                               processor_id="2024:dieussaert2024a")
+        out = out.union(leg("dieussaert", run_alignment(
+            ray.data.read_parquet(theme), ray.data.read_parquet(ref),
+            cfg_dieu)))
+        return _round_floats(out, ["brdr_perimeter"], 4)
 
     def clip_selection(sf_dir: str):
         """COMPOSITE spatial-verbs gate (r5): leg 'clip' is M16 (partial-
