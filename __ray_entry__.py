@@ -515,7 +515,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "value": ug["pieces"][:10],
             "est_count": [int(round(-lp * 1e6)) for lp in ug["logps"][:10]],
             "rank": range(1, 11)})
-        return pd.concat([hh, vb, bl, ul], ignore_index=True)
+        # leg 'temperature_budgets' (r5): the tokens^alpha waterfill with
+        # max_epochs caps + overflow redistribution (sampling.
+        # temperature_budgets) over the real per-source token totals —
+        # integer budgets pinned per domain (the membership cut shares the
+        # SQL-gated UniMax machinery, so the allocation is the untested
+        # half). alpha=0.5 boosts small sources; max_epochs=1.2 caps some.
+        from brdrq_ray.functions.sampling import (domain_token_counts,
+                                                  temperature_budgets)
+        from brdrq_ray.functions.text import token_count_batch
+        tok = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source"]).map_batches(
+            lambda b: token_count_batch(b).select(["source", "ws_tokens"]),
+            batch_format="pyarrow")
+        counts = domain_token_counts(tok, "source", "ws_tokens")
+        tb = temperature_budgets(counts, alpha=0.5,
+                                 total_budget=20_000, max_epochs=1.2)
+        doms = sorted(tb)
+        tl = pd.DataFrame({
+            "leg": "temperature_budgets",
+            "value": doms,
+            "est_count": [int(tb[d]) for d in doms],
+            "rank": range(1, len(doms) + 1)})
+        return pd.concat([hh, vb, bl, ul, tl], ignore_index=True)
 
     def pack_sequences_q(sf_dir: str):
         """COMPOSITE since r5: leg 'pack' is greedy sequence packing; leg
