@@ -409,10 +409,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: gopher_rules_batch(b, min_words=10),
             batch_format="pyarrow")
         out = out.map_batches(compression_ratio_batch, batch_format="pyarrow")
+        # composite leg since r5: DSIR membership — hashed-LM importance
+        # weights from the SAME trained model vs a raw LM on the full
+        # corpus, deterministic Gumbel-top-25% (sampling.dsir_resample);
+        # the golden pins the exact selected set
+        from brdrq_ray.functions.sampling import dsir_resample
+        from brdrq_ray.functions.text import train_ngram_lm
+        raw_model = train_ngram_lm(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["text"]), n_buckets=1 << 18)
+        kept = dsir_resample(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"]).materialize(),
+            model, raw_model, fraction=0.25)
+        kept_ids = set(kept.select_columns(["doc_id"]).to_pandas()["doc_id"])
+
+        def flag(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_pylist()
+            return b.append_column(
+                "dsir_kept", pa.array([i in kept_ids for i in ids],
+                                      pa.bool_()))
+
+        out = out.map_batches(flag, batch_format="pyarrow")
         return _round_floats(
             out.select_columns(["doc_id", "ws_tokens", "bpe_tokens", "n_words",
                                 "quality_score", "lang_pred", "lm_bits",
-                                "gopher_pass", "compression_ratio"]),
+                                "gopher_pass", "compression_ratio",
+                                "dsir_kept"]),
             ["quality_score", "lm_bits", "compression_ratio"], 6)
 
     def normalize_split(sf_dir: str):
@@ -466,14 +489,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return base.map_batches(add_samples, batch_format="pyarrow")
 
     def hll_distinct(sf_dir: str):
+        """COMPOSITE sketch gate since r5: the HLL distinct estimate plus a
+        sharded-Bloom-filter build/probe cycle (sketches.bloom_build /
+        bloom_filter_seen — the incremental history-dedup primitive): build
+        over the early-id half of the events stream, probe ALL rows; the
+        seen/new counts are deterministic (hash-based bit placement), and
+        no-false-negatives means every build row must probe seen."""
         import pandas as pd
+        import pyarrow.compute as pc
         import ray.data
-        from brdrq_ray.functions.sketches import hll_count_distinct
+        from brdrq_ray.functions.sketches import (bloom_build,
+                                                  bloom_filter_seen,
+                                                  hll_count_distinct)
         ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                                   columns=["user_id"])
+                                   columns=["event_id", "user_id"])
         got = hll_count_distinct(ds, "user_id", p=12)
+
+        n = ds.count()
+        half = ds.map_batches(
+            lambda b: b.filter(pc.less(b.column("event_id"), n // 2)),
+            batch_format="pyarrow")
+        bloom = bloom_build(half, col="event_id", capacity=n)
+        seen = bloom_filter_seen(ds, bloom, col="event_id",
+                                 mode="flag").to_pandas()
+        n_seen = int(seen["seen"].sum())
+        # hard in-query gate: a Bloom filter NEVER false-negatives
+        build_seen = seen[seen["event_id"] < n // 2]["seen"]
+        if not bool(build_seen.all()):
+            raise AssertionError("bloom filter false-negative on build rows")
         return pd.DataFrame({"estimate_rounded": [int(round(got["estimate"]))],
-                             "p": [got["p"]]})
+                             "p": [got["p"]],
+                             "bloom_seen_rows": [n_seen],
+                             "bloom_new_rows": [int(len(seen) - n_seen)]})
 
     def heavy_hitters_q(sf_dir: str):
         import ray.data
