@@ -362,7 +362,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             raw = []
             for d0 in ids:
                 d = str(d0)
-                sel = int(d[-1]) % 3 if d and d[-1].isdigit() else 0
+                # same semantics as the SQL CAST: a non-digit-ending id
+                # must RAISE on both sides, not silently pick a shape
+                sel = int(d[-1]) % 3
                 if sel == 0:
                     raw.append(f"HTTP://WWW.Example.com:80/a/{d}?x=2#frag")
                 elif sel == 1:
@@ -414,14 +416,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus, deterministic Gumbel-top-25% (sampling.dsir_resample);
         # the golden pins the exact selected set
         from brdrq_ray.functions.sampling import dsir_resample
-        from brdrq_ray.functions.text import train_ngram_lm
-        raw_model = train_ngram_lm(
-            ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                  columns=["text"]), n_buckets=1 << 18)
-        kept = dsir_resample(
-            ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                  columns=["doc_id", "text"]).materialize(),
-            model, raw_model, fraction=0.25)
+        raw_model = train_ngram_lm(ds, n_buckets=1 << 18)
+        kept = dsir_resample(ds.materialize(), model, raw_model,
+                             fraction=0.25)
         kept_ids = set(kept.select_columns(["doc_id"]).to_pandas()["doc_id"])
 
         def flag(b: pa.Table) -> pa.Table:
@@ -852,7 +849,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tessellation with its topo_ceded_area audit folded into the remark;
         2024:dieussaert2024a = overlap kernel with od forced EXCLUDE) so
         the full processor registry is golden-gated per feature."""
-        import pyarrow.compute as pc
         import ray.data
         from brdrq_ray.alignment import AlignConfig, OD_EXCLUDE
         from brdrq_ray.pipelines.autocorrect import run_alignment

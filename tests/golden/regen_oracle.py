@@ -36,6 +36,7 @@ def result_to_arrow(res):
 
 
 def main():
+    import pyarrow as pa
     import pyarrow.parquet as pq
     import ray
 
@@ -58,6 +59,15 @@ def main():
             # on either side of the compare -> keep it a rows-only check
             print(f"  {name}: EMPTY at sf0.01 -> skipped (rows-only check)")
             continue
+        # canonical row order before writing: Ray's output block order is
+        # run-dependent, and without this every regen rewrites ALL golden
+        # parquets byte-differently (masking which oracles a commit really
+        # touched). The driver compare is row-sorted, so order is free.
+        df = tbl.to_pandas()
+        schema = tbl.schema
+        df = df.sort_values(list(df.columns), kind="mergesort",
+                            na_position="last").reset_index(drop=True)
+        tbl = pa.Table.from_pandas(df, preserve_index=False, schema=schema)
         path = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(tbl, path)
         written.append(name)
