@@ -426,3 +426,26 @@ def test_strip_zeros_single_pass_contract():
                     "4.250000 5.100000, 1.500000 2.000000)))"):
         assert (g._STRIP_ZEROS.sub("", text)
                 == old_trail.sub(r"\1", old_dot0.sub("", text)))
+
+
+def test_flat_wkts_chunk_boundary_and_extreme_coords():
+    """flat_wkts formats in 2^16-pair chunks: a batch whose total point
+    count crosses the chunk boundary (rings straddling the cut) must stay
+    byte-identical to per-row to_wkt; extreme magnitudes and near-zero
+    negatives too."""
+    rng = np.random.default_rng(43)
+    bufs = []
+    total = 0
+    while total <= (1 << 16) + 500:  # cross the 65536-pair chunk cut
+        n = int(rng.integers(50, 200))
+        ring = np.round(rng.normal(0, 1e6, (n, 2)), 6)
+        bufs.append(g.pack_geom(g.GEOM_POLYGON, [[ring]]))
+        total += n
+    bufs.append(g.pack_geom(g.GEOM_POLYGON, [[np.array(
+        [[1e9, -1e9], [1e9 + 5.5, -1e9], [1e9 + 5.5, -1e9 + 7.25]])]]))
+    bufs.append(g.pack_geom(g.GEOM_LINESTRING, [[np.array(
+        [[-0.0000004, 0.0000004], [1e-6, -1e-6]])]]))
+    fg = g.unpack_geoms_flat(bufs)
+    flat = g.flat_wkts(fg)
+    for buf, fw in zip(bufs, flat):
+        assert fw == g.to_wkt(*g.unpack_geom(buf))
