@@ -1494,11 +1494,37 @@ _BASE_ORACLE_SQL = {
               ON e.user_id = v.user_id AND e.ts > v.ts
         """,
         "case_when_bands": """
-            SELECT band, count(*) AS n FROM (
+            -- r5 composite: banded counts + per-band p50/p90 from the
+            -- grouped binned-quantile sketch (bin = floor(v/1000);
+            -- quantile = lower bound of the smallest bin whose cumulative
+            -- count reaches ceil(q*n) — the identical formula
+            -- grouped_binned_quantiles folds distributed)
+            WITH banded AS (
                 SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
                             WHEN o_totalprice < 150000 THEN 'mid'
-                            ELSE 'large' END AS band
-                FROM orders) GROUP BY band
+                            ELSE 'large' END AS band,
+                       o_totalprice
+                FROM orders),
+            b AS (SELECT band,
+                         CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin,
+                         count(*) AS c
+                  FROM banded WHERE isfinite(o_totalprice)
+                  GROUP BY 1, 2),
+            n AS (SELECT band, sum(c) AS total FROM b GROUP BY band),
+            cum AS (SELECT band, bin,
+                           sum(c) OVER (PARTITION BY band ORDER BY bin)
+                               AS cc
+                    FROM b)
+            SELECT n.band, n.total AS n,
+                   (SELECT min(bin) * 1000.0 FROM cum
+                    WHERE cum.band = n.band
+                      AND cc >= greatest(CAST(ceil(0.50 * n.total)
+                                              AS BIGINT), 1)) AS p50_bin,
+                   (SELECT min(bin) * 1000.0 FROM cum
+                    WHERE cum.band = n.band
+                      AND cc >= greatest(CAST(ceil(0.90 * n.total)
+                                              AS BIGINT), 1)) AS p90_bin
+            FROM n
         """,
         "global_minmax": """
             -- global stats composite: min/max + binned-quantile sketch

@@ -588,17 +588,34 @@ def asof_join_events(sf_dir: str, n_buckets: int = 64):
 
 def case_when_classification(sf_dir: str):
     """G6: vectorized case-when banding + grouped count (the correction-state
-    thresholds, plugin/brdrq/brdrq_utils.py:1288-1291)."""
+    thresholds, plugin/brdrq/brdrq_utils.py:1288-1291).
+
+    COMPOSITE since r5: the row also carries per-band p50/p90 bins from the
+    grouped mergeable quantile sketch (sketches.grouped_binned_quantiles —
+    per-(group, bin) count partials, ONE histogram-row groupby; same
+    floor/ceil formula the global sketch exposes in global_minmax's SQL,
+    here reproduced PARTITIONED BY band)."""
     ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
     def band(t: pa.Table) -> pa.Table:
         p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
         lab = np.where(p < 50_000, "small", np.where(p < 150_000, "mid", "large"))
-        return pa.table({"band": pa.array(lab, pa.string())})
+        return pa.table({"band": pa.array(lab, pa.string()),
+                         "o_totalprice": t.column("o_totalprice")})
 
-    return (ds.map_batches(band, batch_format="pyarrow")
-            .groupby("band").count()
-            .map_batches(lambda t: t.rename_columns(["band", "n"]), batch_format="pyarrow"))
+    from .sketches import grouped_binned_quantiles
+
+    banded = ds.map_batches(band, batch_format="pyarrow").materialize()
+    counts = (banded.groupby("band").count()
+              .map_batches(lambda t: t.rename_columns(["band", "n"]),
+                           batch_format="pyarrow").to_pandas())
+    qs = grouped_binned_quantiles(banded, "band", "o_totalprice",
+                                  bin_width=1000.0,
+                                  qs=(0.5, 0.9)).to_pandas()
+    out = counts.merge(
+        qs.rename(columns={"p0.5": "p50_bin", "p0.9": "p90_bin"})[
+            ["band", "p50_bin", "p90_bin"]], on="band")
+    return out.sort_values("band").reset_index(drop=True)
 
 
 def global_minmax(sf_dir: str):
